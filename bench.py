@@ -1,0 +1,65 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from streamclient_spark.plans.registry import load_all
+from streamclient_spark.session import get_spark
+
+# Headline set: reference surface + the heavier relational/LLM ops.
+HEADLINE = [
+    "q_state_open",
+    "q_scan_events",
+    "q_filter_type",
+    "q_project_rename",
+    "q_ttl_filter",
+    "q_count_where",
+    "q_metric_last_ts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("streamclient-spark-bench")
+    specs = load_all()
+    names = [n for n in HEADLINE if n in specs]
+    # also time every other registered query (coverage beyond headline)
+    names += [n for n in sorted(specs) if n not in names]
+
+    # warm the JVM + parquet footer caches with one cheap action
+    specs[names[0]].builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = specs[name].builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32
+threads, one JVM). The conf choices below are the ones that transfer to
+a real multi-executor cluster at the 100 TB design point:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join
+  strategy switch) — at 100 TB the static plan is always wrong
+  somewhere; AQE repairs it from runtime stats.
+- ``spark.sql.shuffle.partitions`` sized to the parallelism of the
+  test box; on a cluster this is superseded by AQE's coalescing with
+  ``initialPartitionNum`` scaled to total cores.
+- Arrow enabled so Pandas-UDF paths (the sanctioned slow path) batch
+  through Arrow instead of pickling rows.
+- UTC session timezone so event-time semantics are host-independent
+  (the reference's naive-UTC bug, SURVEY.md §0.2(5), is fixed by
+  construction).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "streamclient-spark",
+    cpus: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Parameters
+    ----------
+    cpus: local-mode thread count; defaults to ``$SPARK_GRAFT_CPUS`` or 32.
+    extra_conf: overrides applied last (tests use this).
+    """
+    cpus = int(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,65 @@
+"""Fixture-table catalog: parquet loaders for the driver test tables.
+
+Tables (TESTDATA.md / FIXTURES.md §A): ``region nation customer
+supplier part orders lineitem events documents embeddings`` — one
+parquet per table under ``/root/testdata/sf*/``.
+
+At the 100 TB design point each of these would be a partitioned /
+bucketed table (lineitem bucketed by ``l_orderkey``, orders by
+``o_orderkey``, events hash-distributed by key and range-partitioned by
+event-time day); the loaders stay the same shape — ``spark.read`` with
+schema-on-read and Catalyst pushdown — only the storage layout changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+# At any realistic scale region/nation are KBs; customer/supplier/part
+# stay broadcastable into the tens-of-GB fact range (they grow ~100×
+# slower than lineitem in TPC-H-style scaling).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (columnar parquet scan;
+    Catalyst handles column pruning + predicate pushdown).
+
+    ``events.ts`` is parquet ``TIMESTAMP(NANOS)``, which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it as raw
+    nanos (legacy ``nanosAsLong`` conf) and truncate to a microsecond
+    TimestampType — integer `div`, no double round-trip, so the value
+    matches DuckDB's ``CAST(ts AS TIMESTAMP)`` exactly.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The driver runs these builders in ITS OWN SparkSession; pin the
+    # session confs correctness depends on (idempotent, runtime-settable).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
