@@ -38,6 +38,17 @@ def dec_avg(col: Column | str, count_col: Column | None = None) -> Column:
     return dec_sum(c) / cnt
 
 
+def dec2(col: Column | str) -> Column:
+    """Cast a base data column to DECIMAL(12,2) for exact product
+    arithmetic. Use on *source* columns (prices, rates with ≤2-decimal
+    data) BEFORE multiplying: decimal×decimal is exact and
+    engine-identical, whereas casting a computed double product to
+    decimal rounds differently across engines (half-up on the exact
+    binary expansion vs half-even on the scaled double)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(12,2)")
+
+
 def sql_dec_sum(expr: str) -> str:
     """DuckDB-side twin of :func:`dec_sum`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(27,4))) AS DOUBLE)"

@@ -1,0 +1,589 @@
+"""Relational extension surface: filters, joins, aggregations, set ops
+(SURVEY.md §2B rows B-P*, B-J*, B-A*, B-O*).
+
+All pure DataFrame builtins — Catalyst owns pushdown, join strategy
+selection, and partial aggregation. Per-query docstrings call out the
+physical plan we expect at the 100 TB design point and what makes it
+hold (broadcast vs shuffle, AQE, bucketing).
+
+Float-aggregate parity uses the exact-decimal convention from
+:mod:`streamclient_spark.compat`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamclient_spark.compat import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from streamclient_spark.plans.registry import register
+from streamclient_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# B-P1 / B-P2 — compound predicates, conditional expressions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_filter_compound",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE (l_returnflag IN ('A', 'R') OR l_linestatus = 'O')
+      AND l_quantity BETWEEN 10 AND 40
+      AND NOT (l_discount < 0.02)
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-P1: AND/OR/NOT, IN, BETWEEN over lineitem. Every conjunct is
+    pushable; `.explain` shows them in PushedFilters on the scan."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_returnflag").isin("A", "R") | (F.col("l_linestatus") == "O"))
+        & F.col("l_quantity").between(10, 40)
+        & ~(F.col("l_discount") < 0.02)
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_shipdate",
+    )
+
+
+@register(
+    "q_case_when",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 50000  THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CASE o_orderstatus WHEN 'F' THEN 1 ELSE 0 END AS is_final
+    FROM orders
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-P2: when/otherwise chains (searched + simple CASE forms)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_totalprice") >= 200000, "high")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_final"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-J1 — broadcast hash join through the dimension chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           {sum_bal} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """.format(sum_bal=sql_dec_sum("c.c_acctbal")),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J1: star-join customer→nation→region with both dims broadcast.
+
+    nation/region are KB-sized at any SF — broadcasting them removes
+    every shuffle except the final group-by. At 100 TB the same plan
+    holds: dims ship to 1000 executors once; the fact table never moves.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-J2 — large-large equi-join (sort-merge / shuffled hash territory)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_sortmerge",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+           l.l_extendedprice, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J2: fact-fact join lineitem⋈orders on the order key.
+
+    Both sides shuffle on o_orderkey (sort-merge or AQE-chosen shuffled
+    hash). At 100 TB: bucket both tables by orderkey at write time and
+    this becomes a zero-shuffle co-located join; the `o_orderstatus`
+    filter lands on the orders scan before the shuffle either way.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "o_orderstatus",
+        "l_extendedprice",
+        "o_totalprice",
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-J3 — outer joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           {sum_price} AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """.format(sum_price=sql_dec_sum("o.o_totalprice")),
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J3: left outer join keeping order-less customers (NULL-counted
+    as 0 orders, NULL total). COUNT(col) skips nulls in both engines."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-J4 — semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J4a: left-semi (EXISTS) — customers with at least one big order.
+    Semi-join only ships the join key of the right side; no row blowup."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J4b: left-anti (NOT EXISTS) — customers with no orders at all.
+    (Oracle uses NOT IN; safe here because o_custkey is never NULL.)"""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-J5 — equi + range residual join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_size, l.l_quantity
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+              AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J5: theta join = equi key + range residual. The equi conjunct
+    keeps it a hash/broadcast join; the BETWEEN is evaluated as a
+    post-join residual — the scalable shape for banded joins (a pure
+    cross+range join would be quadratic)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return l.join(
+        F.broadcast(p),
+        (l.l_partkey == p.p_partkey)
+        & l.l_quantity.between(p.p_size - 5, p.p_size + 5),
+    ).select("l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# B-J6 — as-of join (latest prior event per key)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           v.view_ts AS last_view_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts
+          FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND CAST(p.ts AS TIMESTAMP) >= v.view_ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J6: as-of join — for each purchase, the latest view at ts ≤
+    purchase ts for the same user.
+
+    Spark has no ASOF JOIN; the scalable re-expression is the
+    *union-merge* pattern: union both streams, one window sorted by
+    (ts, side) per key, carry the last non-null view timestamp forward
+    with last(ignorenulls=True). One shuffle on the key, O(n log n)
+    per partition — versus the quadratic range-join formulation. The
+    same pattern is the standard Spark answer for point-in-time
+    feature lookups at 100 TB.
+    """
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("ts"),
+        F.col("ts").alias("view_ts_tagged"),
+        F.lit(0).alias("side"),  # views sort before purchases at equal ts
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("view_ts_tagged"),
+        F.lit(1).alias("side"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(purchases).withColumn(
+        "last_view_ts", F.last("view_ts_tagged", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_view_ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-J7 — cross join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J7: explicit cartesian product (both sides tiny → broadcast
+    nested loop; anything larger should never cross-join unbanded)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# B-A1 — TPC-H Q1: the canonical multi-measure hash aggregate
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = "1998-09-02"
+
+
+@register(
+    "q_agg_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dec_sum('l_quantity')} AS sum_qty,
+           {sql_dec_sum('l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+             AS sum_charge,
+           {sql_dec_avg('l_quantity')} AS avg_qty,
+           {sql_dec_avg('l_extendedprice')} AS avg_price,
+           {sql_dec_avg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A1: TPC-H Q1 shape — one scan, pushed date filter, partial+final
+    hash aggregate on two low-cardinality keys. The map-side combine
+    means the shuffle carries ~|groups|×|tasks| rows regardless of
+    input size — the reason this stays fast at 100 TB.
+
+    Money arithmetic runs in exact decimal space from the base columns
+    (compat.dec2) — both the correct 100 TB semantics (no FP drift over
+    billions of adds) and the engine-exact one.
+    """
+    from streamclient_spark.compat import dec2
+
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    charge = disc_price * (1 + dec2("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            # products are already exact decimals — sum directly
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-A2 / B-A3 — distinct & (approx) count-distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A2: exact count-distinct per group (expands to a two-phase
+    aggregate; the distinct expansion is the shuffle to watch at scale)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("q_agg_approx_cd", oracle=None)  # estimator-specific → rows-only
+def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A3: approximate count-distinct (HyperLogLog++). Spark's and
+    DuckDB's estimators differ by design, so there is no value oracle;
+    the test suite asserts a relative-error bound against the exact
+    count instead. At 100 TB this replaces the distinct expansion with
+    a constant-size sketch per group — the scalable default."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-A4 — rollup / cube with grouping ids
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           {sql_dec_sum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A4: hierarchical rollup (flag → flag+status → grand total) with
+    grouping_id distinguishing the NULL-as-aggregated rows from data
+    NULLs. Executes as a single expanded aggregate, not three passes."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+
+
+# ---------------------------------------------------------------------------
+# B-A5 — HAVING (post-aggregation filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_having",
+    oracle=f"""
+    SELECT l_suppkey, {sql_dec_sum('l_extendedprice')} AS revenue, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING {sql_dec_sum('l_extendedprice')} > 10000000
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A5: filter on an aggregate result (suppliers above a revenue
+    floor). The filter runs after the final aggregate — cheap; the agg
+    itself still benefits from map-side combine."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(
+            dec_sum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("revenue") > 10000000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-O1 — multi-key sort (with deterministic top-k materialization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sort_multi",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 200
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-O1: multi-key mixed-direction sort; the trailing unique key
+    makes the LIMIT deterministic. Sort+limit compiles to
+    TakeOrderedAndProject — a per-partition top-k then a k-way merge,
+    never a full global sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-O2 — top-k per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_topk_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer) t
+    WHERE rn <= 3
+    """,
+)
+def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-O2: top-3 customers by balance per market segment via ranked
+    window + filter (unique tie-break on the key). Spark pushes a
+    per-partition group-limit before the shuffle (WindowGroupLimit),
+    so the shuffle carries ≤ k rows per group per task."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-O3 — set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 250000),
+         fin AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM hi UNION SELECT * FROM fin)
+    UNION ALL
+    SELECT 'intersect', COUNT(*) FROM (SELECT * FROM hi INTERSECT SELECT * FROM fin)
+    UNION ALL
+    SELECT 'except', COUNT(*) FROM (SELECT * FROM hi EXCEPT SELECT * FROM fin)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-O3: UNION (distinct) / INTERSECT / EXCEPT over two order-key
+    sets, summarized as counts in one result. Each set op is a shuffle
+    on the full row — at scale prefer keyed semi/anti joins when the
+    row is wide (these rows are one column, the cheap case)."""
+    o = load(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+
+    def n(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(tag).alias("op"), "n"
+        )
+
+    return (
+        n(hi.union(fin).distinct(), "union")
+        .unionByName(n(hi.intersect(fin), "intersect"))
+        .unionByName(n(hi.subtract(fin), "except"))  # EXCEPT (distinct) semantics
+    )

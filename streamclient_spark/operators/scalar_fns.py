@@ -1,0 +1,226 @@
+"""Scalar function families (SURVEY.md §2B rows B-F1..B-F6).
+
+All JVM-side builtins inside whole-stage codegen — no Python on the
+hot path. Oracle notes: only functions with engine-identical results
+are hashed (e.g. ``sqrt`` is IEEE-exact; ``ln`` is correctly-rounded in
+both engines' libm for these magnitudes and additionally rounded to 6
+decimals to absorb any last-ulp divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamclient_spark.plans.registry import register
+from streamclient_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# B-F1 — strings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lname,
+           upper(p_brand) AS ubrand,
+           substr(p_type, 1, 5) AS type5,
+           trim(p_name) AS tname,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS snake,
+           CASE WHEN regexp_matches(p_type, '^(STANDARD|SMALL)') THEN 1 ELSE 0 END AS is_std_small,
+           split_part(p_type, ' ', 1) AS type_head
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F1: lower/upper/substr/trim/length/concat/replace/regexp/split
+    over part descriptors — all codegen'd string intrinsics."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.trim("p_name").alias("tname"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("snake"),
+        F.when(F.col("p_type").rlike("^(STANDARD|SMALL)"), 1)
+        .otherwise(0)
+        .alias("is_std_small"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-F2 — date/time
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow_sunday0,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT)
+             AS days_to_2002,
+           o_orderdate + INTERVAL 90 DAY AS due_date,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F2: trunc/extract/diff/add/format on order dates. DOW is
+    normalized to Sunday=0 on both engines (Spark dayofweek is
+    Sunday=1)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sunday0"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-F3 — math
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000) AS abs_dev,
+           round(l_extendedprice, 1) AS price_r1,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+           sqrt(l_extendedprice) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln6,
+           l_extendedprice * l_extendedprice AS price_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F3: abs/round/floor/ceil/sqrt/ln/square/mod. sqrt is IEEE-exact;
+    ln is rounded to 6 decimals (libm last-ulp guard); the square uses
+    explicit multiply (pow() implementations differ across libms)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000).alias("abs_dev"),
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln6"),
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("price_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-F4 — arrays
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                THEN 1 ELSE 0 END AS has_spark,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')
+             AS sorted_vocab
+    FROM documents
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F4: split→array, size, element access, contains, distinct+sort.
+    The sorted-distinct vocabulary is rendered to a string so the
+    array<->list cell encoding never touches the comparison."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        toks.getItem(0).alias("first_token"),
+        F.when(F.array_contains(toks, "spark"), 1).otherwise(0).alias("has_spark"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("sorted_vocab"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-F5 — maps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(map_keys(map {'lang': lang, 'source': source}), ',')
+             AS meta_keys,
+           map_extract(map {'lang': lang, 'source': source}, 'lang')[1] AS lang_val
+    FROM documents
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F5: map construction, key listing, value access. Keys/values
+    are projected to strings for engine-neutral comparison (map cell
+    encodings differ between Arrow exporters)."""
+    d = load(spark, sf_dir, "documents")
+    meta = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(F.map_keys(meta), ",").alias("meta_keys"),
+        meta.getItem("lang").alias("lang_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-F6 — JSON extraction (the `props` column of events)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F6: parse the reference's JSON wire format back into columns —
+    the inverse of q_to_json (SURVEY.md §2A wire-note). get_json_object
+    extracts by JSONPath; the typed form is from_json with an explicit
+    schema (used in the streaming replay source)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.when(
+            F.from_json("props", "k INT").isNotNull(), 1
+        ).otherwise(0).alias("is_valid"),
+    )

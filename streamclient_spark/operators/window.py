@@ -1,0 +1,239 @@
+"""Window-function surface (SURVEY.md §2B rows B-W1..B-W3) plus the
+batch analogs of the streaming time-window aggregates (B-T1/B-T2).
+
+Window execution shuffles once on the partition key then sorts within
+partitions; all frames below are bounded or running (no re-scan per
+row). The streaming forms of B-T1/B-T2 live in
+:mod:`streamclient_spark.streaming`; their batch analogs here share the
+oracle so the semantics are pinned by the same differential test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamclient_spark.compat import dec_sum, sql_dec_sum
+from streamclient_spark.plans.registry import register
+from streamclient_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# B-W1 — ranking functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-W1: row_number / rank / dense_rank / ntile per nation, ordered
+    by balance with a unique tie-break so every function is
+    deterministic."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-W2 — analytic functions (lag/lead/first/last)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_win_lag",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           lag(event_type)  OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           first_value(event_type) OVER w AS first_type,
+           CAST(EPOCH(CAST(ts AS TIMESTAMP))
+                - EPOCH(lag(CAST(ts AS TIMESTAMP)) OVER w) AS DOUBLE)
+             AS secs_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+    """,
+)
+def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-W2: per-user event sequencing — previous/next event type and
+    inter-event gap in seconds (sessionization building block; the
+    same shape feeds q_win_session's gaps-and-islands logic)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+        (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)).alias(
+            "secs_since_prev"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-W3 — frames: running sum + moving average
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_win_frame",
+    oracle=f"""
+    SELECT user_id, event_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             AS moving_avg5
+    FROM events
+    """,
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-W3: running total + 5-row moving average per user. Sums run in
+    exact decimal space (compat convention) so the running values are
+    bit-identical across engines; the moving average divides by the
+    frame's row count, mirrored in the oracle."""
+    e = load(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mov = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-4, 0)
+    dec_val = F.col("value").cast("decimal(27,4)")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.sum(dec_val).over(run).cast("double").alias("running_value"),
+        (
+            F.sum(dec_val).over(mov).cast("double")
+            / F.count(F.lit(1)).over(mov)
+        ).alias("moving_avg5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-T1 batch analog — tumbling window aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_win_tumbling",
+    oracle=f"""
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-T1 (batch analog): 1-day tumbling event-time windows via
+    ``F.window`` — the same operator Structured Streaming uses with a
+    watermark; in batch it degenerates to a date_trunc group-by.
+    Output exposes window *start* to match the oracle's date_trunc."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-T2 batch analog — session windows (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 60  # minutes of inactivity that closes a session
+
+
+@register(
+    "q_win_session",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER
+                         (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                  OR lag(CAST(ts AS TIMESTAMP)) OVER
+                         (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessioned AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+)
+def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-T2 (batch analog): session windows with a {_SESSION_GAP_MIN}-min
+    inactivity gap, via gaps-and-islands (lag → new-session flag →
+    running sum as session id). The streaming twin is
+    ``session_window(ts, gap)``; this formulation pins its semantics
+    against the oracle. One shuffle on user_id serves both windows and
+    the final per-session aggregate."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTES")
+    prev_ts = F.lag("ts").over(w)
+    return (
+        e.select("user_id", "ts", "event_id")
+        .withColumn(
+            "is_new",
+            F.when(prev_ts.isNull() | (F.col("ts") - prev_ts > gap), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
