@@ -1,0 +1,427 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2B B-L1/L2).
+
+Five dedup families, all composed from JVM-side builtins (no Python in
+any hot path):
+
+- exact dedup by content hash (``q_dedup_exact``)
+- MinHash + LSH near-dup candidate generation with exact-Jaccard
+  verification (``q_dedup_near``)
+- SimHash near-dup with Hamming-distance pairing (``q_dedup_simhash``)
+- character n-gram Jaccard top-k most-similar pairs (``q_dedup_jaccard``)
+- embedding-cosine near-dup with label blocking (``q_dedup_embed``)
+
+Hash convention: the base hash is the first 8 hex chars of ``md5`` read
+as a 32-bit integer — md5 is the one hash both engines implement
+identically, which is what makes every one of these oracle-checkable.
+At the 100 TB design point you would swap it for ``xxhash64`` (Spark)
+since the oracle bridge is no longer needed; nothing else changes.
+
+Scale notes (100 TB):
+
+- MinHash signatures are one explode + one hash-aggregate per document
+  (map-side combined); the LSH band self-join shuffles only
+  ``(doc_id, band, 2×32-bit key)`` — the whole point of LSH is that the
+  join key space is tiny compared to pairwise.
+- The exact-Jaccard verification joins shingle sets only for LSH
+  *candidates* (output of the band join), never all pairs.
+- SimHash is two hash-aggregates; the pair step is a self-join on a
+  64× reduced table (one row per doc).
+- The embedding near-dup blocks on ``label`` (stand-in for an IVF
+  coarse quantizer cell) so the pair space is |cell|²·cells, not N².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamclient_spark.functions.text import (
+    SQL_TOKENS,
+    shingles,
+    sql_shingles,
+    tokens,
+)
+from streamclient_spark.functions.vectors import dot_f64, norm
+from streamclient_spark.plans.registry import register
+from streamclient_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# hashing primitives (shared with similarity.py)
+# ---------------------------------------------------------------------------
+
+#: modulus for the universal-hash permutation family (Mersenne 2^31-1)
+MINHASH_P = 2_147_483_647
+#: number of MinHash permutations / bands×rows layout
+MINHASH_PERMS = 32
+LSH_BANDS = 16
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS  # 2
+
+# fixed (a, b) coefficients of the permutation family a·h + b mod P —
+# arbitrary distinct constants; md5 already mixes, the perms only need
+# to be distinct affine maps.
+PERM_A = tuple(97 + 31 * i for i in range(MINHASH_PERMS))
+PERM_B = tuple(911 + 997 * i for i in range(MINHASH_PERMS))
+
+
+def hash32(col: Column | str) -> Column:
+    """First 8 hex chars of md5 as a non-negative 32-bit int (BIGINT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def sql_hash32(expr: str) -> str:
+    """DuckDB twin of :func:`hash32`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+_SQL_SHINGLE_SETS = f"""
+    WITH _toks AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS toks FROM documents
+    ), shingle_sets AS (
+      SELECT doc_id, {sql_shingles("toks")} AS s FROM _toks
+    )
+"""
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", shingles(tokens("text")).alias("s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_exact — content-hash dedup (B-L1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_md5,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L1/B-T4: exact dedup — group by content hash, keep the lowest
+    doc_id per group (deterministic survivor rule). One hash aggregate
+    with map-side combine; at 100 TB the only shuffle is on the 128-bit
+    digest, which is uniformly distributed — no skew by construction."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_near — MinHash + LSH + exact-Jaccard verify (B-L2)
+# ---------------------------------------------------------------------------
+
+_NEAR_THRESHOLD = 0.8
+
+
+@register(
+    "q_dedup_near",
+    oracle=f"""
+    {_SQL_SHINGLE_SETS}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM shingle_sets a JOIN shingle_sets b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= {_NEAR_THRESHOLD}
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L2: near-duplicate pairs via MinHash + LSH banding + exact
+    verification.
+
+    Pipeline: 5-gram word shingles → 32 MinHash signatures (universal
+    affine perms over a 32-bit md5 base hash) → 16 bands × 2 rows →
+    band-bucket self-join for candidates → exact Jaccard ≥ 0.8 filter.
+
+    The oracle is the *ground truth* (brute-force pairwise Jaccard): the
+    check passes exactly when LSH recall on above-threshold pairs is
+    100%. At 16×2 banding the miss probability of a J=0.8 pair is
+    (1-0.8²)¹⁶ ≈ 8e-8, and the fixture's planted near-dups sit at
+    J≈0.99 (miss ≈ 3e-23); everything else is ≤0.016, far below the
+    verify threshold — so LSH∘verify and brute force agree and the
+    comparison is deterministic (the md5 pipeline has no runtime
+    randomness).
+    """
+    # Both the band self-join and the two verification joins re-reference
+    # these intermediates, and Spark does not common-subexpression-
+    # eliminate across DataFrame branches — persist so shingling and
+    # signature computation run once, not 2-3×. At 100 TB the signature
+    # table would be materialized to storage anyway (it IS the dedup
+    # index); persist() is the in-session analog.
+    sets = _shingle_sets(spark, sf_dir).persist()
+    ex = sets.select("doc_id", F.explode("s").alias("shingle"))
+    h = ex.select("doc_id", hash32("shingle").alias("h"))
+    sigs = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(PERM_A[i]) * F.col("h") + PERM_B[i]) % MINHASH_P).alias(
+                f"s{i}"
+            )
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                "_", *[f"s{j * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+            ).alias("key"),
+        )
+        for j in range(LSH_BANDS)
+    ]
+    bands = (
+        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("doc_id", "bk.band", "bk.key")
+        .persist()
+    )
+
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sh_a")),
+            "a_id",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sh_b")),
+            "b_id",
+        )
+        .filter(j >= _NEAR_THRESHOLD)
+        .select("a_id", "b_id", F.round(j, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_simhash — SimHash + Hamming pairs (B-L2)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_HAMMING_MAX = 8
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    {_SQL_SHINGLE_SETS},
+    hashes AS (
+      SELECT doc_id, {sql_hash32("unnest(s)")} AS h FROM shingle_sets
+    ),
+    bit_sums AS (
+      SELECT doc_id, b.b AS b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+      FROM hashes CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BITS})) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    sims AS (
+      SELECT doc_id,
+             sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+               AS simhash
+      FROM bit_sums GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L2: SimHash near-dup — 32-bit SimHash over shingle hashes
+    (per-bit ±1 vote, bit set when the vote sum is positive), then all
+    pairs within Hamming distance 8 via a self-join on the one-row-per-
+    doc signature table. The signature step compresses each document to
+    8 bytes, which is what makes the pair step feasible at scale."""
+    sets = _shingle_sets(spark, sf_dir)
+    h = sets.select("doc_id", F.explode("s").alias("shingle")).select(
+        "doc_id", hash32("shingle").alias("h")
+    )
+    # sims is self-joined below — persist the (tiny) signature table so
+    # the shingle+hash pipeline runs once (no cross-branch CSE in Spark)
+    bit_sums = (
+        h.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1)
+            ).alias("c")
+        )
+    )
+    sims = bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("c") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    ).persist()
+    a, b = sims.alias("a"), sims.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(hamming <= _HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            hamming.alias("hamming"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_jaccard — character-trigram Jaccard top-k pairs (B-L2)
+# ---------------------------------------------------------------------------
+
+_TOPK_PAIRS = 20
+
+
+@register(
+    "q_dedup_jaccard",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i + 1, 3)
+                            for i in range(0, length(text) - 2)]) AS g
+      FROM documents WHERE length(text) >= 3 AND doc_id < 500
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, jaccard
+    FROM pairs
+    ORDER BY jaccard DESC, a_id, b_id
+    LIMIT {_TOPK_PAIRS}
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L2: character-trigram Jaccard — the 20 most similar document
+    pairs, fully ordered (jaccard DESC, then ids) so the selected set is
+    deterministic. The jaccard value is a single IEEE division of two
+    exact ints — bit-identical across engines, so ranking agrees too.
+
+    Capped at a fixed 500-document sample: all-pairs comparison is
+    O(N²) by construction and exists as the exact ground-truth probe;
+    the corpus-scale path is ``q_dedup_near`` (LSH)."""
+    d = load(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 3) & (F.col("doc_id") < 500)
+    )
+    grams = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.length("text") - 3),
+                lambda i: F.col("text").substr(F.lit(1) + i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    j = F.size(F.array_intersect("a.g", "b.g")).cast("double") / F.size(
+        F.array_union("a.g", "b.g")
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            j.alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "a_id", "b_id")
+        .limit(_TOPK_PAIRS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_embed — embedding-cosine near-dup with blocking (B-L2/B-L3)
+# ---------------------------------------------------------------------------
+
+_EMBED_THRESHOLD = 0.8
+_PLANT_OFFSET = 100_000
+
+
+@register(
+    "q_dedup_embed",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_PLANT_OFFSET}, label, embedding FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4)
+             AS cos_sim
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[]))
+          >= {_EMBED_THRESHOLD}
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L2: embedding-cosine near-dup. The corpus is the embeddings
+    table plus a planted copy of itself (ids offset by 100000) so the
+    operator's positive class is non-empty: the fixture's natural max
+    pairwise cosine is ≈0.51, far below the 0.8 threshold, while planted
+    copies sit at 1.0 — no threshold-boundary float risk.
+
+    Pairing is *blocked* on ``label`` (the stand-in for an IVF coarse
+    cell): the pair space is per-cell quadratic instead of global
+    quadratic, which is the actual scale path for embedding dedup.
+
+    Cost model: the per-vector L2 norm is computed once per corpus row
+    (Catalyst fold); the per-*pair* dot product — the quadratic term —
+    goes through the Arrow-vectorized numpy kernel
+    (:func:`streamclient_spark.functions.vectors.dot_f64`), keeping the
+    hot loop at memory bandwidth instead of interpreted-lambda speed."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    corpus = e.unionByName(
+        e.select(
+            (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+            "label",
+            "embedding",
+        )
+    ).withColumn("nrm", norm(F.col("embedding")))
+    a, b = corpus.alias("a"), corpus.alias("b")
+    cos = dot_f64(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= _EMBED_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round("cos_sim_raw", 4).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,150 @@
+"""Multimodal (binary) column support (SURVEY.md §2B B-L5).
+
+Images/audio/video are treated as opaque ``binary`` payload columns
+with a typed metadata struct beside them — the layout
+``spark.read.format('binaryFile')`` produces and every large-scale
+multimodal pipeline uses (payload bytes + sidecar metadata, never
+parsed rows).
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic stub (byte statistics standing in for pixel statistics);
+everything around it — BinaryType schema, Arrow batch transfer through
+``mapInPandas``, batch-shaped feature extraction, partition behavior —
+is the real plumbing a decoder would ride on. Swapping the stub body
+for PIL/ffmpeg is a one-function change (marked below).
+
+Scale notes (100 TB): payloads dominate bytes; the rule is to keep them
+out of shuffles. Both queries here are shuffle-free single passes —
+metadata extraction is a projection, and feature extraction is
+``mapInPandas`` (per-partition Arrow batches, no repartitioning). On a
+real corpus you would store payloads in their own parquet column so
+row-group pruning on metadata never drags payload I/O.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from streamclient_spark.plans.registry import register
+from streamclient_spark.tables import load
+
+_FORMATS = ("png", "jpeg", "wav")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the multimodal layout from ``documents``: the utf-8
+    bytes of ``text`` stand in for an encoded media payload, plus a
+    deterministic typed metadata struct (format/width/height). This is
+    the fixture analog of a ``binaryFile`` read."""
+    d = load(spark, sf_dir, "documents")
+    fmt = F.element_at(
+        F.array(*[F.lit(x) for x in _FORMATS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            fmt.alias("format"),
+            (64 + (F.col("doc_id") % 7) * 32).alias("width"),
+            (64 + (F.col("doc_id") % 5) * 32).alias("height"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_meta — payload + metadata projection (B-L5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           encode(text) AS payload,
+           md5(text) AS payload_md5,
+           octet_length(encode(text)) AS n_bytes,
+           ['png', 'jpeg', 'wav'][CAST(doc_id % 3 AS INT) + 1] AS format,
+           64 + (doc_id % 7) * 32 AS width,
+           64 + (doc_id % 5) * 32 AS height
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L5: binary payload with typed metadata — digest, byte length,
+    and the flattened metadata fields. Pure projection; the payload
+    bytes flow through untouched (the scan never decodes them)."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        "payload",
+        F.md5("payload").alias("payload_md5"),
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_features — mapInPandas decode stub (B-L5)
+# ---------------------------------------------------------------------------
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("max_byte", LongType()),
+        StructField("head_hex", StringType()),
+    ]
+)
+
+
+def _decode_and_featurize(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode + feature extraction.
+
+    DECODE STUB: byte statistics stand in for decoded-media features
+    (the container ships no codecs). A real deployment replaces the
+    body of this loop with e.g. ``PIL.Image.open(io.BytesIO(payload))``
+    and keeps the batch shape identical.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len),
+                "mean_byte": payloads.map(
+                    lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                ),
+                "max_byte": payloads.map(lambda b: max(b) if len(b) else 0),
+                "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
+            }
+        )
+
+
+@register("q_multimodal_features", oracle=None)  # binary UDF path → rows-only
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L5: feature extraction over binary payloads via ``mapInPandas``
+    — payload bytes cross to Python once per partition as Arrow batches,
+    features come back columnar. Deterministic stub decode (see
+    :func:`_decode_and_featurize`); correctness is pinned by a unit test
+    against independently computed byte statistics."""
+    m = media_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(
+        _decode_and_featurize, schema=_FEATURE_SCHEMA
+    )

@@ -1,0 +1,368 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2B B-L4).
+
+Everything here is built from JVM-side codegen'd builtins (``split``,
+``filter``, ``transform``, ``aggregate``, ``md5`` ...) — no Python UDF on
+any hot path, so the operators scale linearly with input and stay inside
+whole-stage codegen.
+
+Scale notes (100 TB): each query is a single scan of ``documents`` plus
+at most one shuffle (the explode→groupBy in tf-idf). Tokenization and
+per-document feature extraction are embarrassingly parallel projections;
+tf-idf's document-frequency aggregate is a classic partial+final hash
+aggregate on the token key (low cardinality relative to input, so the
+shuffle carries only |vocab|×|tasks| rows).
+
+Cross-engine conventions: tokenization is ``\\s+`` regex split with empty
+tokens filtered (identical in Spark ``split``/``filter`` and DuckDB
+``string_split_regex``/``list_filter``); hashes go through ``md5`` (the
+one cryptographic hash both engines implement identically); floating
+ratios are single IEEE divisions of exact integers (deterministic in
+both engines); ``ln``-based scores are rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamclient_spark.plans.registry import register
+from streamclient_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# shared token helpers (engine API surface, reused by dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization with empty-token filtering.
+
+    ``split`` on ``\\s+`` leaves a leading "" for leading whitespace and
+    a trailing "" for trailing whitespace; filtering is what makes the
+    token list identical to DuckDB's ``string_split_regex`` + filter.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+SQL_TOKENS = r"list_filter(string_split_regex({col}, '\s+'), t -> t <> '')"
+
+
+def shingles(toks: Column, k: int = 5) -> Column:
+    """Distinct k-gram word shingles from a token array.
+
+    Built with ``transform`` over an index ``sequence`` — stays inside
+    codegen, no explode needed until the caller wants one row per
+    shingle. Documents shorter than ``k`` tokens yield a single shingle
+    (the whole document) so they still participate in dedup.
+    """
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def sql_shingles(toks_expr: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`shingles` (1-based list slicing)."""
+    return (
+        f"(CASE WHEN len({toks_expr}) >= {k} THEN "
+        f"list_distinct([array_to_string(({toks_expr})[i+1:i+{k}], ' ') "
+        f"for i in range(0, len({toks_expr}) - {k} + 1)]) "
+        f"ELSE [array_to_string({toks_expr}, ' ')] END)"
+    )
+
+
+# Language marker stopwords for the n-gram/stopword language-ID
+# heuristic. The fixture text is synthetic word soup, so accuracy on it
+# is meaningless — what the oracle checks is that the *heuristic itself*
+# is computed identically by both engines.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("de5", "shi4", "le5", "he2", "zai4"),
+}
+
+STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+
+# ---------------------------------------------------------------------------
+# q_text_tokens — tokenization + counting (B-L4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {SQL_TOKENS.format(col="text")} AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           n_chars,
+           len(list_distinct(toks)) AS n_unique,
+           CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token,
+           len(list_filter(toks, t -> length(t) > 4)) AS n_long_tokens
+    FROM t
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L4: token counting — whitespace tokenizer, per-document token /
+    unique-token / long-token counts and chars-per-token ratio. Pure
+    projection (no shuffle); the ratio is one IEEE division of two
+    exact ints, deterministic across engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        "n_chars",
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        (F.col("n_chars").cast("double") / F.size(toks)).alias("chars_per_token"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_quality — quality scoring (B-L4)
+# ---------------------------------------------------------------------------
+
+_SW_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {SQL_TOKENS.format(col="text")} AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           CAST(len(list_filter(toks, w -> list_contains({_SW_LIST_SQL}, w)))
+                AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[^a-z]', '', 'g'))
+                AS DOUBLE) / length(text) AS non_alpha_ratio,
+           CASE WHEN len(toks) BETWEEN 10 AND 1000
+                 AND CAST(len(list_filter(toks, w ->
+                       list_contains({_SW_LIST_SQL}, w))) AS DOUBLE)
+                     / len(toks) >= 0.05
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L4: quality scoring — length bounds, stopword ratio, and
+    non-alphabetic character ratio, combined into a keep/drop verdict
+    (the Gopher-rules shape every pretraining pipeline applies). One
+    pass, no shuffle; ratios are single IEEE divisions."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tok = F.size(toks)
+    sw_ratio = (
+        F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("double")
+        / n_tok
+    )
+    non_alpha = (
+        F.length("text") - F.length(F.regexp_replace("text", "[^a-z]", ""))
+    ).cast("double") / F.length("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        sw_ratio.alias("stopword_ratio"),
+        non_alpha.alias("non_alpha_ratio"),
+        F.when(n_tok.between(10, 1000) & (sw_ratio >= 0.05), "keep")
+        .otherwise("drop")
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_langid — language-ID heuristic (B-L4)
+# ---------------------------------------------------------------------------
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter(toks, w -> list_contains({markers}, w)))"
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {SQL_TOKENS.format(col="text")} AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id, labeled_lang,
+             {_lang_hits_sql("en")} AS en_hits,
+             {_lang_hits_sql("fr")} AS fr_hits,
+             {_lang_hits_sql("es")} AS es_hits,
+             {_lang_hits_sql("de")} AS de_hits,
+             {_lang_hits_sql("zh")} AS zh_hits
+      FROM t
+    )
+    SELECT doc_id, labeled_lang,
+           CASE
+             WHEN en_hits >= fr_hits AND en_hits >= es_hits
+              AND en_hits >= de_hits AND en_hits >= zh_hits THEN 'en'
+             WHEN fr_hits >= es_hits AND fr_hits >= de_hits
+              AND fr_hits >= zh_hits THEN 'fr'
+             WHEN es_hits >= de_hits AND es_hits >= zh_hits THEN 'es'
+             WHEN de_hits >= zh_hits THEN 'de'
+             ELSE 'zh'
+           END AS detected_lang,
+           en_hits + fr_hits + es_hits + de_hits + zh_hits AS marker_hits
+    FROM h
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L4: language identification via marker-stopword counting with a
+    fixed argmax tie order (en > fr > es > de > zh). The fixture text is
+    synthetic, so the *label* column is not recoverable — the oracle
+    checks heuristic parity, not accuracy. Pure projection."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def hits(lang: str) -> Column:
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda w: F.array_contains(markers, w)))
+
+    h = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits("en").alias("en_hits"),
+        hits("fr").alias("fr_hits"),
+        hits("es").alias("es_hits"),
+        hits("de").alias("de_hits"),
+        hits("zh").alias("zh_hits"),
+    )
+    c = F.col
+    detected = (
+        F.when(
+            (c("en_hits") >= c("fr_hits"))
+            & (c("en_hits") >= c("es_hits"))
+            & (c("en_hits") >= c("de_hits"))
+            & (c("en_hits") >= c("zh_hits")),
+            "en",
+        )
+        .when(
+            (c("fr_hits") >= c("es_hits"))
+            & (c("fr_hits") >= c("de_hits"))
+            & (c("fr_hits") >= c("zh_hits")),
+            "fr",
+        )
+        .when((c("es_hits") >= c("de_hits")) & (c("es_hits") >= c("zh_hits")), "es")
+        .when(c("de_hits") >= c("zh_hits"), "de")
+        .otherwise("zh")
+    )
+    total = (
+        c("en_hits") + c("fr_hits") + c("es_hits") + c("de_hits") + c("zh_hits")
+    )
+    return h.select(
+        "doc_id",
+        "labeled_lang",
+        detected.alias("detected_lang"),
+        total.alias("marker_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_tfidf — explode → two-level aggregation (B-L4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKENS.format(col="text")}) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE tf.tf >= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L4: tf-idf — explode tokens, term frequency per (doc, token),
+    document frequency per token, idf join back. Two hash aggregates and
+    one join, all keyed on the token; the df side is tiny (|vocab|) so
+    Spark broadcasts it after AQE sees the size. ``ln`` is rounded to 6
+    decimals on both engines (libm vs Java Math.log last-ulp drift)."""
+    d = load(spark, sf_dir, "documents")
+    # corpus size as a 1-row aggregate cross-joined in (broadcast NL join
+    # of a single row) — keeps the whole plan lazy/distributed instead of
+    # collecting a count at plan-build time.
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("tf") >= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_fingerprint — content hashing (B-L4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {SQL_TOKENS.format(col="text")} AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           md5(array_to_string(list_sort({sql_shingles("toks")}), '|'))
+             AS shingle_md5,
+           list_min([md5(s) for s in {sql_shingles("toks")}]) AS min_shingle_md5
+    FROM t
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L4: document fingerprinting — whole-content md5, a canonical
+    shingle-set fingerprint, and the min shingle hash (a 1-perm minhash,
+    the building block :mod:`streamclient_spark.functions.dedup` expands
+    into full MinHash). Pure projection, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(tokens("text"))
+    # sorted before joining: distinct-list order is engine-specific, a
+    # canonical fingerprint must be order-insensitive
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.md5(F.array_join(F.array_sort(sh), "|")).alias("shingle_md5"),
+        F.array_min(F.transform(sh, F.md5)).alias("min_shingle_md5"),
+    )

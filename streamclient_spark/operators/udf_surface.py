@@ -1,0 +1,184 @@
+"""User-defined function surface (SURVEY.md §2B B-U1..B-U3).
+
+Three UDF shapes, each demonstrating the sanctioned slow path and how
+to keep it fast:
+
+- scalar **pandas UDF** (Arrow-vectorized, B-U1) — ``q_udf_scalar``
+- grouped **applyInPandas** (UDAF shape, B-U2) — ``q_udaf_grouped``
+- **Python UDTF** (one row → many, B-U3) — ``q_udtf_explode``
+
+Policy (SURVEY.md §6): row-at-a-time Python UDFs never appear on a hot
+path anywhere in this engine; when Python is genuinely needed the data
+crosses as Arrow batches (pandas_udf / applyInPandas / mapInPandas).
+The UDTF below is deliberately applied to a *filtered* input — the
+builtin ``explode`` (see ``q_fn_array``) is the scale path for
+set-returning transforms, and the docstring of each query names its
+builtin equivalent.
+
+Cross-engine float conventions: the scalar UDF's arithmetic is a fixed
+IEEE expression tree evaluated identically by numpy and DuckDB; the
+grouped UDAF sums in exact integer-cents space (numpy int64) mirroring
+the DECIMAL convention of :mod:`streamclient_spark.compat`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from streamclient_spark.plans.registry import register
+from streamclient_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# B-U1 — scalar pandas UDF (Arrow-vectorized)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(DoubleType())
+def _net_charge(
+    extendedprice: pd.Series, discount: pd.Series, tax: pd.Series
+) -> pd.Series:
+    """Vectorized net-charge: price·(1-discount)·(1+tax), evaluated by
+    numpy on Arrow batches — one IEEE expression tree, bit-identical to
+    the SQL twin ``l_extendedprice * (1 - l_discount) * (1 + l_tax)``."""
+    return extendedprice * (1.0 - discount) * (1.0 + tax)
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_charge
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-U1: scalar pandas UDF — Arrow batches in, numpy math, Arrow
+    batches out (~10-100× over row-at-a-time Python). The builtin-
+    expression equivalent is preferred on hot paths; this query exists
+    to pin the vectorized UDF plumbing end-to-end."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        _net_charge("l_extendedprice", "l_discount", "l_tax").alias(
+            "net_charge"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-U2 — grouped applyInPandas (UDAF shape)
+# ---------------------------------------------------------------------------
+
+_GROUP_SCHEMA = StructType(
+    [
+        StructField("l_returnflag", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("revenue", DoubleType()),
+        StructField("max_quantity", DoubleType()),
+    ]
+)
+
+
+def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group aggregate in pandas. Revenue sums in exact integer
+    cents (int64) and divides once at the end — the numpy mirror of the
+    engine's DECIMAL aggregation convention (order-insensitive, so the
+    nondeterministic row order within a shuffled group cannot change
+    the result)."""
+    cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "n_rows": [len(pdf)],
+            "revenue": [cents.sum() / 100.0],
+            "max_quantity": [pdf["l_quantity"].max()],
+        }
+    )
+
+
+@register(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           max(l_quantity) AS max_quantity
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-U2: grouped-aggregate UDAF via ``applyInPandas`` — each group
+    arrives as one Arrow-backed DataFrame. Unlike builtin aggregates
+    there is no map-side partial: the full group shuffles to one task,
+    so at scale this is reserved for logic builtins can't express
+    (builtin twin: ``q_agg_tpch_q1``)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_returnflag", "l_extendedprice", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(_group_stats, schema=_GROUP_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-U3 — Python UDTF (one row → many)
+# ---------------------------------------------------------------------------
+
+
+@udtf(returnType="token: string, pos: bigint")
+class _TokenizeUDTF:
+    """Table function: one document row → one row per token with its
+    position. Builtin twin (the scale path): ``posexplode(split(...))``
+    — see ``q_fn_array``."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        pos = 0
+        for tok in text.split():
+            yield tok, pos
+            pos += 1
+
+
+@register(
+    "q_udtf_explode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+      WHERE doc_id < 100
+    )
+    SELECT doc_id, unnest(toks) AS token,
+           unnest(range(0, len(toks))) AS pos
+    FROM t
+    """,
+)
+def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-U3: Python UDTF — lateral-joined against a pruned input
+    (doc_id < 100). Row-based Python is the cost ceiling of the UDF
+    surface; production set-returning transforms use ``posexplode``
+    (builtin, codegen'd), which this query's unit test cross-checks."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("tokenize_udtf", _TokenizeUDTF)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM _udtf_docs d,
+             LATERAL tokenize_udtf(d.text) t
+        """
+    )

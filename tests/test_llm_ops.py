@@ -1,0 +1,66 @@
+"""Property tests for the LLM-pipeline operators that have no (or a
+weaker) SQL oracle: multimodal feature extraction, near-dup recall on
+planted duplicates, and LSH bucketing self-consistency."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from streamclient_spark.functions.dedup import q_dedup_near
+from streamclient_spark.functions.multimodal import q_multimodal_features
+from streamclient_spark.functions.similarity import lsh_bucket, q_sim_lsh, q_sim_topk
+from streamclient_spark.tables import load
+
+
+def test_multimodal_features_match_byte_stats(spark, sf_oracle):
+    """The mapInPandas decode stub must reproduce byte statistics
+    computed independently (pure Python over the parquet file)."""
+    got = {
+        r["doc_id"]: r
+        for r in q_multimodal_features(spark, sf_oracle).collect()
+    }
+    table = pq.read_table(f"{sf_oracle}/documents.parquet").to_pylist()
+    assert len(got) == len(table)
+    for row in table[:50]:
+        payload = row["text"].encode("utf-8")
+        r = got[row["doc_id"]]
+        assert r["n_bytes"] == len(payload)
+        assert r["max_byte"] == max(payload)
+        assert abs(r["mean_byte"] - sum(payload) / len(payload)) < 1e-12
+        assert r["head_hex"] == payload[:8].hex()
+
+
+def test_dedup_near_finds_planted_near_duplicates(spark, sf_oracle):
+    """Recall invariant: the fixture plants 25 near-dup pairs at J≈0.99;
+    LSH banding at 16×2 misses such a pair with probability ~3e-23 and
+    the pipeline has no runtime randomness, so all 25 must surface, each
+    above the verification threshold."""
+    rows = q_dedup_near(spark, sf_oracle).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in rows}
+    assert len(pairs) == len(rows) >= 25
+    assert all(r["jaccard"] >= 0.8 for r in rows)
+
+
+def test_sim_lsh_is_subset_of_brute_force_candidates(spark, sf_oracle):
+    """LSH results must be exact cosines over a candidate subset: every
+    (query, neighbor, cos) in the LSH output must appear in the exact
+    brute-force scoring with the same cosine, and bucket ids must agree
+    between query and neighbor by construction."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in q_sim_topk(spark, sf_oracle).collect()
+    }
+    e = load(spark, sf_oracle, "embeddings").select(
+        "vec_id", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    buckets = {r["vec_id"]: r["bucket"] for r in e.collect()}
+    assert 1 < len(set(buckets.values())) <= 256
+    for r in q_sim_lsh(spark, sf_oracle).collect():
+        assert buckets[r["neighbor_id"]] == r["bucket"]
+        assert buckets[r["query_id"]] == r["bucket"]
+        # rank-1 LSH hit that is also the global rank-1 must carry the
+        # identical cosine (same scoring code on both paths)
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert exact[key] == r["cos_sim"]
