@@ -1,0 +1,160 @@
+"""Custom Python streaming data source: deterministic event replay.
+
+The Spark analog of the reference's websocket event source
+(``/root/reference/ess_client.py:121-124``): an unbounded, push-based,
+*type-filtered* stream. Two modes:
+
+- **replay** (implemented): replays the ``events`` fixture parquet in
+  event-time order as a fixed number of deterministic microbatches —
+  the test/backfill mode. Offsets are row ranges, so restarts and
+  ``readBetweenOffsets`` reproduce identical batches (exactly the
+  determinism SURVEY.md §7 Milestone 3 calls out as the hard part).
+- **live** (protocol stub): the websocket ESS protocol needs an
+  ``auraxium``-style client the container doesn't ship; ``_LiveReader``
+  pins the option surface (endpoint, service id, event type) and raises
+  ``NotImplementedError`` at connect time.
+
+Source-side filter pushdown: the reference subscribes to *one event
+type* so other types never cross the wire (``ess_client.py:124``). The
+``event_type`` option reproduces that: the filter is applied inside the
+reader against the source's own storage, before rows enter Spark.
+
+Scale notes: a replay/backfill source at 100 TB is just a parquet scan
+— you would not run it through a single-process Python reader. This
+reader exists for deterministic microbatch tests of the streaming
+operators; the production path for bulk history is ``spark.read`` (see
+``q_scan_events``) and for live data a partitioned reader (one
+subscription shard per partition).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+DEFAULT_BATCHES = 10
+
+
+def _load_sorted_rows(options: dict) -> list[tuple]:
+    """Read the fixture parquet, apply the source-side type filter, sort
+    by (ts, event_id) — the deterministic replay order."""
+    path = options["path"]
+    table = pq.read_table(path)
+    if "event_type" in options:
+        # pushdown: the filter runs against source storage, pre-Spark —
+        # the analog of the reference's typed subscription
+        table = table.filter(
+            pc.equal(table["event_type"], options["event_type"])
+        )
+    table = table.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    # parquet ns → µs UTC: Spark TimestampType is µs and the Python
+    # worker needs tz-aware datetimes (matches tables.load()'s ns→µs
+    # truncation on the batch path)
+    import pyarrow as pa
+
+    ts_us = table["ts"].cast(pa.timestamp("us", tz="UTC"), safe=False)
+    table = table.set_column(
+        table.schema.get_field_index("ts"), "ts", ts_us
+    )
+    cols = [table[f.name] for f in EVENT_SCHEMA.fields]
+    return [
+        tuple(col[i].as_py() for col in cols) for i in range(table.num_rows)
+    ]
+
+
+class _ReplayStreamReader(SimpleDataSourceStreamReader):
+    """Row-range offsets over the sorted fixture: batch *i* covers rows
+    ``[i·ceil(n/batches), (i+1)·ceil(n/batches))``. Idempotent reads:
+    the same offset pair always yields the same rows."""
+
+    def __init__(self, options: dict) -> None:
+        self._rows = _load_sorted_rows(options)
+        self._n_batches = int(options.get("batches", DEFAULT_BATCHES))
+        self._per_batch = max(1, -(-len(self._rows) // self._n_batches))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["row"]
+        hi = min(len(self._rows), lo + self._per_batch)
+        return iter(self._rows[lo:hi]), {"row": hi}
+
+    def readBetweenOffsets(
+        self, start: dict, end: dict
+    ) -> Iterator[tuple]:
+        return iter(self._rows[start["row"] : end["row"]])
+
+
+class _ReplayBatchReader(DataSourceReader):
+    """Batch form of the same source (full replay as one DataFrame)."""
+
+    def __init__(self, options: dict) -> None:
+        self._options = options
+
+    def read(self, partition) -> Iterator[tuple]:
+        return iter(_load_sorted_rows(self._options))
+
+
+class _LiveReader(SimpleDataSourceStreamReader):
+    """Protocol stub for the live websocket mode (needs an ESS client
+    library; see module docstring). Cites the option surface of
+    ``/root/reference/ess_client.py:28-29,121-124``."""
+
+    def __init__(self, options: dict) -> None:
+        raise NotImplementedError(
+            "live ESS websocket mode requires a websocket client; "
+            "use mode='replay' (fixture replay) instead. Required "
+            "options for live mode: endpoint, service_id, event_type."
+        )
+
+
+class EventReplayDataSource(DataSource):
+    """``spark.readStream.format('event_replay')`` after
+    ``spark.dataSource.register(EventReplayDataSource)``.
+
+    Options: ``path`` (events parquet), ``batches`` (microbatch count,
+    default 10), ``event_type`` (source-side filter pushdown),
+    ``mode`` ('replay' | 'live').
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "event_replay"
+
+    def schema(self) -> StructType:
+        return EVENT_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType):
+        if self.options.get("mode", "replay") == "live":
+            return _LiveReader(self.options)
+        return _ReplayStreamReader(self.options)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _ReplayBatchReader(self.options)

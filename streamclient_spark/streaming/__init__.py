@@ -1,0 +1,47 @@
+"""Structured Streaming operators: lifecycle state, windows, sinks,
+and the end-to-end pipeline assembler (SURVEY.md §2A streaming form,
+§2B B-T*)."""
+
+from streamclient_spark.streaming.lifecycle import (
+    configure_state_store,
+    make_lifecycle_fn,
+    open_alerts_stream,
+    ttl_filter,
+)
+from streamclient_spark.streaming.pipeline import (
+    PipelineMetrics,
+    metagame_pipeline,
+    project_events,
+)
+from streamclient_spark.streaming.sinks import (
+    bus_sink_batch,
+    read_state_store,
+    to_wire,
+    upsert_state_batch,
+)
+from streamclient_spark.streaming.windows import (
+    dedup_stream,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+    with_watermark,
+)
+
+__all__ = [
+    "PipelineMetrics",
+    "bus_sink_batch",
+    "configure_state_store",
+    "dedup_stream",
+    "make_lifecycle_fn",
+    "metagame_pipeline",
+    "open_alerts_stream",
+    "project_events",
+    "read_state_store",
+    "session_windows",
+    "sliding_counts",
+    "to_wire",
+    "ttl_filter",
+    "tumbling_counts",
+    "upsert_state_batch",
+    "with_watermark",
+]
