@@ -1,0 +1,94 @@
+"""Batch scan operators beyond parquet: CSV and JSON (SURVEY.md §2B B-S2).
+
+The fixture set ships parquet only, so these builders first stage a
+deterministic CSV/JSON copy of the ``events`` table under ``/tmp`` (one
+time per scale factor, content derived from the parquet fixture) and
+then exercise the schema'd readers. Rows-only driver check (no SQL
+oracle — the staged file is the builder's artifact); the unit test pins
+round-trip equality against the parquet scan.
+
+Scale notes (100 TB): schema'd CSV/JSON reads are splittable line
+formats — fine for ingest, wrong for analytics storage (no column
+pruning, no predicate pushdown, no stats). The engine's posture is:
+read them once, write parquet (see ``q_scan_events`` for the scan that
+everything else builds on). ``PERMISSIVE`` mode with a corrupt-record
+column is the ingest-grade failure posture.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from streamclient_spark.plans.registry import register
+from streamclient_spark.tables import load
+
+CSV_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_STAGE_ROOT = "/tmp/streamclient_spark_staged"
+
+
+def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write the events table once per (sf, format) as CSV/JSON lines."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"{_STAGE_ROOT}/{tag}/events_{fmt}"
+    marker = f"{out}/_SUCCESS"
+    if not os.path.exists(marker):
+        df = load(spark, sf_dir, "events")
+        writer = df.coalesce(1).write.mode("overwrite")
+        writer = writer.option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        )
+        if fmt == "csv":
+            writer.option("header", "true").csv(out)
+        else:
+            writer.json(out)
+    return out
+
+
+@register("q_scan_csv", oracle=None)  # staged-file scan → rows-only check
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-S2: schema'd CSV read — explicit StructType (never infer on a
+    large corpus: inference is a full extra pass), permissive mode,
+    header, µs timestamps. Round-trip parity with the parquet scan is
+    pinned by ``tests/test_scans.py``."""
+    path = _stage(spark, sf_dir, "csv")
+    return (
+        spark.read.schema(CSV_SCHEMA)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+@register("q_scan_json", oracle=None)  # staged-file scan → rows-only check
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-S2: schema'd JSON-lines read — explicit schema (same
+    no-inference rule), with the nested ``props`` field kept as a raw
+    JSON string exactly as the parquet fixture stores it."""
+    path = _stage(spark, sf_dir, "json")
+    return (
+        spark.read.schema(CSV_SCHEMA)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(path)
+    )

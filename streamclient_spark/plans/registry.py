@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so the registry is fully populated."""
     import streamclient_spark.operators.reference  # noqa: F401
     import streamclient_spark.operators.relational  # noqa: F401
+    import streamclient_spark.operators.scans  # noqa: F401
     import streamclient_spark.operators.window  # noqa: F401
     import streamclient_spark.operators.scalar_fns  # noqa: F401
     import streamclient_spark.functions.dedup  # noqa: F401

@@ -1,0 +1,83 @@
+"""Physical-plan shape assertions (SURVEY.md §4, the 100 TB checklist):
+filters reach the parquet scan, projections prune columns, small dims
+broadcast, aggregates have a map-side partial, and hot paths stay in
+whole-stage codegen. These are the properties that decide behavior at
+1000× the test data, so they are pinned as tests, not hopes."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from streamclient_spark.plans.registry import load_all
+
+SPECS = load_all()
+
+
+def plan_of(spark, sf_oracle, name: str, mode: str = "formatted") -> str:
+    df = SPECS[name].builder(spark, sf_oracle)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "q_filter_type")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
+
+
+def test_column_pruning_in_read_schema(spark, sf_oracle):
+    # q_fn_string projects 4 of part's 6 columns; the scan must not
+    # read the rest
+    plan = plan_of(spark, sf_oracle, "q_fn_string")
+    assert "ReadSchema" in plan
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ][0]
+    assert "p_retailprice" not in read_schema
+    assert "p_size" not in read_schema
+
+
+def test_small_dim_join_is_broadcast(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q1_has_partial_aggregation(spark, sf_oracle):
+    # two-phase hash aggregate: partial before the shuffle, final after
+    plan = plan_of(spark, sf_oracle, "q_agg_tpch_q1")
+    assert "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_scan_filter_project_stays_in_codegen(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "q_filter_compound", mode="simple")
+    assert "*(" in plan  # WholeStageCodegen span marker
+
+
+def test_topk_per_group_limits_before_driver(spark, sf_oracle):
+    # window top-k must not collect: no CollectLimit over the full input
+    plan = plan_of(spark, sf_oracle, "q_topk_group")
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_state_open",
+        "q_agg_tpch_q1",
+        "q_dedup_exact",
+        "q_text_tokens",
+        "q_join_sortmerge",
+    ],
+)
+def test_no_python_row_udf_on_hot_paths(spark, sf_oracle, name):
+    # BatchEvalPython = row-at-a-time Python, banned on these paths
+    # (ArrowEvalPython / pandas UDFs are the sanctioned slow path and
+    # appear only in the q_udf_* / vector queries)
+    plan = plan_of(spark, sf_oracle, name)
+    assert "BatchEvalPython" not in plan
