@@ -131,6 +131,51 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_text_bpe — BPE-style pretokenizer counting (B-L4)
+# ---------------------------------------------------------------------------
+
+# GPT-2-family pretokenizer shape, restricted to the regex subset RE2
+# (DuckDB) and java.util.regex (Spark) implement identically: letter
+# runs, digit runs, and punctuation runs as separate tokens.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+@register(
+    "q_text_bpe",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {SQL_TOKENS.format(col="text")} AS ws_toks,
+             regexp_extract_all(text, '{BPE_PATTERN}') AS bpe_toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ws_toks) AS n_ws_tokens,
+           len(bpe_toks) AS n_bpe_tokens,
+           CAST(len(bpe_toks) AS DOUBLE) / len(ws_toks) AS expansion,
+           len(list_distinct(bpe_toks)) AS n_bpe_unique
+    FROM t
+    """,
+)
+def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L4: token counting with a BPE-style pretokenizer regex (letter
+    / digit / punctuation runs) next to the whitespace count — the
+    token-budget estimator of a pretraining pipeline. Pure projection;
+    the regex subset is chosen to behave identically under RE2 and Java
+    regex."""
+    d = load(spark, sf_dir, "documents")
+    ws = tokens("text")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        (F.size(bpe).cast("double") / F.size(ws)).alias("expansion"),
+        F.size(F.array_distinct(bpe)).alias("n_bpe_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_text_quality — quality scoring (B-L4)
 # ---------------------------------------------------------------------------
 

@@ -587,3 +587,65 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(n(hi.intersect(fin), "intersect"))
         .unionByName(n(hi.subtract(fin), "except"))  # EXCEPT (distinct) semantics
     )
+
+
+# ---------------------------------------------------------------------------
+# B-A1 extensions — pivot & exact percentile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A1 (pivot): status columns per priority via ``pivot`` with the
+    value set pinned — an *explicit* pivot list is mandatory at scale
+    (without it Spark runs an extra distinct pass over the pivot column
+    to discover values). Compiles to the same partial+final conditional
+    aggregation as the oracle's FILTER clauses."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A1 (exact percentile): continuous-interpolation quantiles per
+    group. Exact percentile holds the group's values in memory — right
+    for bounded groups like these; the unbounded-cardinality tool is
+    ``approx_percentile`` (t-digest), same call shape (cf.
+    ``q_agg_approx_cd`` for the sketch posture). Interpolation is one
+    IEEE lerp of two data values — engine-identical."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -286,3 +286,53 @@ def test_pipeline_end_to_end_matches_q_state_open(spark, sf_smoke, tmp_path):
     )
     got_ttl = {k: v for k, v in got.items() if v >= horizon_us}
     assert got_ttl == expected
+
+
+# ---------------------------------------------------------------------------
+# listener metrics (A17 service state + A14/A15 observed metrics)
+# ---------------------------------------------------------------------------
+
+
+def test_metrics_listener_tracks_query_lifecycle(spark, sf_smoke, tmp_path):
+    from pyspark.sql import functions as F2
+
+    from streamclient_spark.streaming import metrics as sm
+    from streamclient_spark.tables import load
+
+    listener = sm.attach(spark)
+    try:
+        src = str(tmp_path / "ev")
+        load(spark, sf_smoke, "events").limit(100).write.parquet(src)
+        stream = spark.readStream.schema(
+            load(spark, sf_smoke, "events").schema
+        ).parquet(src)
+        observed = stream.observe(
+            "m", F2.count(F2.lit(1)).alias("n"), F2.max("ts").alias("max_ts")
+        )
+        q = (
+            observed.writeStream.format("memory")
+            .queryName("metrics_probe")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            snap = {m.name: m for m in listener.snapshot().values()}
+            probe = snap.get("metrics_probe")
+            if (
+                probe is not None
+                and probe.state == "stopped"
+                and probe.input_rows >= 100
+            ):
+                break
+            time.sleep(0.5)
+        assert probe is not None
+        assert probe.state == "stopped"
+        assert probe.input_rows == 100
+        assert probe.observed["m"]["n"] == 100
+        assert listener.totals()["queries"] >= 1
+    finally:
+        spark.streams.removeListener(listener)
