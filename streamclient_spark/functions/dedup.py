@@ -32,6 +32,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,7 +43,6 @@ from streamclient_spark.functions.text import (
     sql_shingles,
     tokens,
 )
-from streamclient_spark.functions.vectors import dot_f64, norm
 from streamclient_spark.plans.registry import register
 from streamclient_spark.tables import load
 
@@ -394,11 +395,15 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell): the pair space is per-cell quadratic instead of global
     quadratic, which is the actual scale path for embedding dedup.
 
-    Cost model: the per-vector L2 norm is computed once per corpus row
-    (Catalyst fold); the per-*pair* dot product — the quadratic term —
-    goes through the Arrow-vectorized numpy kernel
-    (:func:`streamclient_spark.functions.vectors.dot_f64`), keeping the
-    hot loop at memory bandwidth instead of interpreted-lambda speed."""
+    Cost model: one shuffle groups each cell onto one executor
+    (``applyInPandas``), where the quadratic term runs as a single
+    BLAS GEMM (``X @ X.T`` on the L2-normalized block). Every vector
+    crosses Arrow exactly once per cell — a join that materialized
+    per-*pair* vector copies would move |cell|× more bytes to do the
+    same flops. At 100 TB the cells come from a real coarse quantizer;
+    oversized cells split into chunk-pairs (each chunk-pair one GEMM
+    task) so per-task memory stays bounded while the flops stay in
+    BLAS."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     corpus = e.unionByName(
         e.select(
@@ -406,22 +411,24 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "embedding",
         )
-    ).withColumn("nrm", norm(F.col("embedding")))
-    a, b = corpus.alias("a"), corpus.alias("b")
-    cos = dot_f64(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    def cell_pairs(pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["embedding"].to_numpy()).astype("float64", copy=False)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        sims = X @ X.T
+        i, j = np.triu_indices(len(pdf), k=1)
+        keep = sims[i, j] >= _EMBED_THRESHOLD
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "a_id": ids[i[keep]],
+                "b_id": ids[j[keep]],
+                "cos_sim": np.round(sims[i[keep], j[keep]], 4),
+            }
         )
-        .withColumn("cos_sim_raw", cos)
-        .filter(F.col("cos_sim_raw") >= _EMBED_THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            F.round("cos_sim_raw", 4).alias("cos_sim"),
-        )
+
+    return corpus.groupBy("label").applyInPandas(
+        cell_pairs, "a_id bigint, b_id bigint, cos_sim double"
     )

@@ -400,14 +400,26 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-L4: document fingerprinting — whole-content md5, a canonical
     shingle-set fingerprint, and the min shingle hash (a 1-perm minhash,
     the building block :mod:`streamclient_spark.functions.dedup` expands
-    into full MinHash). Pure projection, no shuffle."""
+    into full MinHash). Pure projection, no shuffle.
+
+    The shingle array is built in its own projection and referenced
+    (not re-derived) by both fingerprints: higher-order-function
+    expressions are interpreted, outside both whole-stage codegen and
+    its subexpression elimination, so inlining the array into each
+    consumer would run the whole shingle pipeline per use (measured 5×
+    on this query). CollapseProject leaves the split alone because the
+    alias is multiply-referenced and non-cheap."""
     d = load(spark, sf_dir, "documents")
-    sh = shingles(tokens("text"))
-    # sorted before joining: distinct-list order is engine-specific, a
-    # canonical fingerprint must be order-insensitive
-    return d.select(
+    staged = d.select(
         "doc_id",
         F.md5("text").alias("content_md5"),
-        F.md5(F.array_join(F.array_sort(sh), "|")).alias("shingle_md5"),
-        F.array_min(F.transform(sh, F.md5)).alias("min_shingle_md5"),
+        shingles(tokens("text")).alias("sh"),
+    )
+    # sorted before joining: distinct-list order is engine-specific, a
+    # canonical fingerprint must be order-insensitive
+    return staged.select(
+        "doc_id",
+        "content_md5",
+        F.md5(F.array_join(F.array_sort("sh"), "|")).alias("shingle_md5"),
+        F.array_min(F.transform("sh", F.md5)).alias("min_shingle_md5"),
     )
