@@ -1,7 +1,10 @@
 """Deduplication operators for LLM-data pipelines (SURVEY.md §2B B-L1/L2).
 
-Five dedup families, all composed from JVM-side builtins (no Python in
-any hot path):
+Five dedup families. The linear-cost paths (hashing, signatures, LSH
+banding) are JVM-side builtins; the two *quadratic* kernels (pairwise
+trigram intersection, pairwise cosine) run as single BLAS GEMMs behind
+``applyInPandas`` — per-pair work is exactly where interpreted
+expressions lose to vectorized numpy by an order of magnitude.
 
 - exact dedup by content hash (``q_dedup_exact``)
 - MinHash + LSH near-dup candidate generation with exact-Jaccard
@@ -34,7 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamclient_spark.functions.text import (
@@ -156,36 +159,82 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is deterministic (the md5 pipeline has no runtime
     randomness).
     """
-    # Both the band self-join and the two verification joins re-reference
-    # these intermediates, and Spark does not common-subexpression-
-    # eliminate across DataFrame branches — persist so shingling and
-    # signature computation run once, not 2-3×. At 100 TB the signature
-    # table would be materialized to storage anyway (it IS the dedup
-    # index); persist() is the in-session analog.
-    sets = _shingle_sets(spark, sf_dir).persist()
-    ex = sets.select("doc_id", F.explode("s").alias("shingle"))
-    h = ex.select("doc_id", hash32("shingle").alias("h"))
-    sigs = h.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(PERM_A[i]) * F.col("h") + PERM_B[i]) % MINHASH_P).alias(
-                f"s{i}"
-            )
-            for i in range(MINHASH_PERMS)
-        ]
-    )
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.concat_ws(
-                "_", *[f"s{j * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-            ).alias("key"),
+    return near_dup_pairs(spark, sf_dir)
+
+
+def _shingle_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup profile in ONE Arrow pass: distinct 5-gram
+    shingle set, 32 MinHash signature values, and the 16 LSH band keys
+    — ``(doc_id, s, band_keys)``.
+
+    Everything here is builtin-expressible (and the DuckDB oracle
+    expresses it that way), but Spark's higher-order-function
+    expressions are interpreted per element, outside whole-stage
+    codegen — the Catalyst formulation (shingle HOF → explode → md5 →
+    32-way min aggregate → band concat) measured ~9 s at sf0.1 where
+    this single ``mapInPandas`` projection takes ~1 s, and it also
+    deletes the signature shuffle entirely (the explode→groupBy
+    round-trip becomes a per-row loop that never leaves the
+    partition). Hash math is identical: hashlib md5 == Spark md5 ==
+    DuckDB md5, and the affine permutation mins are exact int64."""
+    import hashlib
+    import re
+
+    A = np.array(PERM_A, dtype=np.int64)[:, None]
+    B = np.array(PERM_B, dtype=np.int64)[:, None]
+    ws = re.compile(r"\s+")
+
+    def profiles(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in ws.split(text) if t]
+                if len(toks) >= 5:
+                    sh = list(
+                        {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+                    )
+                else:
+                    sh = [" ".join(toks)]
+                h = np.array(
+                    [
+                        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                        for s in sh
+                    ],
+                    dtype=np.int64,
+                )
+                sig = ((A * h[None, :] + B) % MINHASH_P).min(axis=1)
+                keys = [
+                    "_".join(
+                        str(sig[j * LSH_ROWS + r]) for r in range(LSH_ROWS)
+                    )
+                    for j in range(LSH_BANDS)
+                ]
+                out.append((doc_id, sh, keys))
+            yield pd.DataFrame(out, columns=["doc_id", "s", "band_keys"])
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            profiles,
+            "doc_id bigint, s array<string>, band_keys array<string>",
         )
-        for j in range(LSH_BANDS)
-    ]
-    bands = (
-        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
-        .select("doc_id", "bk.band", "bk.key")
-        .persist()
+    )
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs ``(a_id, b_id, jaccard)`` — the engine
+    API behind :func:`q_dedup_near`, reused as the edge list of
+    :func:`q_dedup_cluster`."""
+    # The band self-join and the two verification joins re-reference the
+    # profile table, and Spark does not common-subexpression-eliminate
+    # across DataFrame branches — persist so profiling runs once, not
+    # 3×. At 100 TB the profile table would be materialized to storage
+    # anyway (it IS the dedup index); persist() is the in-session
+    # analog.
+    sets = _shingle_profiles(spark, sf_dir).persist()
+    bands = sets.select(
+        "doc_id", F.posexplode("band_keys").alias("band", "key")
     )
 
     cand = (
@@ -211,6 +260,112 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(j >= _NEAR_THRESHOLD)
         .select("a_id", "b_id", F.round(j, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_cluster — connected components over the near-dup graph (B-L2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_SETS.strip().removeprefix("WITH")},
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM shingle_sets a JOIN shingle_sets b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= {_NEAR_THRESHOLD}
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, m) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (SELECT node AS doc_id, min(m) AS cluster_id
+             FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(doc_id = cluster_id AS INT) AS is_canonical
+    FROM comp
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L2: duplicate *clusters* — connected components over the
+    verified near-dup pair graph, with the minimum doc_id as the
+    cluster's canonical survivor. This is the step an actual dedup
+    pipeline runs after pair generation: A≈B and B≈C must collapse to
+    one kept document even when A≈C was never scored.
+
+    Components are computed by distributed min-label propagation:
+    every node starts as its own label, and each round takes the min of
+    its own and its neighbors' labels (one equi-join + partial-agg
+    min per round, ``localCheckpoint`` to cut lineage). Rounds =
+    graph diameter — near-dup components are tiny dense cliques, so
+    2-3 rounds in practice; the O(log n)-round alternating
+    large-star/small-star variant has the same per-round plan shape if
+    diameters ever grow. The driver-side loop is control flow only
+    (a convergence count per round) — all data stays distributed.
+
+    The oracle computes the same components by recursive transitive
+    closure, which is only viable because components are small — the
+    propagation formulation is the one that scales."""
+    # persist BEFORE the symmetric union: both union branches reference
+    # the pair subtree, which would otherwise run the whole LSH+verify
+    # pipeline twice
+    pairs = near_dup_pairs(spark, sf_dir).select("a_id", "b_id").persist()
+    edges = (
+        pairs.union(pairs.select(F.col("b_id"), F.col("a_id")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("cluster_id")).cast("int"),
+        )
     )
 
 
@@ -328,32 +483,48 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Capped at a fixed 500-document sample: all-pairs comparison is
     O(N²) by construction and exists as the exact ground-truth probe;
-    the corpus-scale path is ``q_dedup_near`` (LSH)."""
+    the corpus-scale path is ``q_dedup_near`` (LSH).
+
+    Execution: the probe gathers the sample into one ``applyInPandas``
+    task and computes every pairwise intersection size as a single
+    binary doc×trigram incidence GEMM (``X @ X.T``) — |union| then
+    follows from per-doc set sizes. A pairwise set-intersect join does
+    the same work as ~125k interpreted array operations (measured 20×
+    slower); counts stay < 2^24 so float32 accumulation is exact, and
+    the final jaccard is the same IEEE division of exact ints as the
+    oracle's."""
     d = load(spark, sf_dir, "documents").filter(
         (F.length("text") >= 3) & (F.col("doc_id") < 500)
     )
-    grams = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.length("text") - 3),
-                lambda i: F.col("text").substr(F.lit(1) + i, F.lit(3)),
-            )
-        ).alias("g"),
-    )
-    a, b = grams.alias("a"), grams.alias("b")
-    j = F.size(F.array_intersect("a.g", "b.g")).cast("double") / F.size(
-        F.array_union("a.g", "b.g")
-    )
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            j.alias("jaccard"),
+
+    def topk_pairs(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        gram_sets = [
+            {t[i : i + 3] for i in range(len(t) - 2)} for t in pdf["text"]
+        ]
+        vocab: dict[str, int] = {}
+        for gs in gram_sets:
+            for g in gs:
+                vocab.setdefault(g, len(vocab))
+        X = np.zeros((len(gram_sets), len(vocab)), dtype="float32")
+        for r, gs in enumerate(gram_sets):
+            X[r, [vocab[g] for g in gs]] = 1.0
+        inter = (X @ X.T).astype("int64")
+        sizes = inter.diagonal()
+        i, j = np.triu_indices(len(gram_sets), k=1)
+        jac = inter[i, j].astype("float64") / (sizes[i] + sizes[j] - inter[i, j])
+        ids = pdf["doc_id"].to_numpy()
+        order = np.lexsort((ids[j], ids[i], -jac))[:_TOPK_PAIRS]
+        return pd.DataFrame(
+            {"a_id": ids[i[order]], "b_id": ids[j[order]], "jaccard": jac[order]}
         )
-        .orderBy(F.desc("jaccard"), "a_id", "b_id")
-        .limit(_TOPK_PAIRS)
+
+    return (
+        d.select("doc_id", "text")
+        .groupBy(F.lit(1).alias("_probe"))
+        .applyInPandas(
+            topk_pairs, "a_id bigint, b_id bigint, jaccard double"
+        )
     )
 
 
