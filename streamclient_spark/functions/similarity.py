@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (SURVEY.md §2B B-L3).
 
-Two search paths over ``embeddings.embedding`` (``array<float>``,
+Three search paths over ``embeddings.embedding`` (``array<float>``,
 dim 64):
 
 - ``q_sim_topk``: brute-force cosine top-k — the exact baseline. Dot
@@ -12,6 +12,11 @@ dim 64):
   the pair space by ~2⁸ at the cost of recall (Charikar's SimHash for
   cosine). The hyperplanes are deterministic module constants so both
   engines (and every executor) agree without any fitted state.
+- ``q_sim_ivf``: inverted-file (IVF) ANN — a coarse quantizer of 16
+  deterministic centroids partitions the corpus into cells in one
+  shuffle-free projection (centroids ride along as literals, the Spark
+  analog of FAISS keeping the coarse codebook in RAM); queries probe
+  their ``NPROBE`` nearest cells and score exactly inside them.
 
 Scale notes (100 TB): brute force is a broadcast of the (small) query
 set against a full scan of the corpus — linear, embarrassingly
@@ -19,8 +24,15 @@ parallel, no shuffle except the final per-query top-k (tiny). The LSH
 variant turns the self-join into an equi-join on the bucket id, which
 shuffles each side once on a 256-value key; for real corpora you would
 widen to multi-probe (flip one bit) to recover recall — same plan
-shape. An IVF variant would replace the hash bucket with a learned
-centroid id; the join/topk skeleton is identical.
+shape. IVF replaces the hash bucket with a nearest-centroid cell id —
+data-adaptive cells give better recall per candidate than oblivious
+hyperplanes; the join/topk skeleton is identical, and at real scale the
+cell id doubles as the partition key for the materialized index (write
+the corpus bucketed by cell → probing prunes partitions instead of
+joining). Assignment cost is K cosines per row; at production K
+(thousands) that inner loop moves from Catalyst folds to one
+numpy/BLAS GEMM behind ``mapInPandas`` — the 16-centroid fixture keeps
+it JVM-side on purpose so the whole query stays in codegen.
 """
 
 from __future__ import annotations
@@ -38,6 +50,14 @@ EMBED_DIM = 64
 N_HYPERPLANES = 8
 TOP_K = 10
 N_QUERIES = 10  # query set = vec_id < 10
+
+# IVF coarse quantizer: the 16 vectors with these ids ARE the centroids
+# (deterministic "training" — no RNG, no fitted state, reproducible by
+# any engine from the data alone). Queries probe their NPROBE nearest
+# cells.
+K_CENTROIDS = 16
+CENTROID_MIN_ID = 100  # centroid ids: 100..115, disjoint from queries
+NPROBE = 4
 
 
 def _hyperplanes() -> list[list[int]]:
@@ -237,6 +257,193 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "bucket",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_ivf — inverted-file ANN with deterministic coarse quantizer (B-L3)
+# ---------------------------------------------------------------------------
+
+
+def _sql_centroids() -> str:
+    """DuckDB CTE for the coarse codebook: the K fixture vectors whose
+    ids are the deterministic centroid set."""
+    lo, hi = CENTROID_MIN_ID, CENTROID_MIN_ID + K_CENTROIDS - 1
+    return (
+        f"SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce "
+        f"FROM embeddings WHERE vec_id BETWEEN {lo} AND {hi}"
+    )
+
+
+def _centroid_literals(spark: SparkSession, sf_dir: str):
+    """Collect the K centroid vectors to the driver (the coarse codebook
+    is tiny by construction — this is the lookup-table analog of
+    broadcasting, but cheaper: the vectors become plan literals, so
+    assignment is a pure projection with no join and no shuffle).
+    Returns ``[(cid, vector, norm)]`` sorted by cid; the norm is a
+    sequential Python-float fold, same summation order as the engines'.
+    """
+    lo = CENTROID_MIN_ID
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + K_CENTROIDS)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: r.vec_id):
+        vec = [float(v) for v in r.embedding]
+        acc = 0.0
+        for v in vec:
+            acc += v * v
+        out.append((int(r.vec_id), vec, acc**0.5))
+    return out
+
+
+def _cell_structs(centroids, emb: Column, nrm: Column) -> list[Column]:
+    """One ``struct(cos, -cid)`` per centroid — struct ordering makes
+    max = (best cosine, tie → smallest cid), matching the oracle's
+    ``ORDER BY cos DESC, cid``."""
+    structs = []
+    for cid, vec, cnrm in centroids:
+        cos = dot_fold(
+            emb, F.array(*[F.lit(v) for v in vec])
+        ) / (nrm * F.lit(cnrm))
+        structs.append(
+            F.struct(cos.alias("c"), F.lit(-cid).alias("n"))
+        )
+    return structs
+
+
+@register(
+    "q_sim_ivf",
+    oracle=f"""
+    WITH c AS ({{centroids}}),
+    a AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS.format(a="e.embedding", b="c.ce")} DESC,
+                          c.cid) AS rn
+        FROM embeddings e CROSS JOIN c)
+      WHERE rn = 1
+    ),
+    p AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_COS.format(a="e.embedding", b="c.ce")} DESC,
+                          c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+        WHERE e.vec_id < {N_QUERIES})
+      WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.cell,
+             {_SQL_COS.format(a="p.qe", b="a.embedding")} AS cos_sim
+      FROM p JOIN a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cell, round(cos_sim, 6) AS cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    """.format(centroids=_sql_centroids()),
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L3 scale path 2: IVF — assign every vector to its nearest of
+    K=16 deterministic centroids (a single shuffle-free projection:
+    ``greatest`` over K literal-codebook cosines, all codegen), then
+    answer each query by probing its NPROBE=4 nearest cells and ranking
+    exact cosines inside them. Candidate set ≈ NPROBE/K of the corpus.
+    Assignment argmax is float-stable across engines: distinct-centroid
+    cosine gaps in the fixture are ≳1e-3 vs ~1e-15 cross-engine drift.
+    """
+    centroids = _centroid_literals(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    corpus = e.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.greatest(
+            *_cell_structs(centroids, F.col("embedding"), F.col("nrm"))
+        ).alias("best"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        (-F.col("best.n")).alias("cell"),
+    )
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.slice(
+                F.sort_array(
+                    F.array(
+                        *_cell_structs(centroids, F.col("embedding"), F.col("nrm"))
+                    ),
+                    asc=False,
+                ),
+                1,
+                NPROBE,
+            ).alias("top_cells"),
+        )
+        .select(
+            "query_id",
+            "qe",
+            "qnrm",
+            F.explode("top_cells").alias("tc"),
+        )
+        .select(
+            "query_id",
+            "qe",
+            "qnrm",
+            (-F.col("tc.n")).alias("probe_cell"),
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            corpus,
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            (
+                dot_f64(F.col("qe"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
             F.round("cos_sim", 6).alias("cos_sim"),
             "rank",
         )
