@@ -148,3 +148,158 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         _decode_and_featurize, schema=_FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_resize — decode → resize → re-encode stub (B-L5)
+# ---------------------------------------------------------------------------
+
+THUMB_W = 32
+THUMB_H = 32
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("thumb_md5", StringType()),
+        StructField("thumb_mean", DoubleType()),
+    ]
+)
+
+
+def _resize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched decode → nearest-neighbor resize → digest.
+
+    DECODE STUB: the payload bytes are interpreted as a row-major
+    ``height × width`` grayscale plane (tiled with ``np.resize`` when
+    the payload is shorter — deterministic), standing in for a codec
+    decode. The *resize kernel is real*: vectorized nearest-neighbor
+    index sampling to a 32×32 thumbnail, the same gather a PIL
+    ``Image.resize(..., NEAREST)`` performs. A production deployment
+    replaces only the two DECODE lines with the codec call.
+    """
+    import hashlib
+
+    import numpy as np
+
+    ys = (np.arange(THUMB_H)[:, None], np.arange(THUMB_W)[None, :])
+
+    def one(payload: bytes, w: int, h: int) -> tuple[str, float]:
+        img = np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w))  # DECODE
+        thumb = img[ys[0] * h // THUMB_H, ys[1] * w // THUMB_W]
+        return hashlib.md5(thumb.tobytes()).hexdigest(), float(thumb.mean())
+
+    for pdf in batches:
+        out = [
+            one(p, int(w), int(h))
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "out_w": THUMB_W,
+                "out_h": THUMB_H,
+                "thumb_md5": [o[0] for o in out],
+                "thumb_mean": [o[1] for o in out],
+            }
+        )
+
+
+@register("q_multimodal_resize", oracle=None)  # binary UDF path → rows-only
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L5: image resize over binary payloads — ``mapInPandas`` with a
+    stubbed decode and a real vectorized nearest-neighbor kernel; one
+    shuffle-free pass, payload bytes never leave their partition.
+    Correctness is pinned by a unit test against an independent
+    recomputation of the same gather."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id", "payload", F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    ).mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_frames — video frame sampling (B-L5)
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 128
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frame_bytes", LongType()),
+        StructField("frame_hex", StringType()),
+    ]
+)
+
+
+def _sample_frames(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """One row per sampled frame: the payload is a concatenation of
+    fixed-length encoded frames (the DECODE stub — a real container
+    format would parse frame boundaries instead); every
+    ``FRAME_STRIDE``-th frame is kept and emitted as hex. One row in →
+    many rows out through the same Arrow batch channel, the
+    ``mapInPandas`` form of a table function."""
+    for pdf in batches:
+        ids, idxs, lens, hexes = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = -(-len(b) // FRAME_BYTES)
+            for i in range(0, n_frames, FRAME_STRIDE):
+                frame = b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                ids.append(doc_id)
+                idxs.append(i)
+                lens.append(len(frame))
+                hexes.append(frame.hex().upper())
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "frame_idx": idxs,
+                "n_frame_bytes": lens,
+                "frame_hex": hexes,
+            }
+        )
+
+
+@register(
+    "q_multimodal_frames",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT doc_id,
+           unnest(range(0, CAST(ceil(nb / {FRAME_BYTES}.0) AS BIGINT),
+                        {FRAME_STRIDE})) AS frame_idx,
+           least({FRAME_BYTES},
+                 nb - unnest(range(0, CAST(ceil(nb / {FRAME_BYTES}.0)
+                                           AS BIGINT),
+                             {FRAME_STRIDE})) * {FRAME_BYTES})
+             AS n_frame_bytes,
+           substring(hx,
+                     unnest(range(0, CAST(ceil(nb / {FRAME_BYTES}.0)
+                                          AS BIGINT),
+                            {FRAME_STRIDE})) * {2 * FRAME_BYTES} + 1,
+                     {2 * FRAME_BYTES}) AS frame_hex
+    FROM d
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L5: frame sampling from video-like binary payloads — fixed
+    128-byte frames, every 2nd kept. The set-returning decode runs as
+    ``mapInPandas`` (Arrow in/out, shuffle-free); the DuckDB oracle
+    recomputes the identical byte slices via hex-string arithmetic, so
+    this UDF path is value-hash-checked, not just rows-only."""
+    m = media_table(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(
+        _sample_frames, schema=_FRAME_SCHEMA
+    )

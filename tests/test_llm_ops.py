@@ -116,3 +116,39 @@ def test_sim_ivf_cells_and_recall(spark, sf_oracle):
         len(exact[q] & got.get(q, set())) for q in exact
     ) / sum(len(v) for v in exact.values())
     assert recall >= 0.3, recall
+
+
+def test_multimodal_resize_matches_independent_gather(spark, sf_oracle):
+    """The resize kernel must equal an independently coded nearest-
+    neighbor gather over the same stubbed decode (tile to h×w, sample
+    floor-scaled indices)."""
+    import hashlib
+
+    import numpy as np
+
+    from streamclient_spark.functions.multimodal import (
+        THUMB_H,
+        THUMB_W,
+        q_multimodal_resize,
+    )
+
+    got = {
+        r["doc_id"]: r for r in q_multimodal_resize(spark, sf_oracle).collect()
+    }
+    table = pq.read_table(f"{sf_oracle}/documents.parquet").to_pylist()
+    assert len(got) == len(table)
+    for row in table[:40]:
+        doc_id = row["doc_id"]
+        w = 64 + (doc_id % 7) * 32
+        h = 64 + (doc_id % 5) * 32
+        img = np.resize(
+            np.frombuffer(row["text"].encode("utf-8"), dtype=np.uint8), (h, w)
+        )
+        thumb = np.empty((THUMB_H, THUMB_W), dtype=np.uint8)
+        for i in range(THUMB_H):
+            for j in range(THUMB_W):
+                thumb[i, j] = img[i * h // THUMB_H, j * w // THUMB_W]
+        r = got[doc_id]
+        assert r["out_w"] == THUMB_W and r["out_h"] == THUMB_H
+        assert r["thumb_md5"] == hashlib.md5(thumb.tobytes()).hexdigest()
+        assert abs(r["thumb_mean"] - thumb.mean()) < 1e-9
