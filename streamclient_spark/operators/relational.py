@@ -649,3 +649,101 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B-A4b — CUBE (all grouping-set combinations)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT l_linestatus, EXTRACT(year FROM l_shipdate) AS ship_year,
+           GROUPING(l_linestatus, EXTRACT(year FROM l_shipdate)) AS gid,
+           {sql_dec_sum('l_extendedprice')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_linestatus, EXTRACT(year FROM l_shipdate))
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A4: full cube over (status, ship-year) — all four grouping
+    sets in one expanded aggregate (Expand multiplies each input row by
+    the number of sets, partial-aggregates map-side, shuffles once).
+    At scale prefer rollup when the lattice isn't needed: cube's
+    expansion factor is 2^k in the number of cube columns."""
+    l = load(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("bigint")
+    )
+    return (
+        l.cube("l_linestatus", "ship_year")
+        .agg(
+            F.grouping_id().alias("gid"),
+            dec_sum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_linestatus", "ship_year", "gid", "revenue", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-J8 — correlated subqueries (scalar + EXISTS), Catalyst-decorrelated
+# ---------------------------------------------------------------------------
+
+_SQ_SCALAR = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM {orders} o
+    WHERE o_totalprice > 2 * (
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*)
+        FROM {orders} o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+_SQ_EXISTS = """
+    SELECT c_custkey, c_name
+    FROM {customer} c
+    WHERE EXISTS (
+        SELECT 1 FROM {orders} o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM {orders} o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+"""
+
+
+@register(
+    "q_subquery_scalar",
+    oracle=_SQ_SCALAR.format(orders="orders"),
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J8: correlated scalar subquery — orders above 2× their
+    customer's running average. One SQL text serves both engines; the
+    subquery's mean uses the exact-decimal convention so the comparison
+    boundary cannot drift between engines. Catalyst decorrelates this
+    into an aggregate + equi-join (no per-row re-execution); the join
+    shuffles on o_custkey once, and AQE picks broadcast when the
+    aggregated side is small."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(_SQ_SCALAR.format(orders="_sq_orders"))
+
+
+@register(
+    "q_exists",
+    oracle=_SQ_EXISTS.format(customer="customer", orders="orders"),
+)
+def q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J8: correlated EXISTS / NOT EXISTS — customers with a finished
+    order and no order over 400k. Catalyst rewrites the pair into a
+    left-semi plus a left-anti join on c_custkey (same physical shape
+    as q_join_semi/q_join_anti — the subquery surface is sugar over
+    them, and the 100 TB notes there apply unchanged)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        _SQ_EXISTS.format(customer="_sq_customer", orders="_sq_orders")
+    )

@@ -81,3 +81,33 @@ def test_no_python_row_udf_on_hot_paths(spark, sf_oracle, name):
     # appear only in the q_udf_* / vector queries)
     plan = plan_of(spark, sf_oracle, name)
     assert "BatchEvalPython" not in plan
+
+
+def test_exists_decorrelates_to_semi_and_anti_join(spark, sf_oracle):
+    # EXISTS / NOT EXISTS must execute as one semi + one anti join,
+    # never a per-row subquery re-execution
+    plan = plan_of(spark, sf_oracle, "q_exists")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark, sf_oracle):
+    # the correlated scalar subquery becomes aggregate + equi-join
+    plan = plan_of(spark, sf_oracle, "q_subquery_scalar")
+    assert "HashAggregate" in plan
+    assert "Join" in plan
+
+
+def test_cube_is_single_expand_aggregate(spark, sf_oracle):
+    # CUBE executes as one Expand + two-phase aggregate, not 4 passes
+    plan = plan_of(spark, sf_oracle, "q_agg_cube")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_assignment_is_shuffle_free_projection(spark, sf_oracle):
+    # centroid assignment must not join or shuffle; the only exchanges
+    # are the broadcast of probes and the final per-query top-k window
+    plan = plan_of(spark, sf_oracle, "q_sim_ivf", mode="simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # the window only
