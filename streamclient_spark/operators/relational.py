@@ -747,3 +747,133 @@ def q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _SQ_EXISTS.format(customer="_sq_customer", orders="_sq_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship multi-join pipelines (TPC-H Q3 / Q5 shapes)
+# ---------------------------------------------------------------------------
+
+_DISC_PRICE_SQL = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(12,2))))"
+)
+
+
+@register(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST({_DISC_PRICE_SQL} AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: shipping-priority — a selective dim filter
+    (1/5 of customers), two fact joins, aggregate, global top-10.
+
+    100 TB plan: customer-after-filter broadcasts into orders (no
+    shuffle of the fact), the orders⋈lineitem join shuffles both sides
+    on orderkey once (or zero times if both facts are bucketed by
+    orderkey — the layout this engine would pick for a standing
+    pipeline), the date filters push to the scans, and the top-10 is a
+    TakeOrderedAndProject — per-partition heaps, never a full sort.
+    Revenue is exact-decimal per the engine convention; the limit
+    carries a unique tie-break (l_orderkey) so the selected set is
+    deterministic."""
+    from streamclient_spark.compat import dec2
+
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    disc_price = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        l.join(
+            F.broadcast(c).join(
+                o, F.col("c_custkey") == F.col("o_custkey")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n_name, CAST({_DISC_PRICE_SQL} AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue by nation — a six-table
+    join with a region→nation reduction and the customer-nation =
+    supplier-nation colocation predicate.
+
+    100 TB plan: region⋈nation collapses to a tiny broadcast (≤25
+    rows) that prunes suppliers/customers before any fact shuffles;
+    supplier and customer broadcast into the facts; only
+    orders⋈lineitem moves real bytes — one orderkey shuffle, again
+    zero with orderkey bucketing. Catalyst is free to reorder the
+    dimension joins (declarative plan, no hand scheduling); the final
+    aggregate is 5 groups, map-side combined to nothing."""
+    from streamclient_spark.compat import dec2
+
+    n = (
+        load(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )

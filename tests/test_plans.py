@@ -111,3 +111,19 @@ def test_ivf_assignment_is_shuffle_free_projection(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "q_sim_ivf", mode="simple")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1  # the window only
+
+
+def test_tpch_q3_topk_never_full_sorts(spark, sf_oracle):
+    # global top-10 must be TakeOrderedAndProject (per-partition heaps),
+    # and the filtered customer dim must broadcast
+    plan = plan_of(spark, sf_oracle, "q_tpch_q3", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q5_only_fact_fact_join_shuffles(spark, sf_oracle):
+    # all four dimension joins broadcast; only orders join lineitem may
+    # exchange on a hash partitioning
+    plan = plan_of(spark, sf_oracle, "q_tpch_q5", mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("Exchange hashpartitioning") <= 3  # l, o, final agg
