@@ -1,0 +1,136 @@
+"""Scale utilities: the physical-layout levers the 100 TB design notes
+rely on (SURVEY.md §7 Milestone 5; per-query docstrings in
+:mod:`streamclient_spark.operators.relational`).
+
+Three levers, each with a test that *proves the plan property* rather
+than asserting it in prose:
+
+- **Bucketed co-located joins** (:func:`write_bucketed`): persist both
+  fact tables bucketed + sorted by the join key; an equi-join on that
+  key then runs with ZERO Exchange — the shuffle happened once at write
+  time and is amortized over every subsequent join. This is the
+  standing-pipeline layout for orders⋈lineitem at 100 TB (the
+  alternative — shuffling ~100 TB per query — is the single largest
+  avoidable cost in the whole engine).
+- **Salted joins** (:func:`salted_join`): a skewed equi-join key (one
+  hot key holding a double-digit percent of rows) caps at the hot
+  partition's size. Salting splits each hot key into ``n_salts``
+  sub-keys: the big side gets a deterministic per-row salt, the small
+  side is replicated once per salt, and the join key becomes
+  ``(key, salt)`` — the hot partition shrinks ``n_salts``-fold at the
+  cost of replicating the small side. AQE's skew-join splitting
+  (enabled in :mod:`streamclient_spark.session`) handles moderate skew
+  automatically; explicit salting is for the pathological tail and for
+  engines/stores where AQE cannot reach (streaming state).
+- **Salted two-phase aggregation** (:func:`salted_agg_sum`): the same
+  trick for ``groupBy(key).sum()`` with a hot group: partial-aggregate
+  on ``(key, salt)`` first (map-side combine still applies), then
+  re-aggregate on ``key``. Two small shuffles instead of one skewed
+  one. Only reassociative measures qualify (sum/count/min/max — not
+  exact percentile).
+
+The salt must be DETERMINISTIC (derived from stable columns, not
+``rand()``): retried tasks must salt identically or a shuffle retry
+double-counts rows. We use ``pmod(xxhash64(cols...), n)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    *,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed and sorted by ``key`` as a managed
+    (or, with ``path``, external) table. Join/aggregate on ``key``
+    across tables bucketed with the SAME bucket count then requires no
+    Exchange and no Sort — the scan itself reports the partitioning to
+    Catalyst. Bucket count is a layout contract: pick it once per
+    subject area (facts sharing join keys share the count).
+
+    The pre-write ``repartition(n_buckets, key)`` uses the same
+    Murmur3 hash as the bucket assignment, so every bucket lands in
+    exactly one task → one file per bucket (no small-file tail).
+    Note: modern Spark still inserts a partition-local Sort before a
+    merge join on bucketed reads (sort-order propagation is legacy-
+    gated); the Exchange — the cost that matters at 100 TB — is gone."""
+    df = df.repartition(n_buckets, F.col(key))
+    w = df.write.format("parquet").mode("overwrite")
+    if path is not None:
+        w = w.option("path", path)
+    w.bucketBy(n_buckets, key).sortBy(key).saveAsTable(table)
+
+
+def salt(n_salts: int, *cols: Column | str) -> Column:
+    """Deterministic salt in ``[0, n_salts)`` from stable columns —
+    xxhash64 so the salt distributes uniformly and reruns/retries agree
+    bit-for-bit (``rand()`` here would corrupt shuffle retries)."""
+    return F.pmod(F.xxhash64(*[F.col(c) if isinstance(c, str) else c for c in cols]), F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    n_salts: int,
+    salt_from: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to a skewed ``key`` on ``big``: the big side
+    gets a deterministic per-row salt, the small side replicates
+    ``n_salts``× via a literal-range explode, and the join runs on
+    ``(key, salt)``. Output equals ``big.join(small, key, how)``
+    row-for-row; the skewed partition is split ``n_salts`` ways.
+
+    ``salt_from`` defaults to every big-side column except the key —
+    any stable per-row identity works; more columns → finer spread."""
+    cols = salt_from or [c for c in big.columns if c != key]
+    b = big.withColumn(SALT_COL, salt(n_salts, *cols))
+    s = small.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn(SALT_COL, F.col(SALT_COL).cast("int"))
+    out = b.join(s, on=[key, SALT_COL], how=how)
+    return out.drop(SALT_COL)
+
+
+def salted_agg_sum(
+    df: DataFrame,
+    key: str,
+    measures: dict[str, str],
+    *,
+    n_salts: int,
+    salt_from: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation: ``groupBy(key, salt).sum``
+    then ``groupBy(key).sum``. ``measures`` maps input column → output
+    alias; sums stay in Spark's exact decimal/long space when the input
+    column already is one (callers wanting the engine's float-parity
+    convention pass decimal columns in)."""
+    cols = salt_from or [c for c in df.columns if c != key]
+    phase1 = (
+        df.withColumn(SALT_COL, salt(n_salts, *cols))
+        .groupBy(key, SALT_COL)
+        .agg(*[F.sum(c).alias(a) for c, a in measures.items()])
+    )
+    return phase1.groupBy(key).agg(
+        *[F.sum(a).alias(a) for a in measures.values()]
+    )
+
+
+def bucketed_session(spark: SparkSession) -> SparkSession:
+    """Confs that make bucketed reads effective: bucketing on, and no
+    automatic bucket-count rescaling that would silently reintroduce a
+    shuffle."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    return spark
