@@ -23,6 +23,7 @@ from streamclient_spark.streaming import (
     read_state_store,
     session_windows,
     tumbling_counts,
+    with_watermark,
 )
 
 UTC = timezone.utc
@@ -336,3 +337,74 @@ def test_metrics_listener_tracks_query_lifecycle(spark, sf_smoke, tmp_path):
         assert listener.totals()["queries"] >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_watermark_drops_late_data_from_windowed_agg(spark, tmp_path):
+    """B-T3 semantics, pinned: with a 10-minute watermark, an event
+    arriving a batch later but 48 minutes behind the observed max
+    event time must NOT be counted into its (already provisioned)
+    window, and append mode must emit the window only once its end is
+    behind the watermark. Two deterministic microbatches via
+    maxFilesPerTrigger=1 over files with forced distinct mtimes."""
+    import os
+
+    from datetime import timedelta
+
+    src = tmp_path / "late"
+    src.mkdir()
+    schema = "k string, ts timestamp"
+
+    def _m(minute: int) -> datetime:
+        return _ts(0) + timedelta(minutes=minute)
+
+    def write_file(name: str, rows, mtime: int):
+        p = src / name
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(p)
+        )
+        for f in p.rglob("*"):
+            os.utime(f, (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: two rows in window [00:00, 00:05) and one at 01:00 that
+    # advances the watermark to 00:50
+    write_file(
+        "f1",
+        [("a", _m(0)), ("a", _m(1)), ("w", _m(60))],
+        1_700_000_000,
+    )
+    # batch 2: a fresh row — needed because Spark filters late records
+    # with the PREVIOUS batch's watermark (it lags one batch); this
+    # batch both emits the closed first window (eviction watermark
+    # 00:50 > window end) and arms 00:50 as the filtering watermark
+    write_file("f2", [("w", _m(61))], 1_700_000_100)
+    # batch 3: the late row — 00:02 is 49 min behind the armed
+    # watermark → dropped at ingest; were it admitted, append mode
+    # would re-emit the already-closed window as a spurious extra row
+    write_file("f3", [("late", _m(2))], 1_700_000_200)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    windowed = tumbling_counts(
+        with_watermark(stream, ts_col="ts", delay="10 minutes"),
+        ts_col="ts",
+        width="5 minutes",
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT win_start, n_events FROM late_out ORDER BY win_start"
+    ).collect()
+    # exactly the first window emitted, with 2 events — 3 would mean
+    # the late row leaked past the watermark
+    assert len(rows) == 1, rows
+    assert rows[0]["n_events"] == 2
