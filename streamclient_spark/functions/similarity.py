@@ -363,32 +363,52 @@ def _cell_structs(centroids, emb: Column, nrm: Column) -> list[Column]:
 )
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-L3 scale path 2: IVF — assign every vector to its nearest of
-    K=16 deterministic centroids (a single shuffle-free projection:
-    ``greatest`` over K literal-codebook cosines, all codegen), then
-    answer each query by probing its NPROBE=4 nearest cells and ranking
-    exact cosines inside them. Candidate set ≈ NPROBE/K of the corpus.
+    K=16 deterministic centroids, then answer each query by probing its
+    NPROBE=4 nearest cells and ranking exact cosines inside them.
+    Candidate set ≈ NPROBE/K of the corpus.
+
+    Corpus assignment runs as ONE Arrow-batched GEMM per partition
+    (``mapInPandas``; the codebook travels inside the closure) — the
+    production shape for real codebooks (K in the thousands), and ~4×
+    faster than the pure-Catalyst ``greatest``-over-K-folds variant
+    already at K=16 (HOF lambdas are interpreted per element). The
+    10-row probe side stays JVM-side. Shuffle-free either way.
     Assignment argmax is float-stable across engines: distinct-centroid
-    cosine gaps in the fixture are ≳1e-3 vs ~1e-15 cross-engine drift.
+    cosine gaps in the fixture are ≳1e-3 vs ~1e-15 numpy-vs-SQL drift,
+    and numpy's first-max tie rule equals the oracle's (cos DESC, cid
+    ASC) because the codebook rows are ordered by cid.
     """
+    import numpy as np
+    import pandas as pd
+
     centroids = _centroid_literals(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings").withColumn(
-        "nrm", norm(F.col("embedding"))
+    cids = np.array([c[0] for c in centroids], dtype=np.int64)
+    Cn = np.stack(
+        [np.asarray(vec, dtype=np.float64) / cnrm for _, vec, cnrm in centroids]
     )
-    corpus = e.select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        F.greatest(
-            *_cell_structs(centroids, F.col("embedding"), F.col("nrm"))
-        ).alias("best"),
-    ).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        (-F.col("best.n")).alias("cell"),
+
+    def assign(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
+            cos = (E @ Cn.T) / nrm[:, None]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "nrm": nrm,
+                    "cell": cids[np.argmax(cos, axis=1)],
+                }
+            )
+
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding").mapInPandas(
+        assign,
+        "vec_id bigint, embedding array<float>, nrm double, cell bigint",
     )
     probes = (
-        e.filter(F.col("vec_id") < N_QUERIES)
+        e.withColumn("nrm", norm(F.col("embedding")))
+        .filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
