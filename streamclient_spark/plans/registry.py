@@ -57,8 +57,45 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Bui
     return deco
 
 
+# Attestation priority: the driver's differential harness checks the first
+# 50 registry entries in insertion order.  Round 1 attested the first 50 in
+# import order, which left the 23 LLM-pipeline queries (dedup / similarity /
+# text / multimodal / UDF surface / q_fn_json) without a driver-verified row.
+# This list pins the round-2 window: the previously-unattested 23 first, then
+# this round's modified queries, then the reference surface and the heaviest
+# relational shapes.  Queries past the window keep their round-1 attestation.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # 23 queries with no driver row in CORRECTNESS_r01 (VERDICT.md)
+    "q_dedup_exact", "q_dedup_near", "q_dedup_cluster", "q_dedup_simhash",
+    "q_dedup_jaccard", "q_dedup_embed",
+    "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
+    "q_text_tokens", "q_text_tfidf", "q_text_bpe", "q_text_quality",
+    "q_text_langid", "q_text_fingerprint",
+    "q_multimodal_meta", "q_multimodal_features", "q_multimodal_resize",
+    "q_multimodal_frames",
+    "q_udf_scalar", "q_udaf_grouped", "q_udtf_explode",
+    "q_fn_json",
+    # modified this round (broadcast-hint removal) — re-attest
+    "q_join_range", "q_tpch_q5",
+    # reference surface (SURVEY §2A)
+    "q_scan_events", "q_filter_type", "q_derive_key", "q_project_rename",
+    "q_to_json", "q_point_lookup", "q_filter_limit", "q_count_where",
+    "q_anti_filter", "q_ttl_filter", "q_state_open", "q_metric_total",
+    "q_metric_last_ts",
+    # heaviest relational / window shapes
+    "q_agg_tpch_q1", "q_tpch_q3", "q_agg_cube", "q_agg_rollup",
+    "q_win_rank", "q_win_frame", "q_win_tumbling", "q_win_session",
+    "q_join_asof", "q_topk_group", "q_agg_percentile", "q_subquery_scalar",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every operator module so the registry is fully populated."""
+    """Import every operator module so the registry is fully populated.
+
+    The returned dict is ordered so that :data:`DRIVER_PRIORITY` names come
+    first (the driver's correctness harness checks the first 50 entries);
+    everything else follows in registration order.
+    """
     import streamclient_spark.operators.reference  # noqa: F401
     import streamclient_spark.operators.relational  # noqa: F401
     import streamclient_spark.operators.scans  # noqa: F401
@@ -70,4 +107,11 @@ def load_all() -> dict[str, QuerySpec]:
     import streamclient_spark.functions.multimodal  # noqa: F401
     import streamclient_spark.operators.udf_surface  # noqa: F401
 
-    return REGISTRY
+    ordered: dict[str, QuerySpec] = {}
+    for name in DRIVER_PRIORITY:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
