@@ -240,13 +240,16 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-J5: theta join = equi key + range residual. The equi conjunct
-    keeps it a hash/broadcast join; the BETWEEN is evaluated as a
-    post-join residual — the scalable shape for banded joins (a pure
-    cross+range join would be quadratic)."""
+    keeps it a hash join (never a quadratic cross+range join); the
+    BETWEEN is evaluated as a post-join residual, which survives any
+    join strategy. No broadcast hint: ``part`` is fact-scaled (sf×200k
+    rows — hundreds of GB at the 100 TB design point), so the join
+    shuffles on ``partkey`` at scale while Catalyst/AQE remain free to
+    broadcast it when its measured size is genuinely small."""
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     return l.join(
-        F.broadcast(p),
+        p,
         (l.l_partkey == p.p_partkey)
         & l.l_quantity.between(p.p_size - 5, p.p_size + 5),
     ).select("l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity")
@@ -836,12 +839,15 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier-nation colocation predicate.
 
     100 TB plan: region⋈nation collapses to a tiny broadcast (≤25
-    rows) that prunes suppliers/customers before any fact shuffles;
-    supplier and customer broadcast into the facts; only
-    orders⋈lineitem moves real bytes — one orderkey shuffle, again
-    zero with orderkey bucketing. Catalyst is free to reorder the
-    dimension joins (declarative plan, no hand scheduling); the final
-    aggregate is 5 groups, map-side combined to nothing."""
+    rows, fixed size at every SF — the only hinted broadcast) that
+    prunes suppliers before any fact shuffle. Supplier and customer
+    are FACT-SCALED (sf×10k / sf×150k rows — hundreds of GB at the
+    100 TB design point), so they carry no broadcast hint: their joins
+    shuffle on suppkey/custkey at scale, and Catalyst/AQE upgrade them
+    to broadcast only when the measured size is genuinely under the
+    threshold. Catalyst is free to reorder the joins (declarative
+    plan, no hand scheduling); the final aggregate is 5 groups,
+    map-side combined to nothing."""
     from streamclient_spark.compat import dec2
 
     n = (
@@ -868,9 +874,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = dec2("l_extendedprice") * (1 - dec2("l_discount"))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(c),
+            c,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

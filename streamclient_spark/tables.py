@@ -28,11 +28,13 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimension tables that should always be broadcast in joins.
-# At any realistic scale region/nation are KBs; customer/supplier/part
-# stay broadcastable into the tens-of-GB fact range (they grow ~100×
-# slower than lineitem in TPC-H-style scaling).
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Tables that are safe to broadcast-hint unconditionally: fixed-size
+# at every scale factor (region = 5 rows, nation = 25 rows).  Everything
+# else — including customer/supplier/part — grows linearly with SF and
+# must NOT carry a hard broadcast hint: at the 100 TB design point they
+# are hundreds of GB and a forced broadcast would OOM every executor.
+# Size-based upgrades are left to Catalyst/AQE.
+BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -121,9 +121,36 @@ def test_tpch_q3_topk_never_full_sorts(spark, sf_oracle):
     assert "BroadcastHashJoin" in plan
 
 
-def test_tpch_q5_only_fact_fact_join_shuffles(spark, sf_oracle):
-    # all four dimension joins broadcast; only orders join lineitem may
-    # exchange on a hash partitioning
+def test_tpch_q5_customer_supplier_join_not_hint_forced(spark, sf_oracle):
+    # customer/supplier are fact-scaled: their joins must NOT be forced
+    # to broadcast by a hint. With auto-broadcast disabled, the only
+    # broadcasts left are the explicitly-hinted fixed-size dims
+    # (region→nation, nation→supplier); customer and the fact-fact join
+    # fall back to shuffle joins — proving any broadcast seen under
+    # default confs is a size-based Catalyst/AQE choice, not a hint.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, sf_oracle, "q_tpch_q5", mode="simple")
+        assert "SortMergeJoin" in plan
+        assert plan.count("BroadcastHashJoin") <= 2  # region, nation only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # under default confs Catalyst remains free to broadcast small sides
     plan = plan_of(spark, sf_oracle, "q_tpch_q5", mode="simple")
-    assert plan.count("BroadcastHashJoin") >= 3
-    assert plan.count("Exchange hashpartitioning") <= 3  # l, o, final agg
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_equi_hash_join_not_hint_forced(spark, sf_oracle):
+    # q_join_range must stay an equi hash join on partkey with the
+    # BETWEEN as residual — never a nested-loop — and must not carry a
+    # broadcast hint on the fact-scaled part table.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, sf_oracle, "q_join_range", mode="simple")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
