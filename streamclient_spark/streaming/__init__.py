@@ -15,6 +15,8 @@ from streamclient_spark.streaming.pipeline import (
 )
 from streamclient_spark.streaming.sinks import (
     bus_sink_batch,
+    collecting_publisher_factory,
+    read_published,
     read_state_store,
     to_wire,
     upsert_state_batch,
@@ -30,7 +32,9 @@ from streamclient_spark.streaming.windows import (
 __all__ = [
     "PipelineMetrics",
     "bus_sink_batch",
+    "collecting_publisher_factory",
     "configure_state_store",
+    "read_published",
     "dedup_stream",
     "make_lifecycle_fn",
     "metagame_pipeline",

@@ -28,7 +28,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from streamclient_spark.streaming.lifecycle import open_alerts_stream
 from streamclient_spark.streaming.sinks import (
-    Publisher,
+    PublisherFactory,
     bus_sink_batch,
     upsert_state_batch,
 )
@@ -76,7 +76,7 @@ class PipelineMetrics:
 def metagame_pipeline(
     events: DataFrame,
     *,
-    publish: Publisher,
+    make_publisher: PublisherFactory,
     state_path: str,
     checkpoint: str,
     open_state: str = "signup",
@@ -88,13 +88,15 @@ def metagame_pipeline(
     One ``foreachBatch`` performs both sinks against the *same*
     microbatch (the reference does both in one handler, sequentially
     per event; here it is sequentially per batch with bulk calls).
+    ``make_publisher`` is invoked per partition task on the executors —
+    the bus path never funnels through the driver.
     """
     projected = project_events(events).observe(
         "pipeline_metrics",
         F.count(F.lit(1)).alias("n"),
         F.max("ts").alias("max_ts"),
     )
-    bus = bus_sink_batch(publish)
+    bus = bus_sink_batch(make_publisher)
     upsert = upsert_state_batch(state_path)
     m = metrics
 

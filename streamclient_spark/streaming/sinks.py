@@ -9,34 +9,47 @@ offsets:
 
 - bus sink: at-least-once (batch may be re-published on retry after a
   crash; consumers dedupe on the event key)
-- state sink: effectively-once (keyed upsert is idempotent, so retried
-  batches converge)
+- state sink: effectively-once (keyed upsert is idempotent and
+  last-writer-deterministic, so retried batches converge)
 
 which is strictly stronger than the reference's at-most-once posture
 (SURVEY.md §4.2).
 
-Scale notes: the bus publisher receives one serialized payload batch
-per partition-task; the canonical production sink is
-``writeStream.format('kafka')`` (same shape, broker-side batching).
-The state store here is a parquet merge-rewrite keyed table — the
-fixture-scale stand-in for ``MERGE INTO`` on a transactional table
-(Delta/Iceberg), which is the 100 TB path; the call signature is the
-contract, the storage swap is one function.
+Scale notes:
+
+- The bus publisher runs **per partition task on the executors**
+  (``foreachPartition``): each task builds its own producer via the
+  injected factory and publishes its partition's payloads — the
+  standard producer-per-task shape of the Kafka sink. Nothing flows
+  through the driver, so driver memory and the driver NIC are not a
+  throughput ceiling. The canonical production sink is
+  ``writeStream.format('kafka')`` (same shape, broker-side batching).
+- The state store is a **hash-bucketed keyed parquet table**
+  (``bucket=pmod(xxhash64(key), n)``). Each microbatch rewrites *only
+  the buckets its keys hash into* — O(|batch| + touched store
+  fraction) I/O, not O(|store|) — and each bucket swap is an atomic
+  directory rename. At 100 TB the function body becomes ``MERGE INTO``
+  on a transactional table (Delta/Iceberg) with the same call
+  signature; bucketing by key is also exactly the layout MERGE wants.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Callable, Protocol
+import shutil
+import uuid
+from typing import Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+#: Per-partition publisher: receives one list of serialized payloads.
 Publisher = Callable[[list[bytes]], None]
 
-
-class SupportsWriteStream(Protocol):  # pragma: no cover - typing only
-    def writeStream(self): ...
+#: Zero-arg factory invoked ON THE EXECUTOR once per partition task to
+#: build the producer (AMQP/Kafka client in production, a file/queue
+#: collector in tests). Must be picklable.
+PublisherFactory = Callable[[], Publisher]
 
 
 def to_wire(df: DataFrame) -> DataFrame:
@@ -45,48 +58,158 @@ def to_wire(df: DataFrame) -> DataFrame:
     return df.select(F.to_json(F.struct(*df.columns)).alias("payload"))
 
 
-def bus_sink_batch(publish: Publisher) -> Callable[[DataFrame, int], None]:
+def bus_sink_batch(
+    make_publisher: PublisherFactory,
+) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function publishing each microbatch to a message
-    bus as one bulk call per batch (A6). ``publish`` is pluggable: an
-    AMQP/Kafka producer in production, a list collector in tests."""
+    bus (A6), distributed: every partition task constructs a publisher
+    from the factory and bulk-publishes its own rows. No ``collect()``
+    — payloads never transit the driver."""
+
+    def _publish_partition(rows: Iterator) -> None:
+        payloads = [r["payload"].encode("utf-8") for r in rows]
+        if payloads:
+            make_publisher()(payloads)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        payloads = [
-            r["payload"].encode("utf-8") for r in to_wire(batch_df).collect()
-        ]
-        if payloads:
-            publish(payloads)
+        to_wire(batch_df).foreachPartition(_publish_partition)
 
     return _sink
 
 
-def upsert_state_batch(
-    store_path: str, key_col: str = "id", tombstone: str = "closed"
-) -> Callable[[DataFrame, int], None]:
-    """``foreachBatch`` keyed upsert into a parquet state table:
-    rows with ``state == tombstone`` delete their key (A8), all others
-    insert/replace it (A7). Idempotent per batch → effectively-once.
+def collecting_publisher_factory(out_dir: str) -> PublisherFactory:
+    """Test/diagnostic publisher factory: each partition publish writes
+    its payload batch to one uniquely-named file under ``out_dir``
+    (newline-framed). Executor-safe — the observable analog of a broker
+    for unit tests; production injects an AMQP/Kafka producer factory
+    instead."""
 
-    Fixture-scale MERGE stand-in: read-modify-write of a small keyed
-    table. At 100 TB this function body becomes
-    ``MERGE INTO store USING batch ON key WHEN MATCHED ...`` against a
-    transactional table; callers are unaffected.
+    def factory() -> Publisher:
+        def publish(payloads: list[bytes]) -> None:
+            os.makedirs(out_dir, exist_ok=True)
+            name = f"{os.getpid()}-{uuid.uuid4().hex}.jsonl"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(b"\n".join(payloads) + b"\n")
+
+        return publish
+
+    return factory
+
+
+def read_published(out_dir: str) -> list[bytes]:
+    """Read back everything a :func:`collecting_publisher_factory` sink
+    wrote, in no particular order (the bus is unordered across
+    partitions by design)."""
+    payloads: list[bytes] = []
+    if not os.path.isdir(out_dir):
+        return payloads
+    for name in sorted(os.listdir(out_dir)):
+        with open(os.path.join(out_dir, name), "rb") as f:
+            payloads.extend(line for line in f.read().splitlines() if line)
+    return payloads
+
+
+def upsert_state_batch(
+    store_path: str,
+    key_col: str = "id",
+    tombstone: str = "closed",
+    ts_col: str = "last_ts_us",
+    n_buckets: int = 64,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` keyed upsert into a bucketed parquet state
+    table: rows with ``state == tombstone`` delete their key (A8), all
+    others insert/replace it (A7).
+
+    Determinism and ordering guarantees:
+
+    - **In-batch reduce**: one winner per key by ``max(ts_col)`` (ties
+      broken by ``state`` descending, then arbitrary-but-deterministic
+      column order) — never ``dropDuplicates``, whose survivor depends
+      on partition arrival order.
+    - **Cross-batch guard**: a store row is only replaced by a change
+      with ``ts_col`` >= the stored one, so a late microbatch carrying
+      an older change cannot clobber newer state (complements the same
+      guard inside the lifecycle operator).
+    - **Idempotence**: re-applying a batch yields the identical store
+      (batch wins ties against the store with equal rows) →
+      effectively-once under retries.
+
+    I/O: only the hash buckets containing this batch's keys are read,
+    merged, and atomically swapped (directory rename); untouched
+    buckets are not rewritten. The 100 TB path is ``MERGE INTO`` on a
+    transactional table — same signature, same bucketed layout.
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.dropDuplicates([key_col])  # last-writer per key
-        tmp = store_path + ".tmp"
-        if os.path.exists(store_path):
-            current = spark.read.parquet(store_path)
-            merged = current.join(
-                batch.select(key_col), on=key_col, how="left_anti"
-            ).unionByName(batch.filter(F.col("state") != tombstone))
+        bucket_of = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+
+        # deterministic last-writer-wins reduce within the batch
+        w = Window.partitionBy(key_col).orderBy(
+            F.desc(ts_col), F.desc("state")
+        )
+        batch = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("bucket", bucket_of)
+        )
+
+        dirty = [
+            r["bucket"]
+            for r in batch.select("bucket").distinct().collect()
+        ]
+        if not dirty:
+            return
+
+        has_store = os.path.isdir(store_path) and any(
+            n.startswith("bucket=") for n in os.listdir(store_path)
+        )
+        if has_store:
+            current = (
+                spark.read.parquet(store_path)
+                .filter(F.col("bucket").isin(dirty))  # partition-pruned
+                .withColumn("_src", F.lit(0))
+            )
+            combined = current.unionByName(
+                batch.withColumn("_src", F.lit(1))
+            )
         else:
-            merged = batch.filter(F.col("state") != tombstone)
-        merged.write.mode("overwrite").parquet(tmp)
-        rewritten = spark.read.parquet(tmp)
-        rewritten.write.mode("overwrite").parquet(store_path)
+            combined = batch.withColumn("_src", F.lit(1))
+
+        # newest change per key wins; the batch beats the store on ties
+        # (identical replays converge — idempotent)
+        w_merge = Window.partitionBy(key_col).orderBy(
+            F.desc(ts_col), F.desc("_src"), F.desc("state")
+        )
+        merged = (
+            combined.withColumn("_rn", F.row_number().over(w_merge))
+            .filter(F.col("_rn") == 1)
+            .filter(F.col("state") != tombstone)
+            .drop("_rn", "_src")
+        )
+
+        # stage the dirty buckets, then swap each with an atomic rename
+        tmp = f"{store_path}.stage-{batch_id}-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        try:
+            os.makedirs(store_path, exist_ok=True)
+            for b in dirty:
+                src = os.path.join(tmp, f"bucket={b}")
+                dst = os.path.join(store_path, f"bucket={b}")
+                old = dst + ".old"
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                if os.path.exists(dst):
+                    os.rename(dst, old)
+                if os.path.exists(src):
+                    os.rename(src, dst)
+                # bucket emptied (every key deleted): no src dir → the
+                # rename of dst to old already removed it from the store
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     return _sink
 
@@ -95,5 +218,7 @@ def read_state_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Point-in-time view of the materialized keyed state — the surface
     the reference's ``Alert.read_*`` CRUD API queries (A9-A12); here it
     is a plain DataFrame, so predicates/limits/counts are Catalyst
-    expressions (see q_point_lookup / q_filter_limit / q_count_where)."""
-    return spark.read.parquet(store_path)
+    expressions (see q_point_lookup / q_filter_limit / q_count_where).
+    The internal ``bucket`` layout column is dropped."""
+    df = spark.read.parquet(store_path)
+    return df.drop("bucket") if "bucket" in df.columns else df
