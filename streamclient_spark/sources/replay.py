@@ -9,10 +9,20 @@ The Spark analog of the reference's websocket event source
   the test/backfill mode. Offsets are row ranges, so restarts and
   ``readBetweenOffsets`` reproduce identical batches (exactly the
   determinism SURVEY.md §7 Milestone 3 calls out as the hard part).
-- **live** (protocol stub): the websocket ESS protocol needs an
-  ``auraxium``-style client the container doesn't ship; ``_LiveReader``
-  pins the option surface (endpoint, service id, event type) and raises
-  ``NotImplementedError`` at connect time.
+- **live** (implemented): a *partitioned* reader
+  (``DataSourceStreamReader``) over an injectable, offset-addressable
+  transport (:mod:`streamclient_spark.sources.transport`). Offsets are
+  per-shard sequence numbers; each microbatch plans one input
+  partition per advanced shard and executors range-read their shard
+  directly from the transport — ingest parallelism = shard count,
+  versus the reference's single socket on one thread
+  (``ess_client.py:121-124,174-176``). The subscribe-by-type filter is
+  handed to the transport (source-side pushdown, the analog of the
+  reference's typed subscription). The websocket protocol itself lives
+  behind the transport contract because a raw push socket cannot serve
+  the replayable range reads checkpoint recovery needs — production
+  backs the contract with a journal/broker; tests inject a file
+  journal.
 
 Source-side filter pushdown: the reference subscribes to *one event
 type* so other types never cross the wire (``ess_client.py:124``). The
@@ -33,9 +43,12 @@ from typing import Iterator
 
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
@@ -122,17 +135,74 @@ class _ReplayBatchReader(DataSourceReader):
         return iter(_load_sorted_rows(self._options))
 
 
-class _LiveReader(SimpleDataSourceStreamReader):
-    """Protocol stub for the live websocket mode (needs an ESS client
-    library; see module docstring). Cites the option surface of
-    ``/root/reference/ess_client.py:28-29,121-124``."""
+class _LiveShardPartition(InputPartition):
+    """One shard's offset range for one microbatch; picklable (carries
+    only the option dict — executors re-resolve the transport)."""
+
+    def __init__(self, shard: int, lo: int, hi: int, options: dict) -> None:
+        self.shard = shard
+        self.lo = lo
+        self.hi = hi
+        self.options = options
+
+
+class _LiveStreamReader(DataSourceStreamReader):
+    """Live mode: per-shard sequence offsets over an injected transport
+    (the subscribe-by-type protocol of ``ess_client.py:121-124`` made
+    replayable — see :mod:`streamclient_spark.sources.transport`).
+
+    Driver side: ``latestOffset`` polls the transport's journal ends;
+    ``partitions`` plans one input partition per shard that advanced.
+    Executor side: ``read`` range-reads its shard. Both sides build the
+    transport from the option string, so nothing stateful is pickled
+    and a restart resumes from the checkpointed offsets exactly."""
 
     def __init__(self, options: dict) -> None:
-        raise NotImplementedError(
-            "live ESS websocket mode requires a websocket client; "
-            "use mode='replay' (fixture replay) instead. Required "
-            "options for live mode: endpoint, service_id, event_type."
+        from streamclient_spark.sources.transport import resolve_transport
+
+        self._options = dict(options)
+        self._transport = resolve_transport(self._options)
+        self._start_latest = (
+            options.get("starting_offsets", "earliest") == "latest"
         )
+
+    def initialOffset(self) -> dict:
+        ends = self._transport.latest()
+        if self._start_latest:
+            return {str(s): e for s, e in ends.items()}
+        return {str(s): 0 for s in ends}
+
+    def latestOffset(self) -> dict:
+        return {str(s): e for s, e in self._transport.latest().items()}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        parts: list[InputPartition] = []
+        for shard, hi in end.items():
+            lo = int(start.get(shard, 0))
+            if int(hi) > lo:
+                parts.append(
+                    _LiveShardPartition(
+                        int(shard), lo, int(hi), self._options
+                    )
+                )
+        # Spark requires ≥1 partition per planned batch; an empty batch
+        # plans one empty range on shard 0
+        return parts or [_LiveShardPartition(0, 0, 0, self._options)]
+
+    def read(self, partition: _LiveShardPartition) -> Iterator[tuple]:
+        if partition.hi <= partition.lo:
+            return iter(())
+        from streamclient_spark.sources.transport import resolve_transport
+
+        transport = resolve_transport(partition.options)
+        return iter(
+            transport.fetch(partition.shard, partition.lo, partition.hi)
+        )
+
+    def commit(self, end: dict) -> None:
+        # journal retention/acks are the transport's concern; offsets
+        # are durable in the query checkpoint
+        pass
 
 
 class EventReplayDataSource(DataSource):
@@ -151,9 +221,18 @@ class EventReplayDataSource(DataSource):
     def schema(self) -> StructType:
         return EVENT_SCHEMA
 
-    def simpleStreamReader(self, schema: StructType):
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        """Live mode uses the partitioned reader; replay mode falls
+        back to the simple (driver-prefetch) reader via Spark's
+        NOT_IMPLEMENTED dispatch."""
         if self.options.get("mode", "replay") == "live":
-            return _LiveReader(self.options)
+            return _LiveStreamReader(self.options)
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED",
+            messageParameters={"feature": "streamReader (replay mode)"},
+        )
+
+    def simpleStreamReader(self, schema: StructType):
         return _ReplayStreamReader(self.options)
 
     def reader(self, schema: StructType) -> DataSourceReader:
