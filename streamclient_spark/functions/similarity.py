@@ -8,10 +8,14 @@ dim 64):
   (JVM codegen, no Python); top-k is a ranking window per query vector.
 - ``q_sim_lsh``: random-hyperplane LSH bucketing — the approximate
   scale path. Each vector gets a sign-bit bucket from 8 fixed ±1
-  hyperplanes; search only compares vectors sharing a bucket, cutting
-  the pair space by ~2⁸ at the cost of recall (Charikar's SimHash for
-  cosine). The hyperplanes are deterministic module constants so both
-  engines (and every executor) agree without any fitted state.
+  hyperplanes (Charikar's SimHash for cosine); queries *multi-probe*:
+  each searches its own bucket plus every 1-bit-flip neighbor bucket
+  (9 of 256), the standard recall recovery for hyperplane LSH — a
+  near-identical pair disagrees on a plane only when one projection
+  sits near zero, so almost all misses are exactly one bit apart.
+  Candidate space stays ~9/256 of the corpus. The hyperplanes are
+  deterministic module constants so both engines (and every executor)
+  agree without any fitted state.
 - ``q_sim_ivf``: inverted-file (IVF) ANN — a coarse quantizer of 16
   deterministic centroids partitions the corpus into cells in one
   shuffle-free projection (centroids ride along as literals, the Spark
@@ -21,10 +25,11 @@ dim 64):
 Scale notes (100 TB): brute force is a broadcast of the (small) query
 set against a full scan of the corpus — linear, embarrassingly
 parallel, no shuffle except the final per-query top-k (tiny). The LSH
-variant turns the self-join into an equi-join on the bucket id, which
-shuffles each side once on a 256-value key; for real corpora you would
-widen to multi-probe (flip one bit) to recover recall — same plan
-shape. IVF replaces the hash bucket with a nearest-centroid cell id —
+variant turns the self-join into an equi-join on the bucket id — the
+query side explodes into its 9 probe buckets (exact + 1-bit flips)
+before the join, so the plan shape is one equi-join either way; the
+corpus side shuffles once on a 256-value key (or not at all when the
+query side broadcasts). IVF replaces the hash bucket with a nearest-centroid cell id —
 data-adaptive cells give better recall per candidate than oblivious
 hyperplanes; the join/topk skeleton is identical, and at real scale the
 cell id doubles as the partition key for the materialized index (write
@@ -183,58 +188,55 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q_sim_lsh",
-    oracle=f"""
-    WITH b AS (
-      SELECT vec_id, embedding,
-             {sql_lsh_bucket("embedding")} AS bucket
-      FROM embeddings
-    ),
-    q AS (
-      SELECT vec_id AS query_id, embedding AS qe, bucket FROM b
-      WHERE vec_id < {N_QUERIES}
-    ),
-    scored AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id, q.bucket,
-             {_SQL_COS.format(a="q.qe", b="c.embedding")} AS cos_sim
-      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
-    )
-    SELECT query_id, neighbor_id, bucket, round(cos_sim, 6) AS cos_sim,
-           CAST(rank AS INT) AS rank
-    FROM (
-      SELECT *, row_number() OVER (
-               PARTITION BY query_id
-               ORDER BY cos_sim DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    WHERE rank <= {TOP_K}
-    """,
-)
-def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B-L3 scale path: approximate top-k — bucket every vector by the
-    sign pattern of 8 fixed hyperplane projections, then rank only
-    within the query's bucket (equi-join on bucket id instead of a
-    cross join). Projections are sequential double folds; a sign flip
-    would need |⟨e,p⟩| below ~1e-12, which the fixture's projections
-    (magnitude ~0.1+) never approach."""
-    e = load(spark, sf_dir, "embeddings").select(
+#: probe set: the exact bucket plus every 1-bit flip (multi-probe LSH)
+PROBE_FLIPS = (0,) + tuple(1 << j for j in range(N_HYPERPLANES))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Multi-probe hyperplane-LSH approximate top-k, as a library
+    operator over any ``corpus(vec_id, embedding)`` /
+    ``queries(query_id, qe)`` pair.
+
+    Plan: bucket the corpus (pure projection), explode each query into
+    its 9 probe buckets (own + 1-bit flips), equi-join on the bucket
+    id, score exact cosines over the candidates only, rank per query.
+    The probe explosion happens on the (small) query side, so at scale
+    it broadcasts; the corpus never expands. Returns
+    ``(query_id, neighbor_id, bucket, cos_sim, rank)`` with
+    ``bucket`` = the *neighbor's* bucket (≤1 bit from the query's)."""
+    e = corpus.select(
         "vec_id",
         "embedding",
         lsh_bucket(F.col("embedding")).alias("bucket"),
         norm(F.col("embedding")).alias("nrm"),
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("bucket").alias("qbucket"),
-        F.col("nrm").alias("qnrm"),
+    q = queries.select(
+        "query_id",
+        "qe",
+        lsh_bucket(F.col("qe")).alias("qbucket"),
+        norm(F.col("qe")).alias("qnrm"),
+    ).select(
+        "query_id",
+        "qe",
+        "qnrm",
+        F.explode(
+            F.array(
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(flip))
+                    for flip in PROBE_FLIPS
+                ]
+            )
+        ).alias("probe_bucket"),
     )
     scored = (
         F.broadcast(q)
         .join(
             e,
-            (F.col("bucket") == F.col("qbucket"))
+            (F.col("bucket") == F.col("probe_bucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
@@ -252,14 +254,66 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "bucket",
-            F.round("cos_sim", 6).alias("cos_sim"),
-            "rank",
-        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
+    )
+
+
+_SQL_PROBE_FLIPS = "[" + ", ".join(str(f) for f in PROBE_FLIPS) + "]"
+
+
+@register(
+    "q_sim_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {sql_lsh_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             xor(bucket, flip) AS probe_bucket
+      FROM b, (SELECT unnest({_SQL_PROBE_FLIPS}) AS flip)
+      WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.bucket,
+             {_SQL_COS.format(a="q.qe", b="c.embedding")} AS cos_sim
+      FROM q JOIN b c ON c.bucket = q.probe_bucket
+                     AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, bucket, round(cos_sim, 6) AS cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    """,
+)
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L3 scale path: approximate top-k via multi-probe hyperplane
+    LSH — bucket every vector by the sign pattern of 8 fixed hyperplane
+    projections, search each query's bucket plus its 1-bit-flip
+    neighbors (an equi-join on bucket id instead of a cross join).
+    Projections are sequential double folds; a sign flip would need
+    |⟨e,p⟩| below ~1e-12, which the fixture's projections (magnitude
+    ~0.1+) never approach."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    )
+    out = lsh_topk(corpus, queries, TOP_K)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "bucket",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "rank",
     )
 
 
