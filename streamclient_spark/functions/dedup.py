@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from streamclient_spark.cacheutil import managed_persist, release_managed
 from streamclient_spark.functions.text import (
     SQL_TOKENS,
     shingles,
@@ -159,6 +160,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is deterministic (the md5 pipeline has no runtime
     randomness).
     """
+    release_managed()  # drop the previous query's cached intermediates
     return near_dup_pairs(spark, sf_dir)
 
 
@@ -231,8 +233,9 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across DataFrame branches — persist so profiling runs once, not
     # 3×. At 100 TB the profile table would be materialized to storage
     # anyway (it IS the dedup index); persist() is the in-session
-    # analog.
-    sets = _shingle_profiles(spark, sf_dir).persist()
+    # analog. Registered with cacheutil so the next query's builder
+    # releases it (a builder can't unpersist after the caller's action).
+    sets = managed_persist(_shingle_profiles(spark, sf_dir))
     bands = sets.select(
         "doc_id", F.posexplode("band_keys").alias("band", "key")
     )
@@ -316,14 +319,17 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same components by recursive transitive
     closure, which is only viable because components are small — the
     propagation formulation is the one that scales."""
+    release_managed()
     # persist BEFORE the symmetric union: both union branches reference
     # the pair subtree, which would otherwise run the whole LSH+verify
     # pipeline twice
-    pairs = near_dup_pairs(spark, sf_dir).select("a_id", "b_id").persist()
-    edges = (
-        pairs.union(pairs.select(F.col("b_id"), F.col("a_id")))
-        .toDF("src", "dst")
-        .persist()
+    pairs = managed_persist(
+        near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    )
+    edges = managed_persist(
+        pairs.union(pairs.select(F.col("b_id"), F.col("a_id"))).toDF(
+            "src", "dst"
+        )
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -373,8 +379,76 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_dedup_simhash — SimHash + Hamming pairs (B-L2)
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 32
+#: 60-bit SimHash (Manku-style wide fingerprint: 15 hex chars of md5 as
+#: the per-shingle base hash — 60 bits keeps the value and every SQL
+#: shift inside signed-BIGINT range on both engines).
+_SIMHASH_BITS = 60
 _HAMMING_MAX = 8
+
+#: Pigeonhole bands: 9 disjoint pieces of the 60-bit signature
+#: (6×7 bits + 3×6 bits). Any pair within Hamming distance 8 differs in
+#: at most 8 pieces, so it MATCHES on at least one of the 9 — band
+#: equality is a lossless candidate filter for the ≤8 predicate, and
+#: 6-7-bit pieces (64-128 values each) block hard enough that the
+#: candidate set is a small fraction of all pairs.
+_SIMHASH_BANDS: list[tuple[int, int]] = [  # (bit offset, width)
+    *[(7 * i, 7) for i in range(6)],
+    (42, 6),
+    (48, 6),
+    (54, 6),
+]
+assert sum(w for _, w in _SIMHASH_BANDS) == _SIMHASH_BITS
+assert len(_SIMHASH_BANDS) == _HAMMING_MAX + 1
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 60-bit SimHash in ONE Arrow pass (same fused-
+    profile trick as :func:`_shingle_profiles`, measured ~9× over the
+    explode→groupBy bit-vote formulation): shingle → md5 → per-bit ±1
+    votes → sign word, all inside a ``mapInPandas`` projection. Hash
+    math is exact integer arithmetic on the identical md5 prefix both
+    engines compute, so the signature is engine-independent."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"\s+")
+    bit_idx = np.arange(_SIMHASH_BITS, dtype=np.int64)
+
+    def signatures(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in ws.split(text) if t]
+                if len(toks) >= 5:
+                    sh = {
+                        " ".join(toks[i : i + 5])
+                        for i in range(len(toks) - 4)
+                    }
+                else:
+                    sh = {" ".join(toks)}
+                h = np.array(
+                    [
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        for s in sh
+                    ],
+                    dtype=np.int64,
+                )
+                bits = (h[:, None] >> bit_idx) & 1  # n_shingles × 60
+                votes = (2 * bits - 1).sum(axis=0)
+                sim = int(((votes > 0).astype(np.int64) << bit_idx).sum())
+                out.append((doc_id, sim))
+            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(signatures, "doc_id bigint, simhash bigint")
+    )
+
+
+def sql_hash60(expr: str) -> str:
+    """DuckDB twin of the 60-bit base hash (15 hex chars of md5)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 @register(
@@ -382,7 +456,7 @@ _HAMMING_MAX = 8
     oracle=f"""
     {_SQL_SHINGLE_SETS},
     hashes AS (
-      SELECT doc_id, {sql_hash32("unnest(s)")} AS h FROM shingle_sets
+      SELECT doc_id, {sql_hash60("unnest(s)")} AS h FROM shingle_sets
     ),
     bit_sums AS (
       SELECT doc_id, b.b AS b,
@@ -403,47 +477,60 @@ _HAMMING_MAX = 8
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B-L2: SimHash near-dup — 32-bit SimHash over shingle hashes
+    """B-L2: SimHash near-dup — 60-bit SimHash over shingle hashes
     (per-bit ±1 vote, bit set when the vote sum is positive), then all
-    pairs within Hamming distance 8 via a self-join on the one-row-per-
-    doc signature table. The signature step compresses each document to
-    8 bytes, which is what makes the pair step feasible at scale."""
-    sets = _shingle_sets(spark, sf_dir)
-    h = sets.select("doc_id", F.explode("s").alias("shingle")).select(
-        "doc_id", hash32("shingle").alias("h")
+    pairs within Hamming distance 8.
+
+    The pair step is NOT a quadratic self-join: signatures explode into
+    9 pigeonhole bands (Manku et al.'s fingerprint pieces), candidates
+    come from an equi-join on ``(band, piece)``, and the exact Hamming
+    predicate verifies candidates only. Pigeonhole makes the band
+    filter lossless for distance ≤ 8 (9 pieces, ≤8 differing bits ⇒
+    ≥1 equal piece), so output is identical to the brute-force oracle;
+    6-7-bit pieces keep each band bucket small, so candidates stay a
+    small fraction of N². The banded equi-join shuffles on a real key
+    instead of nested-looping the corpus against itself — the shape
+    that survives 100 TB; the oracle's brute-force pairing is the
+    ground truth it must equal."""
+    release_managed()
+    sims = _simhash_signatures(spark, sf_dir)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {off}) & {(1 << w) - 1}"
+                        ).alias("piece"),
+                    )
+                    for i, (off, w) in enumerate(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bp"),
     )
-    # sims is self-joined below — persist the (tiny) signature table so
-    # the shingle+hash pipeline runs once (no cross-branch CSE in Spark)
-    bit_sums = (
-        h.select(
-            "doc_id",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1)
-            ).alias("c")
-        )
+    bands = managed_persist(
+        bands.select("doc_id", "simhash", "bp.band", "bp.piece")
     )
-    sims = bit_sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("c") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
-    ).persist()
-    a, b = sims.alias("a"), sims.alias("b")
+    a, b = bands.alias("a"), bands.alias("b")
     hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .filter(hamming <= _HAMMING_MAX)
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
             hamming.alias("hamming"),
         )
+        .dropDuplicates(["a_id", "b_id"])  # a pair may match >1 band;
+        # all duplicate rows are identical, so the survivor is unique
     )
 
 
@@ -566,15 +653,15 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell): the pair space is per-cell quadratic instead of global
     quadratic, which is the actual scale path for embedding dedup.
 
-    Cost model: one shuffle groups each cell onto one executor
-    (``applyInPandas``), where the quadratic term runs as a single
-    BLAS GEMM (``X @ X.T`` on the L2-normalized block). Every vector
-    crosses Arrow exactly once per cell — a join that materialized
+    Cost model: cells group onto executors (``applyInPandas``), where
+    the quadratic term runs as BLAS GEMMs on L2-normalized blocks.
+    Every vector crosses Arrow once per task — a join that materialized
     per-*pair* vector copies would move |cell|× more bytes to do the
-    same flops. At 100 TB the cells come from a real coarse quantizer;
-    oversized cells split into chunk-pairs (each chunk-pair one GEMM
-    task) so per-task memory stays bounded while the flops stay in
-    BLAS."""
+    same flops. Oversized cells are CHUNKED (see
+    :func:`cosine_pairs_blocked`): a cell larger than the per-task row
+    budget splits into chunk-pair tasks, so one hot cell can never OOM
+    an executor — per-task memory is O(chunk²) regardless of cell
+    size. At 100 TB the cells come from a real coarse quantizer."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     corpus = e.unionByName(
         e.select(
@@ -583,23 +670,94 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
     )
+    return cosine_pairs_blocked(
+        corpus,
+        cell_col="label",
+        threshold=_EMBED_THRESHOLD,
+    )
 
-    def cell_pairs(pdf):
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        X = np.stack(pdf["embedding"].to_numpy()).astype("float64", copy=False)
-        X /= np.linalg.norm(X, axis=1, keepdims=True)
-        sims = X @ X.T
-        i, j = np.triu_indices(len(pdf), k=1)
-        keep = sims[i, j] >= _EMBED_THRESHOLD
-        ids = pdf["vec_id"].to_numpy()
+
+def cosine_pairs_blocked(
+    corpus: DataFrame,
+    *,
+    cell_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """All vector pairs within a cell whose cosine ≥ ``threshold``,
+    with bounded per-task memory.
+
+    Each cell is split into ``k = ceil(|cell| / chunk_rows)`` chunks by
+    a deterministic hash of the id; every unordered chunk pair
+    ``(ci ≤ cj)`` becomes one GEMM task scoring chunk ci against chunk
+    cj (upper triangle when ci == cj). A vector is replicated to the k
+    tasks that involve its chunk, so per-task input is ≤ 2·chunk_rows
+    vectors and the score matrix ≤ chunk_rows² — a hot cell costs more
+    *tasks*, never more memory. k == 1 cells degenerate to exactly the
+    unchunked single-GEMM plan. Output: ``(a_id, b_id, cos_sim)`` with
+    ``a_id < b_id``, cosine rounded to 4 decimals."""
+    sizes = (
+        corpus.groupBy(cell_col)
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_k",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_n") / chunk_rows)
+            ).cast("int"),
+        )
+        .drop("_n")
+    )
+    c = (
+        corpus.join(F.broadcast(sizes), cell_col)
+        .withColumn(
+            "_chunk",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_k")).cast("int"),
+        )
+        # replicate to every chunk-pair task containing this chunk
+        .withColumn(
+            "_other", F.explode(F.sequence(F.lit(0), F.col("_k") - 1))
+        )
+        .withColumn("_ci", F.least("_chunk", "_other"))
+        .withColumn("_cj", F.greatest("_chunk", "_other"))
+        .select(cell_col, "_ci", "_cj", "_chunk", id_col, emb_col)
+    )
+
+    def chunk_pair_sims(pdf):
+        ci, cj = int(pdf["_ci"].iloc[0]), int(pdf["_cj"].iloc[0])
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        if ci == cj:
+            X = np.stack(pdf[emb_col].to_numpy()).astype(
+                "float64", copy=False
+            )
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            sims = X @ X.T
+            i, j = np.triu_indices(len(pdf), k=1)
+            keep = sims[i, j] >= threshold
+            ids = pdf[id_col].to_numpy()
+            a, b, s = ids[i[keep]], ids[j[keep]], sims[i[keep], j[keep]]
+        else:
+            pa = pdf[pdf["_chunk"] == ci]
+            pb = pdf[pdf["_chunk"] == cj]
+            if len(pa) == 0 or len(pb) == 0:
+                return pd.DataFrame(
+                    {"a_id": [], "b_id": [], "cos_sim": []}
+                ).astype({"a_id": "int64", "b_id": "int64"})
+            A = np.stack(pa[emb_col].to_numpy()).astype("float64", copy=False)
+            B = np.stack(pb[emb_col].to_numpy()).astype("float64", copy=False)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            sims = A @ B.T
+            i, j = np.nonzero(sims >= threshold)
+            u = pa[id_col].to_numpy()[i]
+            v = pb[id_col].to_numpy()[j]
+            a, b = np.minimum(u, v), np.maximum(u, v)
+            s = sims[i, j]
         return pd.DataFrame(
-            {
-                "a_id": ids[i[keep]],
-                "b_id": ids[j[keep]],
-                "cos_sim": np.round(sims[i[keep], j[keep]], 4),
-            }
+            {"a_id": a, "b_id": b, "cos_sim": np.round(s, 4)}
         )
 
-    return corpus.groupBy("label").applyInPandas(
-        cell_pairs, "a_id bigint, b_id bigint, cos_sim double"
+    return c.groupBy(cell_col, "_ci", "_cj").applyInPandas(
+        chunk_pair_sims, "a_id bigint, b_id bigint, cos_sim double"
     )

@@ -92,8 +92,22 @@ def salted_join(
     ``(key, salt)``. Output equals ``big.join(small, key, how)``
     row-for-row; the skewed partition is split ``n_salts`` ways.
 
+    Supported ``how``: inner / left / left_semi / left_anti — the joins
+    where every output row is anchored to exactly one big-side row, so
+    small-side replication can't surface. Right/full outer are refused:
+    an unmatched small-side key appears once per salt replica there
+    (n_salts null-padded duplicates), which silently corrupts results.
+
     ``salt_from`` defaults to every big-side column except the key —
     any stable per-row identity works; more columns → finer spread."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}, got {how!r}: "
+            "right/full outer joins would emit one null-padded duplicate "
+            "per salt replica for unmatched small-side keys"
+        )
     cols = salt_from or [c for c in big.columns if c != key]
     b = big.withColumn(SALT_COL, salt(n_salts, *cols))
     s = small.withColumn(

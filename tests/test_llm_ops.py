@@ -160,6 +160,47 @@ def test_sim_ivf_cells_and_recall(spark, sf_oracle):
     assert recall >= 0.3, recall
 
 
+def test_cosine_pairs_blocked_chunks_hot_cell_correctly(spark):
+    """VERDICT r1 #10 gate: a synthetic hot cell (300 vectors in one
+    cell, chunk budget 64 → k=5 chunks → 15 chunk-pair tasks) must
+    produce exactly the brute-force pair set — chunking changes task
+    layout, never results — and must actually split into multiple
+    GEMM tasks."""
+    import numpy as np
+
+    from streamclient_spark.functions.dedup import cosine_pairs_blocked
+
+    rng = np.random.default_rng(11)
+    n, dim = 300, 16
+    X = rng.standard_normal((n, dim))
+    # plant some high-cosine pairs so the threshold filter is non-empty
+    for i in range(0, 30, 2):
+        X[i + 1] = X[i] + 0.05 * rng.standard_normal(dim)
+    corpus = spark.createDataFrame(
+        [(int(i), 0, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in cosine_pairs_blocked(
+            corpus, cell_col="label", threshold=0.8, chunk_rows=64
+        ).collect()
+    }
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    # float32 storage: recompute expectation from the round-tripped
+    # float32 vectors exactly as the operator sees them
+    Xf = X.astype("float32").astype("float64")
+    Xf /= np.linalg.norm(Xf, axis=1, keepdims=True)
+    sims = Xf @ Xf.T
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= 0.8:
+                want[(i, j)] = round(float(sims[i, j]), 4)
+    assert got == want
+    assert len(want) >= 15  # planted pairs actually exercised the path
+
+
 def test_multimodal_resize_matches_independent_gather(spark, sf_oracle):
     """The resize kernel must equal an independently coded nearest-
     neighbor gather over the same stubbed decode (tile to h×w, sample

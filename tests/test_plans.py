@@ -141,6 +141,14 @@ def test_tpch_q5_customer_supplier_join_not_hint_forced(spark, sf_oracle):
     assert "BroadcastHashJoin" in plan
 
 
+def test_simhash_pair_step_is_banded_equi_join(spark, sf_oracle):
+    # the candidate join must be an equi-join on (band, piece) — never
+    # a nested-loop over the full signature table (the O(N²) shape)
+    plan = plan_of(spark, sf_oracle, "q_dedup_simhash", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_range_join_is_equi_hash_join_not_hint_forced(spark, sf_oracle):
     # q_join_range must stay an equi hash join on partkey with the
     # BETWEEN as residual — never a nested-loop — and must not carry a

@@ -104,6 +104,23 @@ def test_salted_join_equals_plain_join(spark, sf_oracle):
     assert plan  # smoke: explain works on the inputs
 
 
+def test_salted_join_refuses_outer_joins(spark, sf_oracle):
+    """ADVICE r1: right/full outer would emit n_salts null-padded
+    duplicates for unmatched small-side keys — the API must refuse
+    instead of silently corrupting."""
+    import pytest
+
+    l = load(spark, sf_oracle, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_orderkey"
+    )
+    s = load(spark, sf_oracle, "supplier").select("s_suppkey", "s_name")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(l, s, "s_suppkey", n_salts=4, how=how)
+    # the anchored variants stay accepted
+    assert salted_join(l, s, "s_suppkey", n_salts=4, how="left_semi")
+
+
 def test_salted_agg_equals_plain_agg(spark, sf_oracle):
     l = load(spark, sf_oracle, "lineitem").select(
         "l_returnflag",
