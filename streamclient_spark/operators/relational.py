@@ -172,15 +172,29 @@ def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-J3: left outer join keeping order-less customers (NULL-counted
-    as 0 orders, NULL total). COUNT(col) skips nulls in both engines."""
+    as 0 orders, NULL total). COUNT(col) skips nulls in both engines.
+
+    Plan: the per-customer aggregate is pushed BELOW the join (orders
+    pre-aggregates on ``o_custkey`` with map-side combine, then the
+    customer table left-joins the 10×-smaller aggregate) — Catalyst
+    doesn't rewrite agg-through-outer-join itself, and at 100 TB the
+    difference is shuffling partial aggregates instead of every
+    full-width order row. A missing aggregate row IS the outer-join
+    NULL: count coalesces to 0, the sum stays NULL, exactly the
+    join-then-aggregate semantics."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
+    o_agg = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("_n"),
+        dec_sum("o_totalprice").alias("total_spent"),
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            dec_sum("o_totalprice").alias("total_spent"),
+        c.join(o_agg, c.c_custkey == o_agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_orders"),
+            "total_spent",
         )
     )
 

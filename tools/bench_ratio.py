@@ -1,0 +1,125 @@
+"""Spark-vs-DuckDB per-query timing at an arbitrary fixture dir.
+
+The per-round bench (bench.py) runs at sf0.1, where most queries sit
+on Spark's ~0.15 s job-scheduling floor and per-query ratios measure
+overhead, not plan quality (VERDICT r1). This tool produces the
+meaningful comparison: generate a bigger fixture with
+``tools/make_bigsf.py``, then race every oracle-backed query against
+its own DuckDB oracle on the same files.
+
+Brute-force oracles (the dedup family's ground-truth formulations) are
+skipped above sf0.1 by default: they are intentionally quadratic
+reference implementations — at sf1 the near-dup oracle alone is ~1.25B
+pairwise Jaccards. The engine-side queries still run; they just have
+nothing fair to race against (their DuckDB twin is the brute force).
+
+Usage:
+    python tools/make_bigsf.py /root/testdata/sf0.1 /tmp/sf1 10
+    python tools/bench_ratio.py /tmp/sf1 [--md]
+
+Emits one JSON line: {"sf_dir", "spark_total", "duck_total", "ratio",
+"queries": {name: {"spark": s, "duck": s, "ratio": r}}}; ``--md`` adds
+a markdown table on stderr for BENCH_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+#: oracles that are deliberately brute-force ground truths — skipped
+#: at big SFs (quadratic by construction, not an engine comparison)
+BRUTE_FORCE_ORACLES = {
+    "q_dedup_near",
+    "q_dedup_cluster",
+    "q_dedup_simhash",
+    "q_dedup_jaccard",
+    "q_dedup_embed",
+    "q_sim_topk",  # exact rank over all pairs — linear×queries, keep
+}
+KEEP_ANYWAY = {"q_sim_topk"}  # linear scans race fairly at any sf
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    emit_md = "--md" in sys.argv
+
+    sys.path.insert(0, "/root/repo")
+    from streamclient_spark.plans.registry import load_all
+    from streamclient_spark.session import get_spark
+    from tests.oracle import duckdb_con
+
+    spark = get_spark("streamclient-spark-bench-ratio")
+    specs = load_all()
+    skip = BRUTE_FORCE_ORACLES - KEEP_ANYWAY
+
+    # warm JVM / footer caches
+    specs["q_scan_events"].builder(spark, sf_dir).count()
+
+    def run_spark(name: str) -> float:
+        t0 = time.perf_counter()
+        specs[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    results: dict[str, dict] = {}
+    for name, spec in specs.items():
+        if spec.oracle is None or name in skip:
+            continue
+        spark_s = run_spark(name)
+        if spark_s > 1.0:
+            # re-run once and keep the min: first runs pay codegen JIT
+            # and cross-query contention (see bench.py)
+            spark_s = min(spark_s, run_spark(name))
+
+        con = duckdb_con(sf_dir)
+        try:
+            t0 = time.perf_counter()
+            con.sql(spec.oracle).fetchall()
+            duck_s = time.perf_counter() - t0
+        finally:
+            con.close()
+        results[name] = {
+            "spark": round(spark_s, 3),
+            "duck": round(duck_s, 3),
+            "ratio": round(spark_s / duck_s, 2) if duck_s > 0 else None,
+        }
+        print(
+            f"{name}: spark {spark_s:.2f}s duck {duck_s:.2f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    spark_total = round(sum(r["spark"] for r in results.values()), 2)
+    duck_total = round(sum(r["duck"] for r in results.values()), 2)
+    out = {
+        "sf_dir": sf_dir,
+        "spark_total": spark_total,
+        "duck_total": duck_total,
+        "ratio": round(spark_total / duck_total, 3),
+        "queries": results,
+    }
+    print(json.dumps(out))
+    if emit_md:
+        print("\n| query | spark s | duckdb s | ratio |", file=sys.stderr)
+        print("|---|---|---|---|", file=sys.stderr)
+        for name, r in sorted(
+            results.items(), key=lambda kv: -kv[1]["spark"]
+        ):
+            print(
+                f"| {name} | {r['spark']} | {r['duck']} | {r['ratio']} |",
+                file=sys.stderr,
+            )
+        print(
+            f"| **total** | **{spark_total}** | **{duck_total}** | "
+            f"**{out['ratio']}** |",
+            file=sys.stderr,
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
