@@ -2,6 +2,10 @@
 and the end-to-end pipeline assembler (SURVEY.md §2A streaming form,
 §2B B-T*)."""
 
+from streamclient_spark.streaming.bus import (
+    amqp_publisher_factory,
+    kafka_sink,
+)
 from streamclient_spark.streaming.lifecycle import (
     configure_state_store,
     make_lifecycle_fn,
@@ -31,7 +35,9 @@ from streamclient_spark.streaming.windows import (
 
 __all__ = [
     "PipelineMetrics",
+    "amqp_publisher_factory",
     "bus_sink_batch",
+    "kafka_sink",
     "collecting_publisher_factory",
     "configure_state_store",
     "read_published",
