@@ -105,6 +105,7 @@ def load_all() -> dict[str, QuerySpec]:
     import streamclient_spark.functions.similarity  # noqa: F401
     import streamclient_spark.functions.text  # noqa: F401
     import streamclient_spark.functions.multimodal  # noqa: F401
+    import streamclient_spark.functions.pipeline_ops  # noqa: F401
     import streamclient_spark.operators.udf_surface  # noqa: F401
 
     ordered: dict[str, QuerySpec] = {}

@@ -81,6 +81,7 @@ def metagame_pipeline(
     checkpoint: str,
     open_state: str = "signup",
     metrics: PipelineMetrics | None = None,
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """Assemble and start the full fan-out pipeline on a streaming
     event DataFrame. Returns the started query (caller awaits/stops).
@@ -130,12 +131,14 @@ def metagame_pipeline(
         finally:
             batch_df.unpersist()
 
-    return (
+    writer = (
         projected.writeStream.foreachBatch(fan_out)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
-        .start()
     )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
 
 
 __all__ = [

@@ -500,11 +500,11 @@ def test_pipeline_restart_state_store_converges(spark, sf_smoke, tmp_path):
 
     spark.dataSource.register(EventReplayDataSource)
 
-    def build(state_path, ckpt, metrics):
+    def build(state_path, ckpt, metrics, paced: bool):
         stream = (
             spark.readStream.format("event_replay")
             .option("path", f"{sf_smoke}/events.parquet")
-            .option("batches", "8")
+            .option("batches", "16")
             .load()
         )
         return metagame_pipeline(
@@ -516,23 +516,29 @@ def test_pipeline_restart_state_store_converges(spark, sf_smoke, tmp_path):
             checkpoint=ckpt,
             open_state="signup",
             metrics=metrics,
+            # pace the first run so stopping after 2 batches reliably
+            # leaves unprocessed input behind (ASAP triggers can finish
+            # all 16 batches before the stop lands on a fast box)
+            trigger={"processingTime": "1 seconds"} if paced else None,
         )
 
     # interrupted run: stop partway (after ≥2 batches), then resume
     m1 = PipelineMetrics()
     interrupted_store = str(tmp_path / "store_a")
     ckpt = str(tmp_path / "ckpt_a")
-    q = build(interrupted_store, ckpt, m1)
+    q = build(interrupted_store, ckpt, m1, paced=True)
     _drain(q, lambda: m1.batches >= 2, timeout_s=180)  # stops mid-stream
     assert m1.total_events < 1000  # genuinely partial
     m2 = PipelineMetrics()
-    q = build(interrupted_store, ckpt, m2)
+    q = build(interrupted_store, ckpt, m2, paced=False)
     _drain(q, lambda: m1.total_events + m2.total_events >= 1000,
            timeout_s=180)
 
     # uninterrupted run for comparison
     m3 = PipelineMetrics()
-    q = build(str(tmp_path / "store_b"), str(tmp_path / "ckpt_b"), m3)
+    q = build(
+        str(tmp_path / "store_b"), str(tmp_path / "ckpt_b"), m3, paced=False
+    )
     _drain(q, lambda: m3.total_events >= 1000, timeout_s=180)
 
     a = {
