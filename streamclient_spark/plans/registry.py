@@ -61,9 +61,12 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Bui
 # 50 registry entries in insertion order.  Round 1 attested the first 50 in
 # import order, which left the 23 LLM-pipeline queries (dedup / similarity /
 # text / multimodal / UDF surface / q_fn_json) without a driver-verified row.
-# This list pins the round-2 window: the previously-unattested 23 first, then
-# this round's modified queries, then the reference surface and the heaviest
-# relational shapes.  Queries past the window keep their round-1 attestation.
+# This list pins the round-2 window: everything never driver-attested first
+# (the r1-unattested 23 plus this round's new pipeline ops), then every query
+# whose code changed since the r1 snapshot (limb-sum money aggregates,
+# broadcast-hint removals, agg-below-outer-join), then the reference surface
+# and the heaviest stable shapes.  Queries past the window are byte-identical
+# to their round-1-attested form and keep that attestation.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # 23 queries with no driver row in CORRECTNESS_r01 (VERDICT.md)
     "q_dedup_exact", "q_dedup_near", "q_dedup_cluster", "q_dedup_simhash",
@@ -75,15 +78,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_multimodal_frames",
     "q_udf_scalar", "q_udaf_grouped", "q_udtf_explode",
     "q_fn_json",
-    # modified this round (broadcast-hint removal) — re-attest
-    "q_join_range", "q_tpch_q5",
-    # reference surface (SURVEY §2A)
-    "q_scan_events", "q_filter_type", "q_derive_key", "q_project_rename",
-    "q_to_json", "q_point_lookup", "q_filter_limit", "q_count_where",
-    "q_anti_filter", "q_ttl_filter", "q_state_open", "q_metric_total",
-    "q_metric_last_ts",
-    # heaviest relational / window shapes
+    # new this round — never attested
+    "q_sample_split", "q_text_contamination", "q_text_scrub",
+    # modified this round (re-attest): broadcast-hint removals, limb-sum
+    # money aggregates, aggregate pushed below the outer join
+    "q_join_range", "q_tpch_q5", "q_join_outer",
     "q_agg_tpch_q1", "q_tpch_q3", "q_agg_cube", "q_agg_rollup",
+    "q_agg_having",
+    # reference surface core (SURVEY §2A)
+    "q_scan_events", "q_filter_type", "q_count_where", "q_anti_filter",
+    "q_ttl_filter", "q_state_open", "q_metric_total", "q_metric_last_ts",
+    # heaviest stable relational / window shapes
     "q_win_rank", "q_win_frame", "q_win_tumbling", "q_win_session",
     "q_join_asof", "q_topk_group", "q_agg_percentile", "q_subquery_scalar",
 )
