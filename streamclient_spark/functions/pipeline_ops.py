@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamclient_spark.functions.dedup import hash32, sql_hash32
-from streamclient_spark.functions.text import sql_shingles
+from streamclient_spark.functions.text import sql_shingles, tokens
 from streamclient_spark.plans.registry import register
 from streamclient_spark.tables import load
 
@@ -220,4 +220,190 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.regexp_replace("text", _EMAIL_RE, "<EMAIL>")).alias(
             "scrubbed_md5"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: repetition quality, stratified sampling, packing
+# ---------------------------------------------------------------------------
+
+#: Gopher-style repetition thresholds (integer-exact forms of
+#: "top bigram > 10% of bigrams" and "duplicate bigrams > 20%")
+_TOP_NUM, _TOP_DEN = 1, 10
+_DUP_NUM, _DUP_DEN = 1, 5
+
+#: stratified sampling rates (permille) — downsample the
+#: over-represented language, keep the rest near-whole
+_STRAT_SALT = "strat-v1-"
+_STRAT_EN_PERMILLE = 300
+_STRAT_REST_PERMILLE = 900
+
+#: sequence packing token budget
+_PACK_BUDGET = 2048
+
+
+@register(
+    "q_text_repetition",
+    oracle=f"""
+    WITH _toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+               AS toks
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1]))
+               AS bigram
+      FROM _toks WHERE len(toks) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(max(c) AS BIGINT)   AS top_count,
+           (max(c) * {_TOP_DEN} > sum(c) * {_TOP_NUM})
+             OR ((sum(c) - count(*)) * {_DUP_DEN} > sum(c) * {_DUP_NUM})
+             AS flag_repetitive
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1):
+    per-document bigram statistics — total, distinct, and
+    most-frequent-bigram count — with a repetition flag when the top
+    bigram exceeds 10% of all bigrams or duplicate bigrams exceed 20%.
+    Thresholds are evaluated in *integer cross-multiplied* form so the
+    flag (and the hash) never touches a float.
+
+    The statistics are per-document local, so the whole operator is one
+    Arrow ``mapInPandas`` pass — ZERO shuffle (the exploded
+    groupBy(doc_id, bigram) formulation shuffles every bigram and the
+    Catalyst higher-order ``transform`` runs interpreted per element —
+    measured 8.5 s vs 0.4 s at sf0.1; same finding as the shingle
+    profiles). Embarrassingly parallel and linear at 100 TB."""
+    from collections import Counter
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+
+    def stats(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "nb", "nd", "top")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in ws.split(text) if t]
+                if len(toks) < 2:
+                    continue
+                cnt = Counter(zip(toks, toks[1:]))
+                out["doc_id"].append(doc_id)
+                out["nb"].append(len(toks) - 1)
+                out["nd"].append(len(cnt))
+                out["top"].append(max(cnt.values()))
+            nb = pd.Series(out["nb"], dtype="int64")
+            nd = pd.Series(out["nd"], dtype="int64")
+            top = pd.Series(out["top"], dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_bigrams": nb,
+                    "n_distinct_bigrams": nd,
+                    "top_count": top,
+                    "flag_repetitive": (top * _TOP_DEN > nb * _TOP_NUM)
+                    | ((nb - nd) * _DUP_DEN > nb * _DUP_NUM),
+                }
+            )
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            stats,
+            "doc_id bigint, n_bigrams bigint, n_distinct_bigrams bigint,"
+            " top_count bigint, flag_repetitive boolean",
+        )
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN lang = 'en' THEN {_STRAT_EN_PERMILLE}
+                ELSE {_STRAT_REST_PERMILLE} END AS rate_permille
+    FROM documents
+    WHERE {sql_hash32(f"'{_STRAT_SALT}' || CAST(doc_id AS VARCHAR)")} % 1000
+          < CASE WHEN lang = 'en' THEN {_STRAT_EN_PERMILLE}
+                 ELSE {_STRAT_REST_PERMILLE} END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling for mixture rebalancing: keep 30% of the
+    over-represented language and 90% of the rest, selecting by a
+    salted content-stable hash bucket per document (mod 1000 <
+    rate_permille). Like q_sample_split this is a pure stateless
+    projection+filter — reproducible under task retries (``rand()`` is
+    not), shuffle-free, and composable with the split: the same
+    document set is kept on every engine, run, and cluster size. At
+    100 TB the rates come from a measured language histogram; the plan
+    shape is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", _STRAT_EN_PERMILLE).otherwise(
+        _STRAT_REST_PERMILLE
+    )
+    bucket = (
+        hash32(F.concat(F.lit(_STRAT_SALT), F.col("doc_id").cast("string")))
+        % 1000
+    )
+    return d.filter(bucket < rate).select(
+        "doc_id", "lang", rate.alias("rate_permille")
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(
+             (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+             // {_PACK_BUDGET} AS BIGINT) AS seq_id
+    FROM t
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents (in stable doc_id
+    order, per language stream) to fixed token-budget training
+    sequences — ``seq_id = exclusive-cumulative-tokens // budget``.
+    The contiguous-cumsum formulation makes packing a *window
+    function*, not a sequential driver loop: one shuffle on the
+    partition key (lang here; shard key at scale), running-sum frame,
+    all integer math. At 100 TB the stream key is (shard, file) so
+    each window partition is one input shard — parallelism equals
+    shard count and no global order is ever materialized."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens("text")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "doc_id", "lang", n_tok.alias("n_tokens")
+    ).withColumn(
+        "seq_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET)
+        .cast("bigint"),
     )

@@ -956,3 +956,134 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*limb_sums(disc_s, "rev"))
         .select("n_name", limb_value("rev", 4).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: grouping sets, salted-join attestation, TPC-H Q18
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube are sugar
+    for: (lang, source) detail, per-lang subtotal, grand total, with
+    ``grouping_id`` disambiguating NULL-as-aggregated from NULL-as-value.
+    One Expand (3× multiplier, only the sets requested — cube would pay
+    4×) feeding a single partial+final hash aggregate; same scale shape
+    as q_agg_rollup. At 100 TB the detail set dominates rows out and
+    the subtotal sets piggyback on the same shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupingSets(
+        [["lang", "source"], ["lang"], []], "lang", "source"
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    ).select("lang", "source", "gid", "n_docs", "sum_chars")
+
+
+@register(
+    "q_join_salted",
+    oracle=f"""
+    SELECT s_nationkey,
+           {sql_dec_sum('l_quantity')} AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient fact⋈dim join through
+    :func:`streamclient_spark.scale.salted_join` (n_salts=8): the
+    oracle is the *plain* join — salting must be invisible in the
+    result, which is exactly the property this query attests. The salt
+    splits any hot supplier key across 8 sub-partitions; the dim side
+    replicates 8× (still tiny), and the post-join aggregate re-combines
+    on the natural key. At 100 TB this is the pattern for power-law
+    keys the AQE skew handler misses (single logical key > one
+    partition's memory)."""
+    from streamclient_spark.scale import salted_join
+
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+        )
+    )
+    return (
+        salted_join(l, s, "l_suppkey", n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {sql_dec_sum('l_quantity')} AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(27,4))) > 300)
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume customers — a HAVING-filtered
+    self-semi-join on the fact table, then customer/order detail for
+    the qualifying orders, global top-100 by order value.
+
+    100 TB plan: the qualifying-order set (sum(qty) > 300 is ~1% of
+    orders) comes from one partial+final aggregate of lineitem on
+    l_orderkey; joining it back to lineitem is a *semi* join on the
+    same key — with lineitem bucketed by orderkey both sides of both
+    joins co-locate and the whole query runs with one shuffle (the
+    aggregate's). The qualifying set is NOT broadcast-hinted: at scale
+    it is fact-derived and AQE decides. Top-100 is
+    TakeOrderedAndProject with o_orderkey as the unique tie-break."""
+    from streamclient_spark.compat import DEC
+
+    l = load(spark, sf_dir, "lineitem")
+    qualifying = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders").join(
+        qualifying, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    c = load(spark, sf_dir, "customer")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+        )
+        .agg(dec_sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

@@ -237,3 +237,39 @@ def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 addition: distribution functions (percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_win_distribution",
+    oracle="""
+    SELECT event_id, event_type, value,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cdist
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    """,
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-W1 companion: relative-position distribution functions.
+    percent_rank = (rank-1)/(n-1) and cume_dist = rows≤current/n are
+    single IEEE divisions over integer window counts — deterministic
+    across engines given the unique (value, event_id) total order, so
+    the doubles hash-match without a decimal detour. Same execution
+    shape as every window here: one shuffle on the partition key, one
+    in-partition sort, running computation."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
