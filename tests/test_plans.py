@@ -162,3 +162,52 @@ def test_range_join_is_equi_hash_join_not_hint_forced(spark, sf_oracle):
         assert "BroadcastHashJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_repetition_filter_is_shuffle_free(spark, sf_oracle):
+    # per-doc stats are local to the row: one Arrow pass, zero Exchange
+    plan = plan_of(spark, sf_oracle, "q_text_repetition", mode="simple")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_stratified_sample_is_shuffle_free_projection(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "q_sample_stratified", mode="simple")
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_window_exchange(spark, sf_oracle):
+    # one shuffle on the stream key (lang), then a running-sum window;
+    # no second Exchange and no global (empty-key) sort
+    plan = plan_of(spark, sf_oracle, "q_pack_sequences", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_grouping_sets_single_expand(spark, sf_oracle):
+    # 3 grouping sets = one Expand feeding one partial+final aggregate,
+    # not one aggregate per set
+    plan = plan_of(spark, sf_oracle, "q_agg_grouping_sets", mode="simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_q18_no_forced_broadcast_and_heap_topk(spark, sf_oracle):
+    # the qualifying-order set is fact-derived: with auto-broadcast off
+    # every join must degrade to a shuffle join (proving no hint), and
+    # the global top-100 must be TakeOrderedAndProject, never a full sort
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, sf_oracle, "q_tpch_q18", mode="simple")
+        assert "BroadcastHashJoin" not in plan
+        assert "TakeOrderedAndProject" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_win_distribution_single_window_shuffle(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "q_win_distribution", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
