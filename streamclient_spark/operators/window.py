@@ -273,3 +273,104 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 addition: time-series resample (gap fill + forward fill)
+# ---------------------------------------------------------------------------
+
+#: resample bucket width: 6 hours in microseconds
+_RESAMPLE_US = 21_600_000_000
+
+
+@register(
+    "q_ts_resample",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {_RESAMPLE_US} AS bucket,
+             value
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, bucket,
+             count(*) AS n_events,
+             {sql_dec_sum('value')} AS sum_value
+      FROM b GROUP BY user_id, bucket
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(range(min(bucket), max(bucket) + 1)) AS bucket
+      FROM agg GROUP BY user_id
+    )
+    SELECT s.user_id, s.bucket,
+           coalesce(a.n_events, 0) AS n_events,
+           last_value(a.sum_value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.bucket) AS ffill_sum
+    FROM spine s LEFT JOIN agg a USING (user_id, bucket)
+    """,
+)
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample each user's event stream
+    onto a fixed 6-hour grid — empty buckets materialized (gap fill)
+    with the last observed bucket aggregate carried forward (forward
+    fill via ``last(..., ignorenulls=True)`` over a running frame).
+
+    Gap rows are derived from the aggregate itself with ``lag``: each
+    observed bucket emits the missing buckets since its predecessor
+    (codegen ``sequence`` explode) carrying the predecessor's value as
+    the fill — so the fill needs no second window pass, no per-user
+    min/max branch, and no spine join. ONE events scan, ONE shuffle
+    (hash(user_id), which by the subset-key rule also satisfies the
+    (user_id, bucket) aggregate and the lag window — EnsureRequirements
+    inserts nothing further; plan-asserted). At 100 TB the grid is
+    per-entity and spans only each entity's own lifetime — output is
+    sum(entity_lifetime)/step rows, not |entities| × |global range|."""
+    e = load(spark, sf_dir, "events")
+    agg = (
+        e.repartition("user_id")
+        .select(
+            "user_id",
+            # integer `div`, never `/`: double division of a ~1.7e15
+            # epoch by a non-power-of-2 width can round a boundary
+            # timestamp into the wrong bucket
+            F.expr(f"unix_micros(ts) div {_RESAMPLE_US}").alias("bucket"),
+            "value",
+        )
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    with_prev = agg.select(
+        "user_id",
+        "bucket",
+        "n_events",
+        "sum_value",
+        F.lag("bucket").over(w).alias("_prev_bucket"),
+        F.lag("sum_value").over(w).alias("_prev_sum"),
+    )
+    # single explode covering the gap run AND the observed bucket —
+    # a union of (observed, gaps) branches would scan and shuffle the
+    # shared subtree twice (Spark does not reuse common subplans)
+    run_start = F.coalesce(F.col("_prev_bucket") + 1, F.col("bucket"))
+    at_obs = F.col("b") == F.col("bucket")
+    return (
+        with_prev.select(
+            "user_id", "bucket", "n_events", "sum_value", "_prev_sum",
+            F.explode(F.sequence(run_start, F.col("bucket"))).alias("b"),
+        )
+        .select(
+            "user_id",
+            F.col("b").alias("bucket"),
+            F.when(at_obs, F.col("n_events"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_events"),
+            F.when(at_obs, F.col("sum_value"))
+            .otherwise(F.col("_prev_sum"))
+            .alias("ffill_sum"),
+        )
+    )

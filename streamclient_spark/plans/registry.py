@@ -82,7 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sample_split", "q_text_contamination", "q_text_scrub",
     "q_text_repetition", "q_sample_stratified", "q_pack_sequences",
     "q_agg_grouping_sets", "q_join_salted", "q_tpch_q18",
-    "q_win_distribution",
+    "q_win_distribution", "q_ts_resample",
     # modified this round (re-attest): broadcast-hint removals, limb-sum
     # money aggregates, aggregate pushed below the outer join
     "q_join_range", "q_tpch_q5", "q_join_outer",

@@ -211,3 +211,12 @@ def test_win_distribution_single_window_shuffle(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "q_win_distribution", mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_ts_resample_single_scan_single_shuffle(spark, sf_oracle):
+    # gap fill + forward fill must come from ONE events scan and ONE
+    # hash(user_id) shuffle: the lag-derived gap-run explode replaces
+    # the naive min/max-spine + join formulation (2 scans, 3 exchanges)
+    plan = plan_of(spark, sf_oracle, "q_ts_resample", mode="simple")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 1
