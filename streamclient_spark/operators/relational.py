@@ -1087,3 +1087,149 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: TPC-H Q4 / Q12 / Q14 shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — orders in one quarter
+    with at least one late-shipped line (shipped >90 days after order;
+    the fixture has no commit/receipt dates, so lateness is
+    ship-vs-order + 90d — same correlated-EXISTS structure).
+
+    100 TB plan: the quarter filter pushes to the orders scan (~2% of
+    rows), then ONE left-semi join on orderkey — EXISTS never
+    materializes matches or duplicates orders, and the non-equi
+    lateness predicate rides the semi join as a residual. With both
+    facts bucketed by orderkey the semi join is co-located; the final
+    5-group aggregate is map-side combined to nothing."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: shipping-priority distribution — one year of
+    lineitems joined back to their orders, counting urgent vs other
+    orders per return flag (the fixture carries no l_shipmode, so the
+    group key is l_returnflag; the conditional-aggregation structure is
+    Q12's).
+
+    100 TB plan: the year filter pushes to the lineitem scan; the
+    orderkey equi-join is the only shuffle (co-located if bucketed);
+    the CASE counters fold into the partial aggregate so the final
+    exchange moves 3 rows. Counting via SUM(CASE)—not two filtered
+    joins—keeps it one pass."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT CAST(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    END) AS DOUBLE)
+           / CAST({_DISC_PRICE_SQL} AS DOUBLE) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion-revenue share — one month of
+    lineitems joined to part, PROMO revenue as a percentage of total.
+
+    Both sums run in exact decimal space and convert to DOUBLE once;
+    the percentage is then a single IEEE division — deterministic
+    across engines. 100 TB plan: month filter pushes to the fact scan
+    (<1% of rows); part is fact-scaled so the partkey join is an
+    UNHINTED shuffle join (AQE may still broadcast a genuinely small
+    side — the q_tpch_q5 lesson); the global scalar aggregate is a
+    partial-agg to one row per task before the single-row exchange."""
+    from streamclient_spark.compat import dec2
+
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
+    # no otherwise(): SUM skips nulls in both engines, matching the
+    # ELSE-less CASE in the oracle without a type-unification dance
+    promo = F.when(F.col("p_type").like("PROMO%"), disc)
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(promo).cast("double"))
+                / F.sum(disc).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
