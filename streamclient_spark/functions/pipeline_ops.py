@@ -407,3 +407,47 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET)
         .cast("bigint"),
     )
+
+
+#: mixture-temperature exponent: weight ∝ n^(1/2)
+_MIX_ALPHA_DEN = 2
+
+
+@register(
+    "q_sample_weights",
+    oracle="""
+    WITH c AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT source, n_docs,
+           sqrt(CAST(n_docs AS DOUBLE))
+             / sqrt(CAST(max(n_docs) OVER () AS DOUBLE)) AS rel_weight
+    FROM c
+    """,
+)
+def q_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source (the α=1/2
+    'temperature resampling' scheme multilingual/multi-source training
+    mixes use to flatten a skewed corpus): each source's sampling
+    weight relative to the dominant source, ``sqrt(n_i)/sqrt(n_max)``.
+
+    Expressed relative-to-max on purpose: it needs only one IEEE sqrt
+    and one division per row — deterministic across engines — where a
+    normalized form (÷ Σ√n_j) would sum 20 irrational doubles in
+    engine-dependent order and flap the hash. The window MAX runs over
+    the |sources|-row aggregate (a single tiny partition by
+    construction — the fact table is already reduced), so the
+    empty-partition window is not a scale hazard."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    n_max = F.max("n_docs").over(Window.partitionBy())
+    return counts.select(
+        "source",
+        "n_docs",
+        (
+            F.sqrt(F.col("n_docs").cast("double"))
+            / F.sqrt(n_max.cast("double"))
+        ).alias("rel_weight"),
+    )

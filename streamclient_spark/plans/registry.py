@@ -83,7 +83,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_repetition", "q_sample_stratified", "q_pack_sequences",
     "q_agg_grouping_sets", "q_join_salted", "q_tpch_q18",
     "q_win_distribution", "q_ts_resample",
-    "q_tpch_q4", "q_tpch_q12", "q_tpch_q14",
+    "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_sample_weights",
     # modified this round (re-attest): broadcast-hint removals, limb-sum
     # money aggregates, aggregate pushed below the outer join
     "q_join_range", "q_tpch_q5", "q_join_outer",

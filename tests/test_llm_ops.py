@@ -235,3 +235,108 @@ def test_multimodal_resize_matches_independent_gather(spark, sf_oracle):
         assert r["out_w"] == THUMB_W and r["out_h"] == THUMB_H
         assert r["thumb_md5"] == hashlib.md5(thumb.tobytes()).hexdigest()
         assert abs(r["thumb_mean"] - thumb.mean()) < 1e-9
+
+
+def test_pack_sequences_respects_budget_invariants(spark, sf_oracle):
+    """Packing semantics: per (lang, seq), dropping the last-started
+    document keeps the sequence within budget (docs are never split;
+    only the doc that crosses the boundary may overshoot), and seq_ids
+    are contiguous from 0 per lang."""
+    from streamclient_spark.functions.pipeline_ops import (
+        _PACK_BUDGET,
+        q_pack_sequences,
+    )
+
+    rows = q_pack_sequences(spark, sf_oracle).collect()
+    by_lang_seq: dict = {}
+    for r in rows:
+        by_lang_seq.setdefault((r["lang"], r["seq_id"]), []).append(
+            (r["doc_id"], r["n_tokens"])
+        )
+    langs = {lang for lang, _ in by_lang_seq}
+    for lang in langs:
+        seqs = sorted(s for l_, s in by_lang_seq if l_ == lang)
+        assert seqs[0] == 0 and seqs == list(range(len(seqs)))
+    for (lang, seq), docs in by_lang_seq.items():
+        docs.sort()
+        total = sum(n for _, n in docs)
+        assert total - docs[-1][1] < _PACK_BUDGET, (
+            f"{lang}/{seq}: sequence exceeded budget before its last doc"
+        )
+
+
+def test_sample_split_proportions_and_disjointness(spark, sf_oracle):
+    """The 80/10/10 split must cover every document exactly once and
+    land within a loose tolerance of its nominal proportions."""
+    from streamclient_spark.functions.pipeline_ops import q_sample_split
+
+    rows = q_sample_split(spark, sf_oracle).collect()
+    n = len(rows)
+    assert n == load(spark, sf_oracle, "documents").count()
+    assert len({r["doc_id"] for r in rows}) == n
+    frac = {
+        s: sum(1 for r in rows if r["split"] == s) / n
+        for s in ("train", "val", "test")
+    }
+    assert abs(frac["train"] - 0.8) < 0.06
+    assert abs(frac["val"] - 0.1) < 0.05
+    assert abs(frac["test"] - 0.1) < 0.05
+
+
+def test_sample_stratified_hits_per_stratum_rates(spark, sf_oracle):
+    """Selection rates per language must track the configured permille
+    rates (hash buckets are uniform, so a loose tolerance suffices),
+    and selection must be deterministic across invocations."""
+    from streamclient_spark.functions.pipeline_ops import (
+        _STRAT_EN_PERMILLE,
+        _STRAT_REST_PERMILLE,
+        q_sample_stratified,
+    )
+
+    kept = q_sample_stratified(spark, sf_oracle).collect()
+    totals = {
+        r["lang"]: r["n"]
+        for r in load(spark, sf_oracle, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_lang: dict = {}
+    for r in kept:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    for lang, total in totals.items():
+        want = (
+            _STRAT_EN_PERMILLE if lang == "en" else _STRAT_REST_PERMILLE
+        ) / 1000
+        got = by_lang.get(lang, 0) / total
+        assert abs(got - want) < 0.12, (lang, got, want)
+    kept2 = {r["doc_id"] for r in q_sample_stratified(spark, sf_oracle).collect()}
+    assert kept2 == {r["doc_id"] for r in kept}
+
+
+def test_text_repetition_flags_planted_repetitive_doc(spark):
+    """A document that is one phrase repeated must be flagged; natural
+    word-soup text must yield top_count ≪ n_bigrams."""
+    from streamclient_spark.plans.registry import REGISTRY
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 200),
+            (2, " ".join(f"w{i}" for i in range(400))),
+        ],
+        "doc_id bigint, text string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = {
+            r["doc_id"]: r
+            for r in REGISTRY["q_text_repetition"]
+            .builder(spark, tmp)
+            .collect()
+        }
+    assert rows[1]["flag_repetitive"] is True
+    assert rows[1]["top_count"] >= rows[1]["n_bigrams"] // 2
+    assert rows[2]["flag_repetitive"] is False
+    assert rows[2]["top_count"] == 1
