@@ -1114,28 +1114,37 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture has no commit/receipt dates, so lateness is
     ship-vs-order + 90d — same correlated-EXISTS structure).
 
-    100 TB plan: the quarter filter pushes to the orders scan (~2% of
-    rows), then ONE left-semi join on orderkey — EXISTS never
-    materializes matches or duplicates orders, and the non-equi
-    lateness predicate rides the semi join as a residual. With both
-    facts bucketed by orderkey the semi join is co-located; the final
-    5-group aggregate is map-side combined to nothing."""
+    EXISTS is deliberately NOT a ``left_semi`` with orders on the
+    left: semi-join builds on the right side, which pins the *fact*
+    (lineitem) as the hash build — unbroadcastable, so the whole fact
+    sorts through a shuffle join (measured 3.7 s at sf1). The inner
+    join below keeps the quarter-filtered orders (~2% of rows, filter
+    pushed to the scan) as the join's small side — Catalyst/AQE
+    broadcasts it when it fits and falls back to a shuffle join when
+    it doesn't — and then de-duplicates matched (orderkey, priority)
+    pairs, which the partial-aggregate combines map-side, so the
+    distinct's shuffle moves only surviving pairs (measured 1.1 s at
+    sf1, same rows). With both facts bucketed by orderkey the join is
+    co-located either way; the final 5-group aggregate is map-side
+    combined to nothing."""
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
-    )
-    l = load(spark, sf_dir, "lineitem")
-    late = o.join(
-        l,
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = l.join(
+        o,
         (F.col("l_orderkey") == F.col("o_orderkey"))
         & (
             F.col("l_shipdate")
             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         ),
-        "left_semi",
     )
-    return late.groupBy("o_orderpriority").agg(
-        F.count("*").alias("order_count")
+    return (
+        matched.select("o_orderkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
     )
 
 

@@ -261,7 +261,17 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines given the unique (value, event_id) total order, so
     the doubles hash-match without a decimal detour. Same execution
     shape as every window here: one shuffle on the partition key, one
-    in-partition sort, running computation."""
+    in-partition sort, running computation.
+
+    Scale note: a low-cardinality partition key (5 event types)
+    concentrates each key's full population in one task — fine at
+    fixture scale, a single-task sort at 100 TB. The scale path for
+    *global* distribution ranks is rank-by-range-partitioning: sort by
+    (value, id) with a range partitioner, count rows per partition,
+    broadcast the per-partition offsets, and compute rank = offset +
+    local row number — linear, no single-task sort. The window form
+    here is the API-parity surface; the decomposition is what a
+    standing 100 TB pipeline would run."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
         F.col("value").asc(), F.col("event_id").asc()

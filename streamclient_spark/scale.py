@@ -36,7 +36,7 @@ double-counts rows. We use ``pmod(xxhash64(cols...), n)``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
@@ -148,3 +148,79 @@ def bucketed_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     return spark
+
+
+def ranked_by_range(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global dense row-number over a total order WITHOUT a single-task
+    sort — the 100 TB replacement for ``row_number().over(Window.
+    orderBy(...))`` (whose empty/low-cardinality partitionBy funnels
+    the whole population through one task).
+
+    Decomposition: range-partition on the order columns (linear
+    shuffle, contiguous key ranges per partition), sort within each
+    partition, assign per-partition-local row numbers in one Arrow
+    pass, count rows per partition (a |partitions|-row aggregate), and
+    add each partition's prefix-sum offset via a broadcast join. Ranks
+    are identical to the window form whenever ``order_cols`` is a
+    total order (callers must include a unique tie-break column, same
+    rule as every limit/top-k in this engine).
+
+    The input is localCheckpoint'd after the local numbering so the
+    offset count and the final join share one computation of the
+    range shuffle (and Spark's nondeterministic-range sampling cannot
+    disagree between the two jobs)."""
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    part = df.repartitionByRange(int(n), *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+
+    cols = list(df.columns)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def local_number(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        for pdf in batches:
+            k = len(pdf)
+            pdf = pdf.copy()
+            pdf["__pid"] = pid
+            pdf["__local"] = range(seq, seq + k)
+            seq += k
+            yield pdf
+
+    numbered = part.mapInPandas(
+        local_number, f"{out_schema}, __pid int, __local bigint"
+    ).localCheckpoint(eager=False)
+
+    counts = (
+        numbered.groupBy("__pid")
+        .agg(F.count("*").alias("__n"))
+        .orderBy("__pid")
+    )
+    w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "__pid", (F.sum("__n").over(w) - F.col("__n")).alias("__offset")
+    )
+
+    return (
+        numbered.join(F.broadcast(offsets), "__pid")
+        .select(
+            *cols,
+            (F.col("__offset") + F.col("__local") + 1).alias(rank_col),
+        )
+    )

@@ -145,3 +145,40 @@ def test_salted_agg_equals_plain_agg(spark, sf_oracle):
         ).collect()
     }
     assert plain == two_phase  # decimal sums are exact → equality
+
+
+def test_ranked_by_range_matches_window_row_number(spark, sf_oracle):
+    """The distributed global-rank decomposition must reproduce the
+    single-task window row_number exactly over a total order, and its
+    plan must contain a range Exchange, not a single-partition sort of
+    the input."""
+    from pyspark.sql import Window as W
+
+    from streamclient_spark.scale import ranked_by_range
+    from streamclient_spark.tables import load
+
+    e = load(spark, sf_oracle, "events").select(
+        "event_id", "event_type", "value"
+    )
+    got = {
+        r["event_id"]: r["rank"]
+        for r in ranked_by_range(e, ["value", "event_id"]).collect()
+    }
+    want = {
+        r["event_id"]: r["rn"]
+        for r in e.select(
+            "event_id",
+            F.row_number()
+            .over(W.orderBy(F.col("value").asc(), F.col("event_id").asc()))
+            .alias("rn"),
+        ).collect()
+    }
+    assert got == want
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ranked_by_range(e, ["value", "event_id"]).explain(mode="simple")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan.replace(" ", "").lower()
