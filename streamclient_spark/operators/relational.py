@@ -1242,3 +1242,596 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: remaining feasible TPC-H shapes (Q6/Q7/Q8/Q10/Q13/
+# Q15/Q17/Q19/Q22 — the fixture lacks partsupp and the commit/receipt
+# date + shipmode/phone/comment columns, so Q2/Q9/Q11/Q16/Q20/Q21 have
+# no faithful analog; predicates are adapted where those columns appear)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+           AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecasting-revenue change — a pure
+    scan→filter→scalar-aggregate with zero joins (ref semantics:
+    the reference's count/metric queries are the same shape,
+    `/root/reference/services/AlertService.py:66-76`).
+
+    100 TB plan: the three conjuncts all push to the parquet scan
+    (date + discount + quantity are min/max-prunable row-group
+    stats), the product is summed as exact integer cents×basis-points
+    through long limbs (whole-stage codegen, no BigDecimal boxing),
+    and the exchange moves one row per task. This is the canonical
+    "scan speed IS the query" shape — no shuffle at any scale."""
+    from streamclient_spark.compat import limb_sums, limb_value, scaled2
+
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    # extendedprice in cents × discount in cents → exact 1e-4 units
+    prod = scaled2("l_extendedprice") * scaled2("l_discount")
+    return (
+        l.agg(*limb_sums(prod, "rev"))
+        .select(limb_value("rev", 4).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST({_DISC_PRICE_SQL} AS DOUBLE) AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey
+      AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipping between two trading nations —
+    both fact-to-fact joins plus a symmetric two-nation predicate that
+    cannot be fully pushed to either side alone.
+
+    100 TB plan: the nation dim filters to 2 rows and broadcasts into
+    supplier and customer (the only hinted broadcasts — nation is
+    fixed-size at every SF); that prunes supplier/customer to ~2/25 of
+    their rows BEFORE the fact joins, so the suppkey and custkey
+    shuffles move an order of magnitude less data than
+    filter-after-join would. The symmetric OR residual runs after both
+    nation names are bound — on rows already reduced to the two-nation
+    cross product. Revenue sums through long limbs; the final group
+    count is |2 × years|, map-side combined to nothing."""
+    from streamclient_spark.compat import limb_sums, limb_value, scaled2
+
+    pair = ("NATION_1", "NATION_2")
+    n1 = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("_sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("_cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key")
+    ).select("s_suppkey", "supp_nation")
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key")
+    ).select("c_custkey", "cust_nation")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    disc_s = scaled2("l_extendedprice") * (
+        F.lit(100) - scaled2("l_discount")
+    )
+    return (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == pair[0])
+                & (F.col("cust_nation") == pair[1])
+            )
+            | (
+                (F.col("supp_nation") == pair[1])
+                & (F.col("cust_nation") == pair[0])
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(*limb_sums(disc_s, "rev"))
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            limb_value("rev", 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey
+        AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — an 8-table join where
+    one nation's revenue is divided by all-nation revenue per year
+    (conditional-sum / total-sum on the same pass).
+
+    100 TB plan: region⋈nation broadcasts (fixed-size) and prunes
+    customers to one region before the custkey shuffle; the p_type
+    filter prunes part before the partkey join (selectivity 1/6);
+    supplier's nation name arrives through the second broadcast copy
+    of nation. Part/supplier/customer are fact-scaled and carry NO
+    hint — AQE upgrades whichever filtered side measures small. Both
+    sums (conditional numerator, total denominator) fold into ONE
+    partial aggregate — market share needs no second pass over the
+    join. Exact limb sums; one IEEE division per year row."""
+    from streamclient_spark.compat import limb_sums, limb_value, scaled2
+
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = (
+        load(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(r),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("_cn_key"))
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("nation"),
+    )
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("_cn_key")
+    ).select("c_custkey")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("_sn_key")
+    ).select("s_suppkey", "nation")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    vol = scaled2("l_extendedprice") * (F.lit(100) - scaled2("l_discount"))
+    nat_vol = F.when(F.col("nation") == "NATION_3", vol)
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            *limb_sums(nat_vol, "nat"),
+            *limb_sums(vol, "tot"),
+        )
+        .select(
+            "o_year",
+            (limb_value("nat", 4) / limb_value("tot", 4)).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+@register(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST({_DISC_PRICE_SQL} AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item reporting — top-20 customers by
+    lost revenue in a quarter, with nation detail.
+
+    100 TB plan: the quarter filter (≈3% of orders) and the returnflag
+    filter (≈25% of lineitems) both push to their scans; the
+    orderkey join is the only fact-fact shuffle (co-located when both
+    facts are bucketed by orderkey); the custkey join's left side is
+    already reduced to the quarter's customers and AQE picks its
+    strategy unhinted (customer is fact-scaled — the q_tpch_q5
+    lesson); nation broadcasts (fixed 25 rows). The top-20 is
+    TakeOrderedAndProject (per-partition heaps on the ~|quarter's
+    customers| aggregate, no global sort), with c_custkey as the
+    unique tie-break."""
+    from streamclient_spark.compat import limb_sums, limb_value, scaled2
+
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    disc_s = scaled2("l_extendedprice") * (
+        F.lit(100) - scaled2("l_discount")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(*limb_sums(disc_s, "rev"))
+        .select(
+            "c_custkey", "c_name",
+            limb_value("rev", 4).alias("revenue"),
+            "c_acctbal", "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — a filtered
+    LEFT OUTER join (the filter lives in the join condition, not a
+    WHERE — customers with zero qualifying orders must survive with
+    count 0), then a histogram of the per-customer counts.
+
+    100 TB plan: the aggregate is pushed BELOW the outer join —
+    orders pre-aggregates to one (custkey, count) row per customer
+    (partial+final on the custkey shuffle), and customer left-joins
+    that reduced table instead of the raw fact, so the join moves
+    |customers-with-orders| rows, not |orders|. The outer-join
+    null→0 coalesce reproduces COUNT over an empty group. The second
+    aggregate's key space is tiny (distinct counts) and map-side
+    combines to near nothing. Same rewrite Catalyst cannot do itself
+    (aggregate pushdown through outer join isn't in its rule set) —
+    measured equivalent and hash-identical to the literal form."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        c.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier — per-supplier quarterly revenue,
+    keeping the supplier(s) that hit the global maximum.
+
+    The max-equality test runs on the EXACT decimal total (reassembled
+    from the long limbs), never on the converted double — exact
+    rationals compare identically in both engines, so ties select the
+    same set. 100 TB plan: one suppkey-shuffled partial+final
+    aggregate of the quarter's lineitems; the global max is a scalar
+    aggregate of the |suppliers| revenue table, broadcast back via a
+    cross join (one row — never a single-partition window); the
+    supplier join is unhinted (fact-scaled dim, AQE decides)."""
+    from streamclient_spark.compat import limb_sums, scaled2
+    from decimal import Decimal
+
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    disc_s = scaled2("l_extendedprice") * (
+        F.lit(100) - scaled2("l_discount")
+    )
+    # exact decimal total (hi·2^20 + lo scaled by 1e-4) — comparisons
+    # happen on this, the double conversion happens once at the end
+    total = (
+        (
+            F.col("_rev_hi").cast("decimal(38,0)") * F.lit(1 << 20)
+            + F.col("_rev_lo").cast("decimal(38,0)")
+        )
+        * F.lit(Decimal("0.0001"))
+    ).alias("total_rev")
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(*limb_sums(disc_s, "rev"))
+        .select("supplier_no", total)
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#3'
+      AND p_size = 7
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(27,4)))
+                           AS DOUBLE) / COUNT(*))
+        FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue — lines whose
+    quantity is under 20% of the part's own average quantity, for one
+    brand/size slice of parts.
+
+    The correlated scalar subquery decorrelates into a per-part
+    aggregate JOINED back to the same rows. Key scale decision: the
+    per-part average is computed over the lineitems OF THE QUALIFYING
+    PARTS ONLY (first the selective part filter + partkey join, then
+    the aggregate on the already-reduced set) — the oracle's
+    formulation correlates over all of lineitem, but every probed
+    p_partkey is a qualifying part, so the result is identical while
+    the aggregate input shrinks by the part filter's selectivity
+    (1/(25·50) here). The threshold average is exact-decimal
+    sum / count with one IEEE multiply by 0.2 — deterministic in both
+    engines. Part filter is ultra-selective and unhinted; AQE
+    broadcasts the filtered part list and the tiny per-part threshold
+    table into the fact."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") == 7))
+        .select("p_partkey")
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lp = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    thr = (
+        lp.groupBy(F.col("p_partkey").alias("_tk"))
+        .agg((F.lit(0.2) * dec_avg("l_quantity")).alias("_thr"))
+    )
+    return (
+        lp.join(thr, F.col("p_partkey") == F.col("_tk"))
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg((dec_sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT CAST({_DISC_PRICE_SQL} AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue for three OR'd
+    brand/size/quantity bundles — the classic "disjunction of
+    conjunctions" join residual (container/shipmode predicates adapted
+    to the fixture's p_size).
+
+    100 TB plan: the per-side implied prefilters are stated
+    EXPLICITLY (p_brand ∈ {{3 brands}} ∧ p_size ≤ 15 on part;
+    1 ≤ l_quantity ≤ 30 on lineitem) so they push to the scans even
+    though Catalyst cannot derive them from the cross-table OR; the
+    partkey equi-join then carries the full disjunction as its
+    residual. Part after the brand filter is 3/25 of a fact-scaled
+    table — unhinted, AQE decides. One partial-aggregated scalar
+    sum; no other shuffle."""
+    from streamclient_spark.compat import limb_sums, limb_value, scaled2
+
+    bundles = (
+        ("Brand#12", 5, 1, 11),
+        ("Brand#23", 10, 10, 20),
+        ("Brand#24", 15, 20, 30),
+    )
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*[b[0] for b in bundles])
+        & F.col("p_size").between(1, 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    residual = None
+    for brand, max_size, qlo, qhi in bundles:
+        arm = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, max_size)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        residual = arm if residual is None else (residual | arm)
+    disc_s = scaled2("l_extendedprice") * (
+        F.lit(100) - scaled2("l_discount")
+    )
+    return (
+        l.join(p, (F.col("l_partkey") == F.col("p_partkey")) & residual)
+        .agg(*limb_sums(disc_s, "rev"))
+        .select(limb_value("rev", 4).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle=f"""
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           {sql_dec_sum('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c_acctbal > (
+        SELECT {sql_dec_avg('c_acctbal')}
+        FROM customer
+        WHERE c_acctbal > 0.00
+          AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global sales opportunity — customers from a
+    set of countries with above-average positive balances and NO
+    recent orders (the fixture has no c_phone, so the country code is
+    c_nationkey directly; every fixture customer has *some* order, so
+    the inactivity test is "no order since 2000" — same NOT-EXISTS
+    structure with a selective inner side).
+
+    Decorrelation: the scalar average is a one-row aggregate
+    cross-joined (broadcast) into the filtered customers; NOT EXISTS
+    is a left_anti join against orders' custkey column. 100 TB plan:
+    the country filter pushes to both customer scans; the anti join
+    shuffles on custkey (co-located under custkey bucketing) — its
+    right side projects ONLY o_custkey so the shuffle moves one long
+    per order; the average compares against exact-decimal-derived
+    doubles (same bits both engines); final aggregate is ≤7 groups."""
+    nations = (1, 3, 5, 7, 9, 11, 13)
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(*nations))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(dec_avg("c_acctbal").alias("_avg"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dec_sum("c_acctbal").alias("totacctbal"),
+        )
+    )
