@@ -220,3 +220,81 @@ def test_ts_resample_single_scan_single_shuffle(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "q_ts_resample", mode="simple")
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_tpch_q6_pushes_all_conjuncts_and_has_no_join(spark, sf_oracle):
+    # pure scan→agg: every conjunct in PushedFilters, no join operator,
+    # and a partial aggregate before the single-row exchange
+    plan = plan_of(spark, sf_oracle, "q_tpch_q6")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed
+    assert "GreaterThanOrEqual(l_discount,0.05)" in pushed
+    assert "LessThan(l_quantity,24.0)" in pushed
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q7_broadcasts_nation_not_lineitem(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "q_tpch_q7")
+    assert "BroadcastHashJoin" in plan  # nation into supplier/customer
+    # the fact scan feeds a shuffle or AQE join, never a broadcast build
+    # of lineitem itself
+    assert "broadcast(lineitem" not in plan.lower()
+    # shipdate range reaches the fact scan
+    pushed = [
+        l for l in plan.splitlines()
+        if "PushedFilters" in l and "l_shipdate" in l
+    ]
+    assert pushed, "shipdate filter must push to the lineitem scan"
+
+
+def test_tpch_q13_aggregates_orders_below_the_outer_join(spark, sf_oracle):
+    # the (custkey, count) aggregate must sit on the orders side BELOW
+    # the left outer join — the join's right input contains an
+    # aggregate, and the priority filter pushes to the orders scan
+    plan = plan_of(spark, sf_oracle, "q_tpch_q13")
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("BroadcastHashJoin")
+    assert join_pos != -1
+    assert "HashAggregate" in plan
+    pushed = [
+        l for l in plan.splitlines()
+        if "PushedFilters" in l and "o_orderpriority" in l
+    ]
+    assert pushed, "priority filter must push to the orders scan"
+    # histogram agg + per-customer agg = at least 2 aggregate pairs
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_tpch_q15_max_is_scalar_broadcast_not_global_window(spark, sf_oracle):
+    # the global max must NOT be a single-partition window sort
+    plan = plan_of(spark, sf_oracle, "q_tpch_q15")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_tpch_q19_implied_prefilters_reach_both_scans(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "q_tpch_q19")
+    pushed_l = [
+        l for l in plan.splitlines()
+        if "PushedFilters" in l and "l_quantity" in l
+    ]
+    pushed_p = [
+        l for l in plan.splitlines()
+        if "PushedFilters" in l and "p_brand" in l
+    ]
+    assert pushed_l, "quantity envelope must push to the lineitem scan"
+    assert pushed_p, "brand set must push to the part scan"
+
+
+def test_tpch_q22_anti_join_projects_only_custkey(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "q_tpch_q22")
+    assert "LeftAnti" in plan
+    # orders scan reads only the columns the anti join needs
+    schema_lines = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "o_custkey" in l
+    ]
+    assert schema_lines
+    assert all("o_totalprice" not in l for l in schema_lines)
