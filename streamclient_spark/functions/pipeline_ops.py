@@ -459,3 +459,45 @@ def q_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(n_max.cast("double"))
         ).alias("rel_weight"),
     )
+
+
+@register(
+    "q_sample_lengths",
+    oracle="""
+    SELECT length(bin(n_chars)) - 1 AS log2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY log2_bucket
+    """,
+)
+def q_sample_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram on power-of-two buckets — the
+    length-distribution profile used to size sequence-packing bins
+    (q_pack_sequences), spot truncation cliffs, and budget tokens per
+    source.
+
+    The bucket is ``floor(log2(n_chars))`` computed EXACTLY as
+    ``length(bin(n)) - 1`` (binary-representation length) — never
+    float ``log2``, whose libm rounding at exact powers of two can
+    disagree across engines and mis-bucket boundary documents. 100 TB
+    plan: stateless projection + a ~60-group hash aggregate with
+    map-side partials; long sums in codegen; zero Python, one
+    near-empty exchange."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return (
+        d.select(
+            (F.length(F.bin(F.col("n_chars"))) - 1).alias("log2_bucket"),
+            "n_chars",
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -23,7 +23,7 @@ both engines); ``ln``-based scores are rounded to 6 decimals.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamclient_spark.plans.registry import register
@@ -453,4 +453,106 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, content_md5 string, "
             "shingle_md5 string, min_shingle_md5 string",
         )
+    )
+
+
+@register(
+    "q_text_ngram_top",
+    oracle=f"""
+    SELECT lang, bigram, n_docs_bigram AS n
+    FROM (
+      SELECT lang, bigram, COUNT(*) AS n_docs_bigram,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY COUNT(*) DESC, bigram) AS rk
+      FROM (
+        SELECT lang,
+               unnest(CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1])
+                      ELSE [] END) AS bigram
+        FROM (SELECT lang, {SQL_TOKENS.format(col="text")} AS toks
+              FROM documents)
+      )
+      GROUP BY lang, bigram
+    )
+    WHERE rk <= 10
+    """,
+)
+def q_text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bigrams per language — the n-gram frequency profile used
+    for corpus inspection, language-model smoke stats, and building
+    langid models (the langid op's n-gram tables come from exactly
+    this query shape at k=2..3 over characters).
+
+    100 TB plan: explode multiplies rows by ~|tokens| but the
+    (lang, bigram) partial aggregate combines map-side before the one
+    shuffle; the per-lang top-10 is a WindowGroupLimit (per-partition
+    heaps prune to 10 rows per lang BEFORE the window sort's
+    exchange). Ties break on the bigram string, so the selected set is
+    deterministic. No Python anywhere."""
+    d = load(spark, sf_dir, "documents")
+    t = tokens("text")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n"), F.asc("bigram")
+    )
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "bigram", "n")
+    )
+
+
+@register(
+    "q_text_normalize",
+    oracle=r"""
+    SELECT doc_id, lang, norm,
+           length(norm) AS n_chars_norm, n_chars AS n_chars_raw
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization projection: lowercase, strip everything
+    outside ``[a-z0-9 ]``, collapse runs of spaces, trim — the
+    canonical form feeding exact dedup (q_dedup_exact hashes exactly
+    this kind of normal form) and tokenizers.
+
+    100 TB plan: a stateless regex projection inside whole-stage
+    codegen — zero shuffle, zero Python, scan-speed. Both engines
+    replace ALL matches (Spark ``regexp_replace`` is global; DuckDB
+    needs the explicit 'g' flag) and the character class is ASCII-safe
+    so locale differences cannot change the result."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        norm.alias("norm"),
+        F.length(norm).alias("n_chars_norm"),
+        F.col("n_chars").alias("n_chars_raw"),
     )

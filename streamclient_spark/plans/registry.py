@@ -86,6 +86,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_sample_weights",
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",
     "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
+    "q_embed_quantize", "q_embed_centroids", "q_text_ngram_top",
+    "q_text_normalize", "q_sample_lengths",
     # modified this round (re-attest): broadcast-hint removals, limb-sum
     # money aggregates, aggregate pushed below the outer join
     "q_join_range", "q_tpch_q5", "q_join_outer",
@@ -117,6 +119,7 @@ def load_all() -> dict[str, QuerySpec]:
     import streamclient_spark.functions.text  # noqa: F401
     import streamclient_spark.functions.multimodal  # noqa: F401
     import streamclient_spark.functions.pipeline_ops  # noqa: F401
+    import streamclient_spark.functions.embeddings  # noqa: F401
     import streamclient_spark.operators.udf_surface  # noqa: F401
 
     ordered: dict[str, QuerySpec] = {}

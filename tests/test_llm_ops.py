@@ -340,3 +340,49 @@ def test_text_repetition_flags_planted_repetitive_doc(spark):
     assert rows[1]["top_count"] >= rows[1]["n_bigrams"] // 2
     assert rows[2]["flag_repetitive"] is False
     assert rows[2]["top_count"] == 1
+
+
+def test_embed_quantize_roundtrip_error_bound(spark, sf_oracle):
+    """Dequantized values must sit within half a quantization step of
+    the source, and the max-|x| element must map to ±127."""
+    from streamclient_spark.plans.registry import load_all
+
+    REGISTRY = load_all()
+    rows = (
+        REGISTRY["q_embed_quantize"].builder(spark, sf_oracle).limit(50).collect()
+    )
+    full = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    src = {r["vec_id"]: list(r["embedding"]) for r in full.collect()}
+    for r in rows:
+        xs, q, s = src[r["vec_id"]], r["qvec"], r["scale"]
+        assert s > 0
+        assert max(abs(v) for v in q) == 127
+        step = 1.0 / s
+        for x, qi in zip(xs, q):
+            assert abs(qi / s - x) <= step / 2 + 1e-9
+
+
+def test_embed_centroids_cover_all_labels_and_dims(spark, sf_oracle):
+    from streamclient_spark.plans.registry import load_all
+
+    REGISTRY = load_all()
+    rows = REGISTRY["q_embed_centroids"].builder(spark, sf_oracle).collect()
+    labels = {r["label"] for r in rows}
+    dims = {r["dim"] for r in rows}
+    assert dims == set(range(64))
+    n_total = sum(r["n_vectors"] for r in rows) / 64
+    assert n_total == 500  # every vector contributes to every dim
+    assert all(-1.5 < r["centroid"] < 1.5 for r in rows)
+    assert len(labels) == 10
+
+
+def test_ngram_top_is_capped_and_sorted_per_lang(spark, sf_oracle):
+    from streamclient_spark.plans.registry import load_all
+
+    REGISTRY = load_all()
+    rows = REGISTRY["q_text_ngram_top"].builder(spark, sf_oracle).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["n"])
+    for lang, ns in by_lang.items():
+        assert len(ns) <= 10
