@@ -59,20 +59,40 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_max``) — whole-stage codegen, zero shuffle, zero Python;
     runs at parquet scan speed and parallelizes embarrassingly.
     Zero-vectors quantize to all-zeros with scale 0 (guarded division).
-    """
-    e = load(spark, sf_dir, "embeddings")
+
+    The split-recovery ``repartition`` exists because the fixture
+    writes the table as ONE parquet row group (one task regardless of
+    cores — measured 5.5 s single-task vs 0.6 s split at sf1); with a
+    real multi-split table it is a no-op to delete. The higher-order
+    lambdas are Catalyst-interpreted per element, which is acceptable
+    here (64 elements/row) — unlike the per-token text ops, which use
+    fused Arrow passes."""
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     mx = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
-    scale = F.when(mx == 0, F.lit(0.0)).otherwise(F.lit(127.0) / mx)
-    return e.select(
+    # scale is MATERIALIZED as a column before the quantizing lambda:
+    # referencing the scale *expression* inside the per-element lambda
+    # re-evaluates the array_max sub-expression for every element —
+    # O(dim²) interpreted evals per row, measured 9 s vs 0.6 s at sf1
+    withscale = e.select(
         "vec_id",
         "label",
-        scale.alias("scale"),
+        "embedding",
+        F.when(mx == 0, F.lit(0.0))
+        .otherwise(F.lit(127.0) / mx)
+        .alias("scale"),
+    )
+    return withscale.select(
+        "vec_id",
+        "label",
+        "scale",
         F.transform(
             F.col("embedding"),
             lambda x: F.floor(
-                x.cast("double") * scale + F.lit(0.5)
+                x.cast("double") * F.col("scale") + F.lit(0.5)
             ).cast("int"),
         ).alias("qvec"),
     )

@@ -1320,11 +1320,13 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB plan: the nation dim filters to 2 rows and broadcasts into
     supplier and customer (the only hinted broadcasts — nation is
     fixed-size at every SF); that prunes supplier/customer to ~2/25 of
-    their rows BEFORE the fact joins, so the suppkey and custkey
-    shuffles move an order of magnitude less data than
-    filter-after-join would. The symmetric OR residual runs after both
-    nation names are bound — on rows already reduced to the two-nation
-    cross product. Revenue sums through long limbs; the final group
+    their rows BEFORE the fact joins. Join order is chosen so NEITHER
+    full fact crosses the orderkey shuffle: lineitem is pre-reduced by
+    the supplier-nation join (~8%), orders is pre-reduced by the
+    customer-nation join (~8%), and only then do the two reduced sides
+    meet on orderkey (measured 5.5 s → 1.9 s at sf1 vs joining full
+    orders first). The symmetric OR residual runs after both nation
+    names are bound. Revenue sums through long limbs; the final group
     count is |2 × years|, map-side combined to nothing."""
     from streamclient_spark.compat import limb_sums, limb_value, scaled2
 
@@ -1360,10 +1362,10 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_s = scaled2("l_extendedprice") * (
         F.lit(100) - scaled2("l_discount")
     )
+    oc = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     return (
         l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(
             (
                 (F.col("supp_nation") == pair[0])
@@ -1621,9 +1623,17 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate of the quarter's lineitems; the global max is a scalar
     aggregate of the |suppliers| revenue table, broadcast back via a
     cross join (one row — never a single-partition window); the
-    supplier join is unhinted (fact-scaled dim, AQE decides)."""
+    supplier join is unhinted (fact-scaled dim, AQE decides). The
+    revenue table feeds BOTH the scalar max and the equality join;
+    without a persist Spark recomputes the whole scan+aggregate
+    lineage once per consumer (no cross-branch CSE) — measured 2.9 s
+    → 1.3 s at sf1. The persisted table is |suppliers| rows and is
+    released by the next builder (cacheutil)."""
+    from streamclient_spark.cacheutil import managed_persist, release_managed
     from streamclient_spark.compat import limb_sums, scaled2
     from decimal import Decimal
+
+    release_managed()
 
     l = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -1641,7 +1651,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * F.lit(Decimal("0.0001"))
     ).alias("total_rev")
-    rev = (
+    rev = managed_persist(
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(*limb_sums(disc_s, "rev"))
         .select("supplier_no", total)

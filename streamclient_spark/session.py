@@ -47,6 +47,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # local-mode split sizing: single-FILE fixtures only
+        # parallelize if the scan planner cuts the file finer than the
+        # 128 MB default (a ~300 MB sf1 fact file would otherwise scan
+        # as 3 tasks on 32 cores — measured 3× on scan-bound queries).
+        # Row-group boundaries still floor the effective granularity.
+        # On a real cluster with thousands of input splits, raise this
+        # back to the 128 MB default: 16 MB × 100 TB would plan 6M
+        # tasks and the scheduler, not the scan, becomes the cost.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

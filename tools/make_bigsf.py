@@ -79,9 +79,12 @@ def make(src: str, dst: str, factor: int) -> None:
             selects.append(
                 f"SELECT {proj} FROM read_parquet('{src_path}')"
             )
+        # small row groups so Spark's scan planner can split the
+        # single output file across cores (a 122880-row default group
+        # leaves documents/embeddings as ONE task at any core count)
         con.execute(
             f"COPY ({' UNION ALL '.join(selects)}) TO '{dst_path}' "
-            "(FORMAT PARQUET)"
+            "(FORMAT PARQUET, ROW_GROUP_SIZE 16384)"
         )
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dst_path}')"
