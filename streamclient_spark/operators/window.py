@@ -384,3 +384,128 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ffill_sum"),
         )
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_click
+      FROM events
+      WHERE event_type = 'click'
+      GROUP BY user_id
+    ),
+    conv AS (
+      SELECT c.user_id,
+             MIN(CAST(e.ts AS TIMESTAMP)) AS first_purchase
+      FROM events e
+      JOIN clicks c
+        ON e.user_id = c.user_id
+       AND e.event_type = 'purchase'
+       AND CAST(e.ts AS TIMESTAMP) > c.first_click
+      GROUP BY c.user_id
+    )
+    SELECT clicks.user_id, first_click, first_purchase,
+           (first_purchase IS NOT NULL) AS converted,
+           CAST(CASE WHEN first_purchase IS NOT NULL THEN
+             date_diff('second', first_click, first_purchase)
+           END AS BIGINT) AS secs_to_convert
+    FROM clicks LEFT JOIN conv ON clicks.user_id = conv.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel over the event stream: per user, the first
+    ``click`` and the first ``purchase`` that STRICTLY FOLLOWS it —
+    the two-step ordered-sequence match every product-analytics engine
+    ships (the reference's stream is the same shape: a ``started``
+    event followed by a terminal event per key,
+    `/root/reference/ess_client.py:157-163`).
+
+    100 TB plan: both event-type filters push to the scan; the
+    first-click aggregate is partial+final on the user_id shuffle; the
+    follows-the-click condition is a residual on the user_id equi-join
+    (never a time-range join); the second aggregate reuses the same
+    user_id partitioning (zero extra exchange — Catalyst sees the
+    co-partitioning). Timestamps compare exactly (µs truncation both
+    engines), so "strictly after" picks identical event sets."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_pu"), F.col("ts").alias("_pts")
+    )
+    conv = (
+        purchases.join(
+            clicks,
+            (F.col("_pu") == F.col("user_id"))
+            & (F.col("_pts") > F.col("first_click")),
+        )
+        .groupBy(F.col("_pu"))
+        .agg(F.min("_pts").alias("first_purchase"))
+    )
+    return (
+        clicks.join(conv, F.col("user_id") == F.col("_pu"), "left")
+        .select(
+            "user_id",
+            "first_click",
+            "first_purchase",
+            F.col("first_purchase").isNotNull().alias("converted"),
+            F.when(
+                F.col("first_purchase").isNotNull(),
+                (
+                    F.unix_timestamp("first_purchase")
+                    - F.unix_timestamp("first_click")
+                ),
+            ).alias("secs_to_convert"),
+        )
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT cohort_week,
+           date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS activity_week,
+           COUNT(DISTINCT e.user_id) AS active_users,
+           COUNT(*) AS n_events
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY cohort_week, activity_week
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week ×
+    activity week, with active-user and event counts — the standard
+    retention triangle.
+
+    100 TB plan: the first-seen aggregate shuffles once on user_id;
+    joining it back reuses that partitioning (co-partitioned join, no
+    extra exchange); the (cohort, week) aggregate's COUNT(DISTINCT
+    user) expands to a two-phase distinct-aggregate whose first phase
+    is also user-keyed — Catalyst chains all three on one
+    partitioning. Week truncation is ISO-Monday in both engines
+    (date_trunc('week')), on µs-truncated timestamps, so cohort
+    boundaries match exactly."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("activity_week"),
+        )
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("active_users"),
+            F.count("*").alias("n_events"),
+        )
+    )

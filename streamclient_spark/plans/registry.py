@@ -87,7 +87,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",
     "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
     "q_embed_quantize", "q_embed_centroids", "q_text_ngram_top",
-    "q_text_normalize", "q_sample_lengths",
+    "q_text_normalize", "q_sample_lengths", "q_funnel",
+    "q_cohort_retention",
     # modified this round (re-attest): broadcast-hint removals, limb-sum
     # money aggregates, aggregate pushed below the outer join
     "q_join_range", "q_tpch_q5", "q_join_outer",
