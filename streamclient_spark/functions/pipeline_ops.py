@@ -204,8 +204,14 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     those — a self-verifying redaction test. The output carries the
     md5 of the scrubbed text (not the text itself) so the hash compare
     pins the full redacted content byte-for-byte. Pure regex
-    projection: codegen'd, shuffle-free, linear at any scale."""
-    d = load(spark, sf_dir, "documents")
+    projection: codegen'd, linear at any scale. The split-recovery
+    repartition exists because the fixture is a near-unsplittable
+    single file (1-3 row groups = 1-3 tasks at any core count,
+    measured 2.5 s -> 0.7 s at sf1 for this regex-bound projection);
+    with real multi-split input it is a no-op to delete."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     planted = d.select(
         "doc_id",
         F.concat(

@@ -569,8 +569,14 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen — zero shuffle, zero Python, scan-speed. Both engines
     replace ALL matches (Spark ``regexp_replace`` is global; DuckDB
     needs the explicit 'g' flag) and the character class is ASCII-safe
-    so locale differences cannot change the result."""
-    d = load(spark, sf_dir, "documents")
+    so locale differences cannot change the result. The
+    split-recovery repartition mirrors q_text_scrub's: the
+    near-unsplittable fixture file caps the scan at 1-3 tasks
+    (measured 2.6 s -> 0.8 s at sf1); delete it for multi-split
+    input."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
