@@ -84,11 +84,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_grouping_sets", "q_join_salted", "q_tpch_q18",
     "q_win_distribution", "q_ts_resample",
     "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_sample_weights",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",
-    "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
+    # late-round-2 pipeline/analytics ops (never attested) — ahead of
+    # the TPC-H shapes, whose r1-attested cousins derisk them more
     "q_embed_quantize", "q_embed_centroids", "q_text_ngram_top",
     "q_text_normalize", "q_sample_lengths", "q_funnel",
     "q_cohort_retention",
+    # late-round-2 TPC-H shapes (the window cuts at 50: the tail of
+    # this block and everything below re-attests in a later round)
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",
+    "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
     # modified this round (re-attest): broadcast-hint removals, limb-sum
     # money aggregates, aggregate pushed below the outer join
     "q_join_range", "q_tpch_q5", "q_join_outer",
