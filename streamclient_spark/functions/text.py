@@ -591,3 +591,76 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).alias("n_chars_norm"),
         F.col("n_chars").alias("n_chars_raw"),
     )
+
+
+@register(
+    "q_text_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKENS.format(col="text")}) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token, COUNT(*) AS n_w FROM toks GROUP BY token
+    ),
+    total AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(bits) AS BIGINT) AS total_bits,
+           CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_bits
+    FROM (
+      SELECT t.doc_id,
+             (length(bin(total.n)) - 1) - (length(bin(v.n_w)) - 1) AS bits
+      FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN total
+    )
+    GROUP BY doc_id
+    """,
+)
+def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram surprisal quality score — the perplexity-proxy filter of
+    a pretraining pipeline (KenLM-style scoring, reduced to a unigram
+    model the corpus itself provides): documents whose tokens are
+    globally rare score high, boilerplate scores low.
+
+    Per-token surprisal is ``floor(log2 N) - floor(log2 n_w)`` — an
+    INTEGER bit count (``length(bin(x)) - 1``), never float ``ln``:
+    both engines' ``ln``/``log`` are libm-rounded and may differ in the
+    last ulp, and a float sum across tokens is order-dependent, so a
+    cross-engine hash of a float-scored corpus would flap. Whole-bit
+    surprisal keeps the score exact, deterministic, and
+    retry/partitioning-independent at any scale (same doctrine as the
+    limb-sum money aggregates). The IEEE division happens once per
+    document.
+
+    100 TB plan: one explode feeds (a) the vocabulary aggregate
+    (partial+final on the token key) and (b) the scoring join, both
+    partitioned by token — co-located, one logical shuffle each; the
+    corpus-total is a one-row broadcast; the per-document aggregate
+    shuffles (doc_id, long) pairs only. The vocabulary at real scale
+    (~100M types) stays distributed — never collected or broadcast."""
+    from streamclient_spark.cacheutil import managed_persist, release_managed
+
+    release_managed()
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = managed_persist(
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("n_w"))
+    total = toks.agg(F.count("*").alias("n"))
+    bits = (
+        (F.length(F.bin(F.col("n"))) - 1)
+        - (F.length(F.bin(F.col("n_w"))) - 1)
+    ).alias("bits")
+    return (
+        toks.join(vocab, "token")
+        .join(F.broadcast(total))
+        .select("doc_id", bits)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("bits").alias("total_bits"),
+            (
+                F.sum("bits").cast("double") / F.count("*")
+            ).alias("avg_bits"),
+        )
+    )
