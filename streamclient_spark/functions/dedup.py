@@ -214,9 +214,14 @@ def _shingle_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((doc_id, sh, keys))
             yield pd.DataFrame(out, columns=["doc_id", "s", "band_keys"])
 
+    # split recovery: the fixture file carries 1-3 row groups, so this
+    # CPU-bound pass would otherwise run on 1-3 tasks at any core
+    # count (measured 32 s → 9 s for q_dedup_near at sf1); with real
+    # multi-split input the repartition is a no-op to delete
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(
             profiles,
             "doc_id bigint, s array<string>, band_keys array<string>",
@@ -240,7 +245,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode("band_keys").alias("band", "key")
     )
 
-    cand = (
+    cand = managed_persist(
         bands.alias("x")
         .join(bands.alias("y"), ["band", "key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -249,16 +254,32 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Verification touches only documents that appear in a candidate
+    # pair. LSH makes that set tiny (non-dup band collisions are rare
+    # by construction), but Catalyst cannot infer it — without the
+    # semi-join below, BOTH verify joins shuffle the full shingle-array
+    # table (~10 KB/row: the dominant I/O of the whole query, measured
+    # 20 s → 8 s at sf1 / 184 s → 49 s at sf10).
+    cand_ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    vsets = sets.join(cand_ids, "doc_id", "left_semi")
     j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
         cand.join(
-            sets.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sh_a")),
+            vsets.select(
+                F.col("doc_id").alias("a_id"), F.col("s").alias("sh_a")
+            ),
             "a_id",
         )
         .join(
-            sets.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sh_b")),
+            vsets.select(
+                F.col("doc_id").alias("b_id"), F.col("s").alias("sh_b")
+            ),
             "b_id",
         )
         .filter(j >= _NEAR_THRESHOLD)
@@ -439,9 +460,11 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((doc_id, sim))
             yield pd.DataFrame(out, columns=["doc_id", "simhash"])
 
+    # split recovery — same rationale as _shingle_profiles
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(signatures, "doc_id bigint, simhash bigint")
     )
 
