@@ -276,17 +276,32 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-L4: language identification via marker-stopword counting with a
     fixed argmax tie order (en > fr > es > de > zh). The fixture text is
     synthetic, so the *label* column is not recoverable — the oracle
-    checks heuristic parity, not accuracy. Pure projection."""
-    d = load(spark, sf_dir, "documents")
-    toks = tokens("text")
+    checks heuristic parity, not accuracy. Pure projection.
+
+    The token array is MATERIALIZED once (``_toks`` column) before the
+    five marker counts: inlining the ``tokens()`` expression into each
+    count re-runs the split per language — 5× the tokenization work in
+    interpreted higher-order-function space. Split recovery as in the
+    other document ops (near-unsplittable fixture file)."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def hits(lang: str) -> Column:
         markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-        return F.size(F.filter(toks, lambda w: F.array_contains(markers, w)))
+        return F.size(
+            F.filter(
+                F.col("_toks"), lambda w: F.array_contains(markers, w)
+            )
+        )
 
     h = d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
+        tokens("text").alias("_toks"),
+    ).select(
+        "doc_id",
+        "labeled_lang",
         hits("en").alias("en_hits"),
         hits("fr").alias("fr_hits"),
         hits("es").alias("es_hits"),
@@ -358,13 +373,20 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of a single row) — keeps the whole plan lazy/distributed instead of
     # collecting a count at plan-build time.
     n = d.agg(F.count("*").cast("double").alias("n_docs"))
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    # split recovery: tokenize+explode is the CPU-heavy stage and the
+    # near-unsplittable fixture file otherwise runs it on 1-3 tasks
+    tok = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # the tf >= 3 output filter runs BEFORE the idf join: df must see
+    # every (doc, token) row, but the join doesn't — filtering first
+    # cuts the join's probe side ~10× (most tf values are 1)
     return (
-        tf.join(df, "token")
+        tf.filter(F.col("tf") >= 3)
+        .join(df, "token")
         .crossJoin(F.broadcast(n))
-        .filter(F.col("tf") >= 3)
         .select(
             "doc_id",
             "token",
@@ -445,9 +467,13 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
+    # split recovery — same rationale as the dedup profile pass: the
+    # near-unsplittable fixture file caps this CPU-bound pass at 1-3
+    # tasks (measured 3.7 s -> 0.9 s at sf1)
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(
             fingerprints,
             "doc_id bigint, content_md5 string, "
