@@ -204,8 +204,14 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = e.select("vec_id", "embedding").mapInPandas(
-        local_topk, "query_id bigint, neighbor_id bigint, cos_sim double"
+    # split recovery (near-unsplittable fixture file, CPU-bound GEMM)
+    scored = (
+        e.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            local_topk,
+            "query_id bigint, neighbor_id bigint, cos_sim double",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -258,9 +264,14 @@ def _bucketed_arrow(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col, emb_col).mapInPandas(
-        project,
-        f"{id_col} bigint, {emb_col} array<float>, bucket int, nrm double",
+    # split recovery (near-unsplittable fixture file, CPU-bound GEMM)
+    return (
+        df.select(id_col, emb_col)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(
+            project,
+            f"{id_col} bigint, {emb_col} array<float>, bucket int, nrm double",
+        )
     )
 
 
@@ -523,9 +534,15 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     e = load(spark, sf_dir, "embeddings")
-    corpus = e.select("vec_id", "embedding").mapInPandas(
-        assign,
-        "vec_id bigint, embedding array<float>, nrm double, cell bigint",
+    # split recovery: the fixture file carries 1-2 row groups, so the
+    # GEMM assignment pass would otherwise run on 1-2 tasks
+    corpus = (
+        e.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            assign,
+            "vec_id bigint, embedding array<float>, nrm double, cell bigint",
+        )
     )
     probes = (
         e.withColumn("nrm", norm(F.col("embedding")))
