@@ -163,8 +163,11 @@ def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     / digit / punctuation runs) next to the whitespace count — the
     token-budget estimator of a pretraining pipeline. Pure projection;
     the regex subset is chosen to behave identically under RE2 and Java
-    regex."""
-    d = load(spark, sf_dir, "documents")
+    regex. Split-recovered (near-unsplittable fixture file; the BPE
+    regex is the CPU)."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ws = tokens("text")
     bpe = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
     return d.select(
@@ -208,8 +211,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-L4: quality scoring — length bounds, stopword ratio, and
     non-alphabetic character ratio, combined into a keep/drop verdict
     (the Gopher-rules shape every pretraining pipeline applies). One
-    pass, no shuffle; ratios are single IEEE divisions."""
-    d = load(spark, sf_dir, "documents")
+    pass; ratios are single IEEE divisions. Split-recovered
+    (near-unsplittable fixture file)."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = tokens("text")
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
     n_tok = F.size(toks)
