@@ -1845,3 +1845,37 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, attr, val
+    FROM (
+      SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+      FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+      FROM part
+    )
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — wide columns to (key, attr, value) long form,
+    the inverse of q_agg_pivot and the standard reshape before
+    per-metric aggregation or feature stacking.
+
+    Uses the native ``DataFrame.unpivot`` (Spark's Expand-based melt:
+    ONE scan emitting N rows per input row — never N self-union
+    scans, which is what the portable UNION ALL oracle literally
+    says). 100 TB plan: a stateless Expand projection, no shuffle, no
+    Python; output is |cols|× the input rows but each row narrows to
+    three columns, so bytes grow only modestly."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return p.unpivot(
+        ["p_partkey"], ["p_size", "p_retailprice"], "attr", "val"
+    )

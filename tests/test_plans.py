@@ -298,3 +298,10 @@ def test_tpch_q22_anti_join_projects_only_custkey(spark, sf_oracle):
     ]
     assert schema_lines
     assert all("o_totalprice" not in l for l in schema_lines)
+
+
+def test_unpivot_is_single_scan_expand(spark, sf_oracle):
+    # melt must be ONE scan + Expand, not an N-way self-union of scans
+    plan = plan_of(spark, sf_oracle, "q_unpivot")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
