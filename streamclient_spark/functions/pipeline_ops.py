@@ -83,7 +83,12 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
                 shs.extend(sh)
             yield pd.DataFrame({"doc_id": ids, "shingle": shs})
 
-    return docs.select("doc_id", "text").mapInPandas(
+    # split recovery AFTER the caller's filter (pushdown intact): the
+    # near-unsplittable fixture file otherwise caps this CPU-bound pass
+    # at 1-3 tasks
+    return docs.select("doc_id", "text").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).mapInPandas(
         rows, "doc_id bigint, shingle string"
     )
 
