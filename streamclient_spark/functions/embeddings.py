@@ -33,12 +33,12 @@ from streamclient_spark.tables import load
     oracle="""
     SELECT vec_id, label,
            CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale,
-           list_transform(
+           array_to_string(list_transform(
              embedding,
              x -> CAST(FLOOR(CAST(x AS DOUBLE)
                              * (CASE WHEN mx = 0 THEN 0.0
                                      ELSE 127.0 / mx END)
-                             + 0.5) AS INT)) AS qvec
+                             + 0.5) AS INT)), ',') AS qvec
     FROM (
       SELECT vec_id, label, embedding,
              list_max(list_transform(embedding,
@@ -85,15 +85,23 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(127.0) / mx)
         .alias("scale"),
     )
+    # qvec is RENDERED to a comma-joined string for the oracle check:
+    # integer-array cells round-trip as numpy ndarrays on the DuckDB
+    # side but Python lists on the no-Arrow Spark side, so a raw
+    # array column hash-flaps depending on the session's Arrow conf
+    # (same convention as q_fn_array's sorted_vocab)
     return withscale.select(
         "vec_id",
         "label",
         "scale",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") * F.col("scale") + F.lit(0.5)
-            ).cast("int"),
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * F.col("scale") + F.lit(0.5)
+                ).cast("int"),
+            ),
+            ",",
         ).alias("qvec"),
     )
 

@@ -354,7 +354,8 @@ def test_embed_quantize_roundtrip_error_bound(spark, sf_oracle):
     full = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
     src = {r["vec_id"]: list(r["embedding"]) for r in full.collect()}
     for r in rows:
-        xs, q, s = src[r["vec_id"]], r["qvec"], r["scale"]
+        xs, s = src[r["vec_id"]], r["scale"]
+        q = [int(x) for x in r["qvec"].split(",")]
         assert s > 0
         assert max(abs(v) for v in q) == 127
         step = 1.0 / s
