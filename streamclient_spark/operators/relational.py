@@ -1879,3 +1879,53 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.unpivot(
         ["p_partkey"], ["p_size", "p_retailprice"], "attr", "val"
     )
+
+
+@register(
+    "q_agg_salted",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dec_sum('l_quantity')} AS sum_qty,
+           {sql_dec_sum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation through
+    :func:`streamclient_spark.scale.salted_agg_sum` (n_salts=16),
+    attested against the PLAIN single-phase oracle — salting must be
+    invisible in the result, which is exactly what this query proves
+    (the aggregation twin of q_join_salted).
+
+    l_returnflag has 3 values over the whole fact table — the most
+    skewed group key in the fixture (every partition's rows collapse
+    onto 3 reducers in a naive plan). Phase 1 aggregates on
+    (key, salt) — 48 cells, uniformly spread by the deterministic
+    xxhash64 salt — and phase 2 re-combines 48 rows. Decimal sums are
+    exact in both phases, so two-phase addition is bit-identical to
+    one-phase (associativity holds in exact space; it would NOT hold
+    for IEEE doubles — the reason salted float sums can't use this
+    attestation). At 100 TB this is the pattern for power-law group
+    keys beyond AQE's skew handling."""
+    from streamclient_spark.compat import DEC
+    from streamclient_spark.scale import salted_agg_sum
+
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast(DEC).alias("_qty"),
+        F.col("l_extendedprice").cast(DEC).alias("_price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return salted_agg_sum(
+        l,
+        "l_returnflag",
+        {"_qty": "sum_qty", "_price": "sum_price"},
+        n_salts=16,
+        salt_from=["l_orderkey", "l_linenumber"],
+    ).select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )
