@@ -93,6 +93,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # this block and everything below re-attests in a later round)
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",
     "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
+    "q_tpch_q21",
     # modified this round (re-attest): broadcast-hint removals, limb-sum
     # money aggregates, aggregate pushed below the outer join
     "q_join_range", "q_tpch_q5", "q_join_outer",
