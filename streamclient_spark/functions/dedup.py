@@ -798,3 +798,109 @@ def cosine_pairs_blocked(
     return c.groupBy(cell_col, "_ci", "_cj").applyInPandas(
         chunk_pair_sims, "a_id bigint, b_id bigint, cos_sim double"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_chunks — chunk-level exact dedup (CCNet/RefinedWeb paragraph-
+# dedup analog on a fixture whose documents carry no paragraph breaks)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 16
+_CHUNK_DUP_MAX_FRAC = 0.5
+
+
+@register(
+    "q_dedup_chunks",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               t[(i*{_CHUNK_TOKENS}+1):(i*{_CHUNK_TOKENS}+{_CHUNK_TOKENS})],
+               ' ')) AS h
+      FROM toks, LATERAL unnest(
+        range(CAST((len(t)+{_CHUNK_TOKENS}-1)//{_CHUNK_TOKENS} AS BIGINT))
+      ) AS u(i)
+    ),
+    cc AS (SELECT doc_id, h,
+                  count(*) OVER (PARTITION BY h) AS c
+           FROM chunks)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                <= {_CHUNK_DUP_MAX_FRAC} * count(*) AS INT) AS keep
+    FROM cc GROUP BY doc_id
+    """,
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: split every document into fixed
+    16-token chunks, hash each chunk, count corpus-wide occurrences,
+    and score each document by its duplicated-chunk fraction (keep ⟺
+    ≤ 50% duplicated). This is the paragraph-level dedup step of
+    web-corpus pipelines (CCNet / RefinedWeb) — boilerplate that
+    repeats across pages survives *document*-level dedup but falls to
+    chunk-level counting; the fixture documents have no newlines, so
+    the fixed token window stands in for the paragraph boundary.
+
+    Plan: one projection builds the chunk-hash array with builtins
+    (split → sequence → slice/concat per window — a few interpreted
+    HOF lambdas per doc, ~n_tokens/16 chunks), posexplode, ONE shuffle
+    on chunk hash for the corpus-wide occurrence window, one shuffle
+    on doc_id for the per-doc rollup. The keep test is exact integer
+    arithmetic (2·n_dup ≤ n_chunks — no float fraction on either
+    engine).
+
+    100 TB: chunk hashes are uniform by construction (md5), so the
+    occurrence-count shuffle has no skew; the per-doc rollup groups on
+    the natural key. The md5 → xxhash64 swap applies here as
+    everywhere (md5 is the cross-engine parity choice)."""
+    release_managed()
+    t = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    n_chunks = F.floor(
+        (F.size("t") + F.lit(_CHUNK_TOKENS - 1)) / F.lit(_CHUNK_TOKENS)
+    ).cast("int")
+    chunk_hashes = F.transform(
+        F.sequence(F.lit(0), F.col("n_chunks") - 1),
+        lambda i: F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("t"),
+                    i * F.lit(_CHUNK_TOKENS) + 1,
+                    F.lit(_CHUNK_TOKENS),
+                ),
+                " ",
+            )
+        ),
+    )
+    chunks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", t.alias("t"))
+        .withColumn("n_chunks", n_chunks)
+        .select("doc_id", F.explode(chunk_hashes).alias("h"))
+    )
+    occ = Window.partitionBy("h")
+    per_doc = (
+        chunks.withColumn("c", F.count(F.lit(1)).over(occ))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    # 2·n_dup ≤ n_chunks ⟺ n_dup ≤ 0.5·n_chunks, in exact integers
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup",
+        (F.lit(2) * F.col("n_dup") <= F.col("n_chunks"))
+        .cast("int")
+        .alias("keep"),
+    )

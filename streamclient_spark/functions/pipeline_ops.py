@@ -28,7 +28,7 @@ the three carries state or a fact-fact shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamclient_spark.functions.dedup import hash32, sql_hash32
@@ -511,4 +511,57 @@ def q_sample_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sample_exact_k — exact-k uniform sample per stratum
+# ---------------------------------------------------------------------------
+
+_EXACT_K = 50
+_EXACT_K_SALT = "exactk-v1-"
+
+
+@register(
+    "q_sample_exact_k",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rn AS INT) AS rank_in_lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{_EXACT_K_SALT}' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {_EXACT_K}
+    """,
+)
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample per stratum: rank documents inside each
+    language by a salted content-stable hash and keep the first k=50.
+    The rate-based sampler (q_sample_stratified) gives *expected*
+    counts; training-data recipes often need *exact* per-source
+    counts ("take exactly 50k docs of wiki per shard") — ordering by a
+    deterministic hash is a uniform draw that is reproducible across
+    engines, runs, retries, and cluster sizes (``rand()`` is none of
+    those).
+
+    Plan: one shuffle on lang for the ranking window; Spark inserts
+    WindowGroupLimit, so each map task forwards only its local top-k
+    candidates — the shuffle moves O(k·tasks) rows, not the corpus.
+    At 100 TB with few strata the window key is coarse; the fix at
+    that scale is a two-level draw (rank within (lang, salt-bucket),
+    take k/B per bucket — same plan shape, B× the parallelism), which
+    this operator documents as its scale path."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(
+            F.concat(F.lit(_EXACT_K_SALT), F.col("doc_id").cast("string"))
+        ),
+        "doc_id",
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn("rank_in_lang", F.row_number().over(w))
+        .filter(F.col("rank_in_lang") <= _EXACT_K)
     )

@@ -60,6 +60,8 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         )
         if fmt == "csv":
             writer.option("header", "true").csv(out)
+        elif fmt == "orc":
+            writer.orc(out)
         else:
             writer.json(out)
     return out
@@ -92,3 +94,16 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
         .json(path)
     )
+
+
+@register("q_scan_orc", oracle=None)  # staged-file scan → rows-only check
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-S2: ORC read — the third columnar-adjacent batch format the
+    scan surface covers. Unlike CSV/JSON, ORC is a real columnar
+    format: the reader supports column pruning and predicate pushdown
+    (stripe/row-group stats), so the 100 TB posture matches parquet —
+    it is an acceptable analytics storage format, and the engine reads
+    it natively rather than forcing a conversion. Round-trip parity
+    with the parquet scan is pinned by ``tests/test_scans.py``."""
+    path = _stage(spark, sf_dir, "orc")
+    return spark.read.schema(CSV_SCHEMA).orc(path)

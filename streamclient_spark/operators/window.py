@@ -509,3 +509,57 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "q_events_cumulative_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS fts
+      FROM events GROUP BY user_id
+    ),
+    hourly AS (
+      SELECT CAST(date_trunc('hour', fts) AS TIMESTAMP) AS hour,
+             count(*) AS new_users
+      FROM firsts GROUP BY 1
+    )
+    SELECT hour, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY hour
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_users
+    FROM hourly
+    """,
+)
+def q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by hour — the growth-curve metric every
+    event pipeline reports. A naive running COUNT(DISTINCT) over an
+    expanding frame re-scans every prefix (O(days·events)); the
+    standard decorrelation is first-touch attribution: each user's
+    MIN(ts) marks the single hour they become "new", so hourly counts are a
+    plain aggregate and the cumulative curve is a running SUM over
+    |hours| rows.
+
+    Plan: one shuffle on user_id (partial-combined min), one tiny
+    aggregate on hour, and a running-sum window over the |hours|-row
+    result — the unpartitioned window sorts dozens of rows on one
+    task, which is exactly where a global window IS the right plan.
+    100 TB: identical; the only full-data shuffle is the user_id min,
+    and that is the minimum information the metric needs."""
+    firsts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fts"))
+    )
+    hourly = (
+        firsts.groupBy(F.date_trunc("hour", "fts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = (
+        Window.orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hourly.select(
+        "hour",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

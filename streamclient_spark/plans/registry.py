@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embed_quantize", "q_embed_centroids", "q_text_ngram_top",
     "q_text_normalize", "q_sample_lengths", "q_funnel",
     "q_cohort_retention", "q_text_surprisal", "q_unpivot", "q_agg_salted",
+    "q_dedup_chunks", "q_sample_exact_k", "q_events_cumulative_users",
     # late-round-2 TPC-H shapes (the window cuts at 50: the tail of
     # this block and everything below re-attests in a later round)
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",

@@ -386,3 +386,18 @@ def test_tpch_q21_single_fact_scan_pair_no_correlated_reexec(spark, sf_oracle):
     ]
     assert pushed, "orderstatus filter must push to the orders scan"
     assert "numwait" in plan or "count" in plan
+
+
+def test_sample_exact_k_uses_window_group_limit(spark, sf_oracle):
+    # the per-stratum top-k must pre-limit map-side: each task forwards
+    # only its local top-k candidates into the window shuffle
+    plan = plan_of(spark, sf_oracle, "q_sample_exact_k")
+    assert "WindowGroupLimit" in plan
+
+
+def test_dedup_chunks_two_shuffles_only(spark, sf_oracle):
+    # chunk build is a projection; one exchange for the occurrence
+    # window (chunk hash), one for the per-doc rollup
+    plan = plan_of(spark, sf_oracle, "q_dedup_chunks")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" in plan

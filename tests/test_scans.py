@@ -7,7 +7,11 @@ from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
-from streamclient_spark.operators.scans import q_scan_csv, q_scan_json
+from streamclient_spark.operators.scans import (
+    q_scan_csv,
+    q_scan_json,
+    q_scan_orc,
+)
 from streamclient_spark.streaming.joins import (
     stream_static_join,
     stream_stream_join,
@@ -32,6 +36,7 @@ def test_csv_and_json_scans_round_trip(spark, sf_smoke):
     truth = _canon(load(spark, sf_smoke, "events"))
     assert _canon(q_scan_csv(spark, sf_smoke)) == truth
     assert _canon(q_scan_json(spark, sf_smoke)) == truth
+    assert _canon(q_scan_orc(spark, sf_smoke)) == truth
 
 
 def test_stream_static_join_enriches_with_broadcast_dim(spark, sf_smoke, tmp_path):
