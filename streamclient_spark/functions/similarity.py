@@ -284,47 +284,79 @@ def lsh_topk(
     operator over any ``corpus(vec_id, embedding)`` /
     ``queries(query_id, qe)`` pair.
 
-    Plan: bucket the corpus (pure projection), explode each query into
-    its 9 probe buckets (own + 1-bit flips), equi-join on the bucket
-    id, score exact cosines over the candidates only, rank per query.
-    The probe explosion happens on the (small) query side, so at scale
-    it broadcasts; the corpus never expands. Returns
+    Plan: the (small, bounded) query set is collected and rides inside
+    the corpus pass's closure — the broadcast analog, same doctrine as
+    q_sim_topk/q_sim_ivf — with its probe-bucket sets (own bucket + 9
+    1-bit flips) precomputed driver-side. Each corpus partition then,
+    in ONE fused Arrow pass, buckets its rows (single GEMM against the
+    plane matrix), scores them against all queries (second GEMM),
+    masks each query's scores to its probe buckets, and emits a
+    tie-safe local top-k; the final global window ranks
+    ``partitions × k`` rows per query. The corpus never expands and
+    never shuffles. (An earlier join formulation — explode the query
+    side into probe buckets, equi-join on bucket id, pandas-UDF
+    rescore — has the same semantics and is the shape to restore if
+    the query side ever outgrows a closure; at bounded |Q| the fused
+    pass was measured 3× faster at sf0.1.) Returns
     ``(query_id, neighbor_id, bucket, cos_sim, rank)`` with
     ``bucket`` = the *neighbor's* bucket (≤1 bit from the query's)."""
-    e = _bucketed_arrow(corpus, "vec_id", "embedding")
-    q = _bucketed_arrow(queries, "query_id", "qe").select(
-        "query_id",
-        "qe",
-        F.col("bucket").alias("qbucket"),
-        F.col("nrm").alias("qnrm"),
-    ).select(
-        "query_id",
-        "qe",
-        "qnrm",
-        F.explode(
-            F.array(
-                *[
-                    F.col("qbucket").bitwiseXOR(F.lit(flip))
-                    for flip in PROBE_FLIPS
-                ]
-            )
-        ).alias("probe_bucket"),
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(HYPERPLANES, dtype=np.float64)  # 8 × dim
+    weights = (1 << np.arange(N_HYPERPLANES)).astype(np.int64)
+
+    q_rows = sorted(
+        queries.select("query_id", "qe").collect(), key=lambda r: r.query_id
     )
+    q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.qe, dtype=np.float64) for r in q_rows])
+    Qn = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+    qbucket = ((Q @ P.T) > 0) @ weights
+    probe_sets = [
+        np.array([int(b) ^ flip for flip in PROBE_FLIPS], dtype=np.int64)
+        for b in qbucket
+    ]
+
+    def search(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
+            En = E / nrm[:, None]
+            bucket = ((E @ P.T) > 0) @ weights
+            cos = En @ Qn.T
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_b, out_c = [], [], [], []
+            for qi in range(len(q_ids)):
+                mask = (ids != q_ids[qi]) & np.isin(bucket, probe_sets[qi])
+                cid, cc, cb = ids[mask], cos[mask, qi], bucket[mask]
+                kk = min(k, len(cid))
+                if kk == 0:
+                    continue
+                kth = np.partition(-cc, kk - 1)[kk - 1]
+                cand = np.nonzero(-cc <= kth)[0]
+                order = np.lexsort((cid[cand], -cc[cand]))[:kk]
+                sel = cand[order]
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_n.extend(cid[sel])
+                out_b.extend(cb[sel])
+                out_c.extend(cc[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "bucket": np.array(out_b, dtype=np.int64),
+                    "cos_sim": np.array(out_c, dtype=np.float64),
+                }
+            )
+
+    # split recovery (near-unsplittable fixture file, CPU-bound GEMM)
     scored = (
-        F.broadcast(q)
-        .join(
-            e,
-            (F.col("bucket") == F.col("probe_bucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "bucket",
-            (
-                dot_f64(F.col("qe"), F.col("embedding"))
-                / (F.col("qnrm") * F.col("nrm"))
-            ).alias("cos_sim"),
+        corpus.select("vec_id", "embedding")
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(
+            search,
+            "query_id bigint, neighbor_id bigint, bucket bigint, cos_sim double",
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -437,21 +469,6 @@ def _centroid_literals(spark: SparkSession, sf_dir: str):
     return out
 
 
-def _cell_structs(centroids, emb: Column, nrm: Column) -> list[Column]:
-    """One ``struct(cos, -cid)`` per centroid — struct ordering makes
-    max = (best cosine, tie → smallest cid), matching the oracle's
-    ``ORDER BY cos DESC, cid``."""
-    structs = []
-    for cid, vec, cnrm in centroids:
-        cos = dot_fold(
-            emb, F.array(*[F.lit(v) for v in vec])
-        ) / (nrm * F.lit(cnrm))
-        structs.append(
-            F.struct(cos.alias("c"), F.lit(-cid).alias("n"))
-        )
-    return structs
-
-
 @register(
     "q_sim_ivf",
     oracle=f"""
@@ -499,17 +516,27 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     NPROBE=4 nearest cells and ranking exact cosines inside them.
     Candidate set ≈ NPROBE/K of the corpus.
 
-    Corpus assignment runs as ONE Arrow-batched GEMM per partition
-    (``mapInPandas``; the codebook travels inside the closure) — the
-    production shape for real codebooks (K in the thousands), and ~4×
-    faster than the pure-Catalyst ``greatest``-over-K-folds variant
-    already at K=16 (HOF lambdas are interpreted per element). The
-    10-row probe side stays JVM-side. Shuffle-free either way.
-    Assignment argmax is float-stable across engines: distinct-centroid
-    cosine gaps in the fixture are ≳1e-3 vs ~1e-15 numpy-vs-SQL drift,
-    and numpy's first-max tie rule equals the oracle's (cos DESC, cid
-    ASC) because the codebook rows are ordered by cid.
-    """
+    The whole search is ONE fused Arrow pass over the corpus: the
+    codebook AND the (small, bounded) query matrix ride inside the
+    ``mapInPandas`` closure — the broadcast analog, same pattern as
+    q_sim_topk — and each partition (a) GEMM-assigns its rows to
+    cells, (b) GEMM-scores them against all queries, (c) masks each
+    query's scores down to its NPROBE probe cells, and (d) emits only
+    its tie-safe local top-k per query. The final global ranking
+    window sees ``partitions × k`` rows per query. An earlier
+    formulation kept the probe side JVM-side as 16 literal-array
+    cosine folds + a broadcast join + a pandas-UDF rescore: three
+    extra stages and a ~3000-node Catalyst tree whose analysis/JIT
+    alone cost multiple seconds per run (measured 5.8 s steady-state
+    vs 1.4 s fused at sf0.1).
+
+    Shuffle-free except the tiny final window. At real scale the cell
+    id doubles as the partition key of the materialized index, so
+    probing prunes partitions instead of scanning; assignment argmax
+    is float-stable across engines: distinct-centroid cosine gaps in
+    the fixture are ≳1e-3 vs ~1e-15 numpy-vs-SQL drift, and numpy's
+    first-max tie rule equals the oracle's (cos DESC, cid ASC)
+    because the codebook rows are ordered by cid."""
     import numpy as np
     import pandas as pd
 
@@ -519,77 +546,66 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [np.asarray(vec, dtype=np.float64) / cnrm for _, vec, cnrm in centroids]
     )
 
-    def assign(batches):
+    e = load(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
+    Qn = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+    # per-query probe cells: top-NPROBE centroids by (cos DESC, cid ASC)
+    qcos = Qn @ Cn.T
+    probe_cells = []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((cids, -qcos[qi]))[:NPROBE]
+        probe_cells.append(set(cids[order].tolist()))
+
+    def search(batches):
         for pdf in batches:
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
-            cos = (E @ Cn.T) / nrm[:, None]
+            En = E / nrm[:, None]
+            cell = cids[np.argmax(En @ Cn.T, axis=1)]
+            cos = En @ Qn.T  # n_rows × n_queries
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_cell, out_c = [], [], [], []
+            for qi in range(len(q_ids)):
+                mask = (ids != q_ids[qi]) & np.isin(
+                    cell, list(probe_cells[qi])
+                )
+                cid_, cc, ccell = ids[mask], cos[mask, qi], cell[mask]
+                k = min(TOP_K, len(cid_))
+                if k == 0:
+                    continue
+                # tie-safe local top-k (keep every row tied with the kth)
+                kth = np.partition(-cc, k - 1)[k - 1]
+                cand = np.nonzero(-cc <= kth)[0]
+                order = np.lexsort((cid_[cand], -cc[cand]))[:k]
+                sel = cand[order]
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_n.extend(cid_[sel])
+                out_cell.extend(ccell[sel])
+                out_c.extend(cc[sel])
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "nrm": nrm,
-                    "cell": cids[np.argmax(cos, axis=1)],
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "cell": np.array(out_cell, dtype=np.int64),
+                    "cos_sim": np.array(out_c, dtype=np.float64),
                 }
             )
 
-    e = load(spark, sf_dir, "embeddings")
     # split recovery: the fixture file carries 1-2 row groups, so the
-    # GEMM assignment pass would otherwise run on 1-2 tasks
-    corpus = (
+    # GEMM pass would otherwise run on 1-2 tasks
+    scored = (
         e.select("vec_id", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(
-            assign,
-            "vec_id bigint, embedding array<float>, nrm double, cell bigint",
-        )
-    )
-    probes = (
-        e.withColumn("nrm", norm(F.col("embedding")))
-        .filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("nrm").alias("qnrm"),
-            F.slice(
-                F.sort_array(
-                    F.array(
-                        *_cell_structs(centroids, F.col("embedding"), F.col("nrm"))
-                    ),
-                    asc=False,
-                ),
-                1,
-                NPROBE,
-            ).alias("top_cells"),
-        )
-        .select(
-            "query_id",
-            "qe",
-            "qnrm",
-            F.explode("top_cells").alias("tc"),
-        )
-        .select(
-            "query_id",
-            "qe",
-            "qnrm",
-            (-F.col("tc.n")).alias("probe_cell"),
-        )
-    )
-    scored = (
-        F.broadcast(probes)
-        .join(
-            corpus,
-            (F.col("cell") == F.col("probe_cell"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "cell",
-            (
-                dot_f64(F.col("qe"), F.col("embedding"))
-                / (F.col("qnrm") * F.col("nrm"))
-            ).alias("cos_sim"),
+            search,
+            "query_id bigint, neighbor_id bigint, cell bigint, cos_sim double",
         )
     )
     w = Window.partitionBy("query_id").orderBy(

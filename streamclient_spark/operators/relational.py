@@ -2378,3 +2378,45 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# §2C — distributed global ranking (scale.ranked_by_range attestation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rank_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ) AS BIGINT) AS rank
+    FROM lineitem
+    """,
+)
+def q_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row-number over the whole fact table WITHOUT the
+    single-task sort a bare ``ROW_NUMBER() OVER (ORDER BY ...)``
+    window forces — attested cell-for-cell against exactly that window
+    form as the oracle. Uses :func:`streamclient_spark.scale.
+    ranked_by_range`: range-partition on the order columns, per-
+    partition local numbering in one Arrow pass, then a broadcast
+    prefix-sum of partition counts. The order key carries the
+    (l_orderkey, l_linenumber) tie-break, making the order total so
+    the decomposed rank is identical to the window's.
+
+    100 TB plan: the only full-data movement is one range Exchange
+    (what any global sort needs); the serial section is a
+    |partitions|-row prefix sum on the driver-side broadcast. The
+    window oracle formulation, by contrast, funnels all rows through
+    ONE reducer — the fixture-scale check proves equivalence; the
+    decomposition is why it survives the 1000-executor cluster."""
+    from streamclient_spark.scale import ranked_by_range
+
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return ranked_by_range(
+        l, ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    )

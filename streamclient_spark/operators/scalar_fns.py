@@ -224,3 +224,153 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.from_json("props", "k INT").isNotNull(), 1
         ).otherwise(0).alias("is_valid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B-F7 — structs (nested-type construction / field access / row comparison)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           struct_pack(k := o_custkey, v := o_totalprice).k AS cust_from_struct,
+           struct_pack(k := o_custkey, v := o_totalprice).v AS price_from_struct,
+           CASE WHEN row(o_custkey, o_totalprice) < row(o_orderkey, o_totalprice)
+                THEN 1 ELSE 0 END AS struct_lt,
+           struct_pack(outer_ := struct_pack(inner_ := o_orderpriority)).outer_.inner_
+             AS nested_field
+    FROM orders
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F7: struct construction, field access, nested structs, and
+    lexicographic row comparison. Struct cells themselves are never
+    hashed (Arrow struct encodings differ across exporters — same
+    doctrine as q_fn_map): every struct is built and then projected
+    back to flat scalars, which exercises Catalyst's
+    CreateNamedStruct/GetStructField pipeline while keeping the
+    compare engine-neutral. Row comparison is lexicographic in both
+    engines.
+
+    100 TB plan: pure codegen projection — structs are Tungsten
+    in-row layouts, no allocation beyond the output row, zero shuffle."""
+    o = load(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_custkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    nested = F.struct(
+        F.struct(F.col("o_orderpriority").alias("inner_")).alias("outer_")
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("k").alias("cust_from_struct"),
+        s.getField("v").alias("price_from_struct"),
+        F.when(
+            F.struct("o_custkey", "o_totalprice")
+            < F.struct("o_orderkey", "o_totalprice"),
+            1,
+        )
+        .otherwise(0)
+        .alias("struct_lt"),
+        nested.getField("outer_").getField("inner_").alias("nested_field"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-F8 — bitwise operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & user_id AS b_and,
+           event_id | user_id AS b_or,
+           xor(event_id, user_id) AS b_xor,
+           user_id << 3 AS shl3,
+           event_id >> 2 AS shr2,
+           CAST(bit_count(event_id) AS INT) AS popcount,
+           ~user_id AS b_not
+    FROM events
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F8: AND/OR/XOR/shift/popcount/NOT over the two BIGINT id
+    columns — the primitives under every hash/bucket/bitmask operator
+    in this engine (LSH band packing, SimHash Hamming pieces, salt
+    extraction). Two's-complement semantics agree across engines for
+    the non-negative fixture ids and the NOT output.
+
+    100 TB plan: single-instruction codegen intrinsics; zero shuffle."""
+    e = load(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    return e.select(
+        "event_id",
+        eid.bitwiseAND(uid).alias("b_and"),
+        eid.bitwiseOR(uid).alias("b_or"),
+        eid.bitwiseXOR(uid).alias("b_xor"),
+        F.shiftleft(uid, 3).alias("shl3"),
+        F.shiftright(eid, 2).alias("shr2"),
+        F.bit_count(eid).alias("popcount"),
+        F.bitwise_not(uid).alias("b_not"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B-F9 — interval / timestamp arithmetic (complements q_fn_date's
+# date-level functions with sub-day event-time math)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_interval",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE AS ts_plus_90m,
+           CAST(ts AS TIMESTAMP) - INTERVAL 36 HOUR AS ts_minus_36h,
+           CAST(date_diff('second', date_trunc('day', CAST(ts AS TIMESTAMP)),
+                          CAST(ts AS TIMESTAMP)) AS BIGINT) AS secs_into_day,
+           strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+             AS week_start,
+           strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', CAST(ts AS TIMESTAMP),
+                          TIMESTAMP '2024-02-01') AS BIGINT) AS days_to_feb
+    FROM events
+    """,
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F9: interval add/subtract, seconds-into-day, ISO week start,
+    month end, and day-boundary diff on microsecond event timestamps —
+    the sub-day time math q_fn_date leaves out. Parity notes:
+    ``secs_into_day`` is a difference of second-floors, which equals
+    the floored difference because midnight carries zero microseconds;
+    ``date_trunc('week')`` is Monday-based in both engines (date-level
+    outputs are projected to ISO day strings — DATE cells render
+    differently across the two Arrow exporters);
+    ``date_diff('day')`` counts day-boundary crossings, which equals
+    Spark's date-cast ``datediff``.
+
+    100 TB plan: codegen'd long arithmetic on the microsecond epoch —
+    no shuffle, no Python, scan-speed."""
+    e = load(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        (ts + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        (ts - F.expr("INTERVAL 36 HOURS")).alias("ts_minus_36h"),
+        (
+            F.unix_timestamp(ts) - F.unix_timestamp(F.date_trunc("day", ts))
+        ).alias("secs_into_day"),
+        F.date_format(F.date_trunc("week", ts), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        F.date_format(F.last_day(ts.cast("date")), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.datediff(F.lit("2024-02-01").cast("date"), ts.cast("date"))
+        .cast("long")
+        .alias("days_to_feb"),
+    )

@@ -563,3 +563,59 @@ def q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+@register(
+    "q_events_hourly_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS hour,
+             count(*) AS n,
+             SUM(CAST(value AS DECIMAL(27,4))) AS sv,
+             max(value) AS mv
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(date_trunc('day', hour) AS TIMESTAMP) AS day,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+           CAST(SUM(sv) AS DOUBLE) AS total_value,
+           MAX(mv) AS max_value
+    FROM hourly GROUP BY 1
+    """,
+)
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (hypertable / continuous-aggregate
+    pattern): daily stats are computed FROM the hourly partial
+    aggregate, not from raw events — the materialized-rollup reuse
+    every time-series store (TimescaleDB caggs, Druid rollup) is built
+    on. Every measure is chosen mergeable: count and max re-aggregate
+    exactly, and the value sum stays in exact DECIMAL space until one
+    final double conversion, so associativity holds bit-for-bit and
+    the two-level result hash-matches the oracle's identical two-level
+    formulation (same doctrine as the limb-sum money aggregates).
+
+    Plan: one shuffle keyed by hour (partial+final hash agg over raw
+    events), then a second aggregate over |hours| rows — at sf0.1 that
+    second level is ~720 rows; at 100 TB the hourly table is still
+    only |hours|·|series| rows, which is the entire point of rollup
+    reuse: the raw-event shuffle happens once when the hourly
+    materialization is maintained incrementally, and every coarser
+    granularity (day/week/month) re-aggregates the tiny table."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,4)")).alias("sv"),
+            F.max("value").alias("mv"),
+        )
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_active_hours"),
+            F.sum("sv").cast("double").alias("total_value"),
+            F.max("mv").alias("max_value"),
+        )
+    )

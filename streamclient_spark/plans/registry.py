@@ -107,6 +107,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # heaviest stable relational / window shapes
     "q_win_rank", "q_win_frame", "q_win_tumbling", "q_win_session",
     "q_join_asof", "q_topk_group", "q_agg_percentile", "q_subquery_scalar",
+    # round-2 late additions (never attested; rotate into the window in r3)
+    "q_fn_struct", "q_fn_bitwise", "q_fn_interval",
+    "q_events_hourly_rollup", "q_rank_global",
 )
 
 

@@ -106,10 +106,11 @@ def test_cube_is_single_expand_aggregate(spark, sf_oracle):
 
 
 def test_ivf_assignment_is_shuffle_free_projection(spark, sf_oracle):
-    # centroid assignment must not join or shuffle; the only exchanges
-    # are the broadcast of probes and the final per-query top-k window
+    # the fused search is one Arrow pass: no join anywhere (the query
+    # matrix and codebook ride in the closure), and the only
+    # key-partitioned exchange is the final per-query top-k window
     plan = plan_of(spark, sf_oracle, "q_sim_ivf", mode="simple")
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1  # the window only
 
 
