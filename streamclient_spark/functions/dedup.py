@@ -904,3 +904,91 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_incremental — dedup a NEW batch against an EXISTING corpus (B-L2)
+# ---------------------------------------------------------------------------
+
+#: deterministic batch split for the incremental scenario: the "new"
+#: arrivals are doc_id < 100, the standing corpus is everything else.
+_INCR_NEW_MAX = 100
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    {_SQL_SHINGLE_SETS},
+    m AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS old_id
+      FROM shingle_sets a JOIN shingle_sets b
+        ON a.doc_id < {_INCR_NEW_MAX} AND b.doc_id >= {_INCR_NEW_MAX}
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= {_NEAR_THRESHOLD}
+    )
+    SELECT t.doc_id,
+           CAST(count(m.old_id) AS BIGINT) AS n_matches,
+           CAST(count(m.old_id) > 0 AS INT) AS is_dup,
+           COALESCE(MIN(m.old_id), -1) AS first_match
+    FROM shingle_sets t LEFT JOIN m ON m.new_id = t.doc_id
+    WHERE t.doc_id < {_INCR_NEW_MAX}
+    GROUP BY t.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L2: *incremental* near-dedup — flag each document of a new
+    batch that near-duplicates the standing corpus, without ever
+    comparing corpus docs to each other. This is the shape a
+    continuously-ingesting pretraining pipeline actually runs (CCNet /
+    RefinedWeb style): the corpus's LSH band index is materialized
+    once; each arriving batch probes it and only verified hits are
+    dropped.
+
+    Plan: one shared profiling pass (same fused MinHash profiler as
+    q_dedup_near), then an ASYMMETRIC band equi-join — new-side band
+    keys against corpus-side band keys only, so candidate generation
+    is |new|-driven, not |corpus|²-driven — followed by exact-Jaccard
+    verification restricted to candidates and a left join back onto
+    the batch (never-matching docs report is_dup=0). At 100 TB the
+    corpus band index is a bucketed table keyed by band key; a batch
+    probe is an index lookup, not a corpus scan. The oracle is the
+    brute-force ground truth over the same split — the check passes
+    exactly when banding recall on above-threshold pairs is 100%
+    (same argument as q_dedup_near: planted dups sit at J≈0.99,
+    miss probability ≈3e-23)."""
+    release_managed()
+    sets = managed_persist(_shingle_profiles(spark, sf_dir))
+    new = sets.filter(F.col("doc_id") < _INCR_NEW_MAX)
+    old = sets.filter(F.col("doc_id") >= _INCR_NEW_MAX)
+    nb = new.select(
+        F.col("doc_id").alias("new_id"), F.explode("band_keys").alias("key")
+    )
+    ob = old.select(
+        F.col("doc_id").alias("old_id"), F.explode("band_keys").alias("key")
+    )
+    cand = nb.join(ob, "key").select("new_id", "old_id").distinct()
+    j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    matches = (
+        cand.join(
+            new.select(F.col("doc_id").alias("new_id"), F.col("s").alias("sh_a")),
+            "new_id",
+        )
+        .join(
+            old.select(F.col("doc_id").alias("old_id"), F.col("s").alias("sh_b")),
+            "old_id",
+        )
+        .filter(j >= _NEAR_THRESHOLD)
+        .select("new_id", "old_id")
+    )
+    return (
+        new.select("doc_id")
+        .join(matches, new["doc_id"] == matches["new_id"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("old_id").alias("n_matches"),
+            (F.count("old_id") > 0).cast("int").alias("is_dup"),
+            F.coalesce(F.min("old_id"), F.lit(-1)).alias("first_match"),
+        )
+    )

@@ -622,3 +622,88 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_range — threshold (range) similarity search (B-L3)
+# ---------------------------------------------------------------------------
+
+#: cosine threshold for the range search (fixture cross-similarities
+#: top out near 0.49; 0.30 yields a small but non-trivial result set,
+#: and no fixture cosine sits within 1e-12 of the boundary — GEMM vs
+#: fold drift (~1e-15) cannot flip membership)
+RANGE_TAU = 0.30
+
+
+@register(
+    "q_sim_range",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    )
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round({_SQL_COS.format(a="q.qe", b="e.embedding")}, 6) AS cos_sim
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    WHERE {_SQL_COS.format(a="q.qe", b="e.embedding")} >= {RANGE_TAU}
+    """,
+)
+def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L3: range similarity search — ALL neighbors with cosine ≥ τ,
+    the other half of the similarity-search API surface (top-k answers
+    "the k best"; range answers "everything close enough", the form
+    retrieval-augmented dedup and clustering pipelines use).
+
+    Same fused single-Arrow-pass skeleton as q_sim_topk: the bounded
+    query matrix rides in the closure, each corpus partition scores
+    itself with one GEMM and emits only its above-threshold rows — no
+    join, no shuffle at all (a threshold filter needs no global
+    ranking, so even the final window disappears; output size is
+    |matches|, data-dependent but filtered at the source). At 100 TB:
+    linear scan, embarrassingly parallel, and composable with the
+    LSH/IVF bucket pruning when τ is high."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
+    Qn = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+
+    def search(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
+            En = E / nrm[:, None]
+            cos = En @ Qn.T
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                mask = (ids != q_ids[qi]) & (cos[:, qi] >= RANGE_TAU)
+                sel = np.nonzero(mask)[0]
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_n.extend(ids[sel])
+                out_c.extend(cos[sel, qi])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "cos_sim": np.array(out_c, dtype=np.float64),
+                }
+            )
+
+    # split recovery (near-unsplittable fixture file, CPU-bound GEMM)
+    return (
+        e.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            search, "query_id bigint, neighbor_id bigint, cos_sim double"
+        )
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -722,3 +722,79 @@ def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_hashvec — feature-hashing vectorizer (B-L4)
+# ---------------------------------------------------------------------------
+
+#: hashing-trick dimensionality: buckets = md5-prefix mod 128
+_HASHVEC_BUCKETS = 128
+
+
+@register(
+    "q_text_hashvec",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKENS.format(col="text")}) AS token
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT
+                % {_HASHVEC_BUCKETS} AS BIGINT) AS bucket,
+           count(*) AS tf
+    FROM toks GROUP BY doc_id, bucket
+    """,
+)
+def q_text_hashvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L4: feature-hashing vectorizer (the "hashing trick") — each
+    document becomes a sparse term-frequency vector over a FIXED
+    128-bucket space, ``bucket = md5(token)[:8] mod 128``, emitted in
+    sparse COO form ``(doc_id, bucket, tf)``. This is the stateless
+    alternative to a fitted vocabulary: no global dictionary, no
+    out-of-vocabulary handling, identical output on any engine or
+    executor — which is why pretraining featurizers and online quality
+    classifiers use it.
+
+    One fused Arrow pass tokenizes and pre-aggregates (doc, bucket)
+    counts per batch (same split-recovery doctrine as the other token
+    passes — Catalyst's split+explode is interpreted), then a hash
+    aggregate merges across batches in case a document's rows split.
+    At 100 TB the shuffle key (doc_id, bucket) is near-uniform and the
+    map-side combine has already collapsed each partition to ≤128 rows
+    per document; no vocabulary state exists to broadcast or skew."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+
+    def hash_counts(batches):
+        for pdf in batches:
+            ids, buckets, tfs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                acc: Counter = Counter()
+                for t in ws.split(text):
+                    if t:
+                        b = (
+                            int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                            % _HASHVEC_BUCKETS
+                        )
+                        acc[b] += 1
+                for b, n in acc.items():
+                    ids.append(doc_id)
+                    buckets.append(b)
+                    tfs.append(n)
+            yield pd.DataFrame(
+                {"doc_id": ids, "bucket": buckets, "tf": tfs}
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    partials = d.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(hash_counts, "doc_id bigint, bucket bigint, tf long")
+    return partials.groupBy("doc_id", "bucket").agg(
+        F.sum("tf").alias("tf")
+    )

@@ -2420,3 +2420,123 @@ def q_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_by_range(
         l, ["l_extendedprice", "l_orderkey", "l_linenumber"]
     )
+
+
+# ---------------------------------------------------------------------------
+# §2C — mergeable-sketch aggregation (HLL partials, the 100 TB
+# pre-aggregation pattern) and bucketed-layout join attestation
+# ---------------------------------------------------------------------------
+
+
+@register("q_agg_sketch_merge")  # rows-only: the sketch binary is
+# DataSketches-specific, so no DuckDB oracle exists; the mergeability
+# property itself is pinned by tests/test_llm_ops.py
+def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregation: per-day HyperLogLog sketches of
+    distinct users, re-unioned to per-event-type totals, against the
+    single-pass sketch and the exact distinct count. This is THE
+    pre-aggregation pattern for distinct counting at 100 TB: a daily
+    rollup stores O(2^lgK) sketch bytes per series instead of the user
+    set itself, any coarser granularity is a register-wise max (union)
+    over the partials, and the merge is associative/commutative — so
+    incremental maintenance, retries, and partition order cannot
+    change the estimate.
+
+    ``merge_consistent`` asserts the union-of-partials estimate equals
+    the direct single-pass estimate — true because BOTH paths are
+    merges of per-partition partial sketches over the same rows (the
+    'direct' agg is itself two-phase under the hood); the test
+    additionally pins estimates within 5% of the exact count. Rows-only
+    driver check: DuckDB's approx sketch is a different algorithm, so
+    no cross-engine oracle is possible — the exactness doctrine here is
+    *self*-consistency, not cross-engine hashing."""
+    e = load(spark, sf_dir, "events")
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "est_direct"
+        ),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "est_direct",
+        "est_merged",
+        (F.col("est_direct") == F.col("est_merged"))
+        .cast("int")
+        .alias("merge_consistent"),
+    )
+
+
+@register(
+    "q_join_bucketed",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_dec_sum('o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-Exchange co-located join through the bucketed layout
+    (scale.write_bucketed attestation — the query twin of the
+    plan-proof in tests/test_scale.py): both sides are materialized
+    hash-bucketed by the join key, so the join needs NO shuffle — the
+    scan itself reports the partitioning — and the aggregate's answer
+    is attested against the plain unbucketed oracle (layout must be
+    invisible in the result).
+
+    At 100 TB this is the difference between shuffling the fact table
+    on every join and never shuffling it at all: bucket layout is a
+    write-once contract (facts sharing join keys share the bucket
+    count), and every subsequent join/aggregate on the key is
+    Exchange-free. The fixture pays one bucketed rewrite per session
+    (tables are recreated if absent); the plan assertion lives in
+    tests/test_plans.py."""
+    from streamclient_spark.scale import bucketed_session, write_bucketed
+
+    bucketed_session(spark)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    to, tc = f"b_orders_{tag}", f"b_customer_{tag}"
+    cat = spark.catalog
+    if not (cat.tableExists(to) and cat.tableExists(tc)):
+        # a previous session's managed-table directories may survive in
+        # the warehouse while the (in-memory) catalog starts empty —
+        # clear them or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (to, tc):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        write_bucketed(
+            load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+            to,
+            "o_custkey",
+            8,
+        )
+        write_bucketed(
+            load(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            tc,
+            "c_custkey",
+            8,
+        )
+    o, c = spark.table(to), spark.table(tc)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_price"),
+        )
+    )

@@ -387,3 +387,45 @@ def test_ngram_top_is_capped_and_sorted_per_lang(spark, sf_oracle):
         by_lang.setdefault(r["lang"], []).append(r["n"])
     for lang, ns in by_lang.items():
         assert len(ns) <= 10
+
+
+def test_sketch_merge_is_consistent_and_close(spark, sf_oracle):
+    # union-of-daily-partials must equal the direct sketch estimate
+    # (associative register-wise max), and land within 5% of exact
+    from streamclient_spark.operators.relational import q_agg_sketch_merge
+
+    rows = q_agg_sketch_merge(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        assert r.merge_consistent == 1, r
+        assert abs(r.est_direct - r.exact_distinct) <= 0.05 * r.exact_distinct, r
+
+
+def test_incremental_dedup_never_flags_corpus_docs_and_matches_planted(
+    spark, sf_oracle
+):
+    # every flagged new doc must have a verified corpus match at J>=0.8,
+    # and the flag set must agree with brute force over the split
+    from streamclient_spark.functions.dedup import (
+        _INCR_NEW_MAX,
+        _NEAR_THRESHOLD,
+        _shingle_sets,
+    )
+    from streamclient_spark.plans.registry import REGISTRY
+
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["q_dedup_incremental"].builder(spark, sf_oracle).collect()
+    }
+    assert all(d < _INCR_NEW_MAX for d in out)
+    sets = {r.doc_id: set(r.s) for r in _shingle_sets(spark, sf_oracle).collect()}
+    for d, r in out.items():
+        brute = sorted(
+            o
+            for o in sets
+            if o >= _INCR_NEW_MAX
+            and len(sets[d] & sets[o]) / len(sets[d] | sets[o])
+            >= _NEAR_THRESHOLD
+        )
+        assert r.n_matches == len(brute), (d, r, brute)
+        assert r.first_match == (brute[0] if brute else -1)

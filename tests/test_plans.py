@@ -402,3 +402,20 @@ def test_dedup_chunks_two_shuffles_only(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "q_dedup_chunks")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Window" in plan
+
+
+def test_bucketed_join_query_has_no_shuffle_exchange(spark, sf_oracle):
+    # the bucketed layout must make the join Exchange-free. At fixture
+    # scale Catalyst prefers broadcasting the small side, so disable
+    # auto-broadcast to expose the co-located merge-join path — the one
+    # that matters at 100 TB: no Exchange on either join key; the only
+    # hash Exchange left is the final tiny group-by on c_mktsegment.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, sf_oracle, "q_join_bucketed", mode="simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
