@@ -107,3 +107,50 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the parquet scan is pinned by ``tests/test_scans.py``."""
     path = _stage(spark, sf_dir, "orc")
     return spark.read.schema(CSV_SCHEMA).orc(path)
+
+
+@register(
+    "q_scan_partitioned",
+    oracle="""
+    SELECT event_type, user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type, user_id
+    """,
+)
+def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-S1 scale path: hive-style partition pruning — the events table
+    is materialized once per session partitioned by ``event_type``
+    (``.../event_type=click/...``), and a two-value predicate then
+    reads exactly 2 of 5 partition directories: pruning happens at
+    PLANNING time from directory names, before any file I/O (the plan's
+    ``PartitionFilters``; pinned by tests/test_plans.py). The aggregate
+    result is attested against the plain unpartitioned oracle — layout
+    must be invisible in the answer.
+
+    At 100 TB, partitioning by a low-cardinality routing column
+    (date, source, language) is the first knob of every lakehouse
+    layout: a day/source-scoped query touches that fraction of the
+    data — combined with the bucketed layout (q_join_bucketed) this
+    covers both predicate- and join-locality. Partition values write
+    as directory names; the partition column's type is restored by
+    explicit cast (directory-name strings are the hive convention)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"{_STAGE_ROOT}/{tag}/events_by_type"
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        load(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(out)
+    e = spark.read.parquet(out)
+    return (
+        e.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -19,6 +19,9 @@ from streamclient_spark.streaming.pipeline import (
 )
 from streamclient_spark.streaming.sinks import (
     bus_sink_batch,
+    compact_rollup,
+    read_rollup,
+    rollup_sink_batch,
     collecting_publisher_factory,
     read_published,
     read_state_store,
@@ -39,6 +42,9 @@ __all__ = [
     "bus_sink_batch",
     "kafka_sink",
     "collecting_publisher_factory",
+    "compact_rollup",
+    "read_rollup",
+    "rollup_sink_batch",
     "configure_state_store",
     "read_published",
     "dedup_stream",

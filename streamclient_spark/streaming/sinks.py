@@ -222,3 +222,137 @@ def read_state_store(spark: SparkSession, store_path: str) -> DataFrame:
     The internal ``bucket`` layout column is dropped."""
     df = spark.read.parquet(store_path)
     return df.drop("bucket") if "bucket" in df.columns else df
+
+
+# ---------------------------------------------------------------------------
+# Incremental continuous aggregate (streaming twin of q_events_hourly_rollup)
+# ---------------------------------------------------------------------------
+
+
+def rollup_sink_batch(
+    store_path: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` maintenance of an hourly rollup table — the
+    continuous-aggregate pattern (TimescaleDB caggs / Druid rollup)
+    over Structured Streaming: each microbatch appends its OWN hourly
+    partial slice; readers merge slices with the measures' own
+    associativity. All measures are mergeable by construction — count,
+    exact-decimal sum, max — the same doctrine as the batch
+    q_events_hourly_rollup, so merge order/retries cannot change the
+    final values.
+
+    Idempotence without transactions: the batch's partials land under
+    ``hour=H/batch=B`` and the per-directory swap is an atomic rename
+    that REPLACES any existing ``batch=B`` slice — a retried batch
+    overwrites itself instead of double-counting (sums are not
+    idempotent, so upsert-style merging would be wrong here; the
+    partial-log layout is what makes replays safe). Storage is
+    O(touched hours) per batch; :func:`compact_rollup` folds old
+    slices into a base slice (``batch=-1``) so the log never grows
+    unboundedly; :func:`read_rollup` is the merge-on-read view. At
+    100 TB the layout doubles as partition pruning: a dashboard query
+    for one day reads 24 hour-directories."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        partials = (
+            batch_df.groupBy(
+                (
+                    F.floor(F.unix_timestamp(F.date_trunc("hour", ts_col)))
+                ).alias("hour")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(value_col).cast("decimal(27,4)")).alias("sv"),
+                F.max(value_col).alias("mx"),
+            )
+            .withColumn("batch", F.lit(batch_id))
+        )
+        dirty = [r["hour"] for r in partials.select("hour").distinct().collect()]
+        if not dirty:
+            return
+        tmp = f"{store_path}.stage-{batch_id}-{uuid.uuid4().hex[:8]}"
+        partials.write.mode("overwrite").partitionBy("hour", "batch").parquet(
+            tmp
+        )
+        try:
+            os.makedirs(store_path, exist_ok=True)
+            for h in dirty:
+                os.makedirs(
+                    os.path.join(store_path, f"hour={h}"), exist_ok=True
+                )
+                src = os.path.join(tmp, f"hour={h}", f"batch={batch_id}")
+                dst = os.path.join(
+                    store_path, f"hour={h}", f"batch={batch_id}"
+                )
+                old = dst + ".old"
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                if os.path.exists(dst):
+                    os.rename(dst, old)  # replayed batch replaces itself
+                os.rename(src, dst)
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return _sink
+
+
+def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:
+    """Merge-on-read view of the hourly rollup: fold all partial slices
+    per hour. Count/sum/max are associative (the sum in exact decimal
+    space), so this equals the single-pass batch aggregate regardless
+    of how microbatches split the data."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("hour")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sv").alias("sv"),
+            F.max("mx").alias("mx"),
+        )
+    )
+
+
+def compact_rollup(spark: SparkSession, store_path: str) -> None:
+    """Fold every hour's slices into a single base slice
+    (``batch=-1``) — bounded storage for the partial log. Safe to run
+    between batches: the fold is the same associative merge
+    :func:`read_rollup` performs, and each hour's swap is atomic."""
+    hours = [
+        int(n.split("=", 1)[1])
+        for n in os.listdir(store_path)
+        if n.startswith("hour=")
+    ]
+    if not hours:
+        return
+    base = (
+        spark.read.parquet(store_path)
+        .groupBy("hour")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sv").alias("sv"),
+            F.max("mx").alias("mx"),
+        )
+        .withColumn("batch", F.lit(-1))
+    )
+    tmp = f"{store_path}.compact-{uuid.uuid4().hex[:8]}"
+    base.write.mode("overwrite").partitionBy("hour", "batch").parquet(tmp)
+    try:
+        for h in hours:
+            hdir = os.path.join(store_path, f"hour={h}")
+            src = os.path.join(tmp, f"hour={h}", "batch=-1")
+            stage = hdir + ".stage"
+            old = hdir + ".old"
+            for d in (stage, old):
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+            os.makedirs(stage)
+            os.rename(src, os.path.join(stage, "batch=-1"))
+            os.rename(hdir, old)
+            os.rename(stage, hdir)
+            shutil.rmtree(old)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

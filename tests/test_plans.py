@@ -419,3 +419,11 @@ def test_bucketed_join_query_has_no_shuffle_exchange(spark, sf_oracle):
         assert "Exchange hashpartitioning(c_custkey" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_oracle):
+    # the two-value event_type predicate must land in PartitionFilters
+    # (planning-time directory pruning), not in the data filters
+    plan = plan_of(spark, sf_oracle, "q_scan_partitioned")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0]

@@ -993,3 +993,54 @@ def test_watermark_drops_late_data_from_windowed_agg(spark, tmp_path):
     # the late row leaked past the watermark
     assert len(rows) == 1, rows
     assert rows[0]["n_events"] == 2
+
+
+def test_rollup_sink_incremental_equals_batch_and_survives_replay(
+    spark, sf_smoke, tmp_path
+):
+    # maintain the hourly rollup over 3 microbatches; the merge-on-read
+    # view must equal the single-pass batch aggregate EXACTLY (decimal
+    # mergeability), a replayed batch must not double-count, and
+    # compaction must not change the answer
+    from streamclient_spark.streaming import (
+        compact_rollup,
+        read_rollup,
+        rollup_sink_batch,
+    )
+    from streamclient_spark.tables import load
+
+    store = str(tmp_path / "rollup")
+    sink = rollup_sink_batch(store)
+    events = load(spark, sf_smoke, "events").select("ts", "value")
+    batches = [
+        events.filter(F.pmod(F.xxhash64("ts"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        sink(b, i)
+
+    expected = (
+        events.groupBy(
+            F.floor(
+                F.unix_timestamp(F.date_trunc("hour", "ts"))
+            ).alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,4)")).alias("sv"),
+            F.max("value").alias("mx"),
+        )
+    )
+    exp = {r.hour: (r.n, r.sv, r.mx) for r in expected.collect()}
+
+    def check():
+        got = {r.hour: (r.n, r.sv, r.mx) for r in read_rollup(spark, store).collect()}
+        assert got == exp
+
+    check()
+    sink(batches[1], 1)  # replayed batch replaces its own slice
+    check()
+    compact_rollup(spark, store)
+    check()
+    sink(batches[0].limit(0), 99)  # empty batch is a no-op
+    check()
