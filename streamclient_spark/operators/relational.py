@@ -2540,3 +2540,48 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(qty_mode AS BIGINT) AS qty_mode,
+           CAST(mode_count AS BIGINT) AS mode_count
+    FROM (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty_mode,
+             count(*) AS mode_count,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY count(*) DESC, CAST(l_quantity AS BIGINT)
+             ) AS rn
+      FROM lineitem
+      GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    )
+    WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most-frequent value) aggregate with a deterministic
+    tie-break — engines' built-in ``mode()`` functions pick an
+    ARBITRARY winner on ties, so both sides compute it the explicit
+    way: count per (group, value), then keep the (count DESC, value
+    ASC) winner per group. The decomposition is also the scalable one:
+    the first aggregate is partial+final on a (group, value) key —
+    near-uniform, no skew even when the group key itself is 3 values —
+    and the ranking window runs over |distinct values| rows per group,
+    not raw data. Spark's per-group top-1 lowers to WindowGroupLimit
+    (per-partition heaps) like every other top-k in this engine."""
+    l = load(spark, sf_dir, "lineitem")
+    counted = (
+        l.groupBy("l_returnflag", F.col("l_quantity").cast("long").alias("qty_mode"))
+        .agg(F.count(F.lit(1)).alias("mode_count"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("mode_count"), F.asc("qty_mode")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", "qty_mode", "mode_count")
+    )

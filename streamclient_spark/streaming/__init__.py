@@ -24,7 +24,9 @@ from streamclient_spark.streaming.sinks import (
     rollup_sink_batch,
     collecting_publisher_factory,
     read_published,
+    read_scd2_asof,
     read_state_store,
+    scd2_sink_batch,
     to_wire,
     upsert_state_batch,
 )
@@ -52,7 +54,9 @@ __all__ = [
     "metagame_pipeline",
     "open_alerts_stream",
     "project_events",
+    "read_scd2_asof",
     "read_state_store",
+    "scd2_sink_batch",
     "session_windows",
     "sliding_counts",
     "to_wire",

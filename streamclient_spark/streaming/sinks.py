@@ -356,3 +356,157 @@ def compact_rollup(spark: SparkSession, store_path: str) -> None:
             shutil.rmtree(old)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 keyed history (type-2 slowly-changing dimension maintenance)
+# ---------------------------------------------------------------------------
+
+
+def scd2_sink_batch(
+    store_path: str,
+    key_col: str = "id",
+    ts_col: str = "last_ts_us",
+    n_buckets: int = 64,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` maintenance of a type-2 slowly-changing
+    dimension: instead of overwriting keyed state (upsert_state_batch),
+    every change APPENDS a version row with a validity interval —
+    ``[valid_from_us, valid_to_us)``, ``valid_to_us`` NULL for the
+    current version — so point-in-time queries ("what was this alert's
+    state at T?") are a plain interval predicate. This is the history
+    twin of the reference's keyed store (SURVEY.md §2A A7/A8): the
+    reference forgets terminal alerts; the SCD2 table remembers every
+    transition.
+
+    Semantics per key and batch:
+
+    - batch changes are ordered by (``ts_col``, state) and chained:
+      each change closes its predecessor's interval at its own ts;
+    - the stored CURRENT version is closed by the first strictly-newer
+      batch change; changes at or before the current version's
+      ``valid_from_us`` are ignored (the late-event guard — same
+      doctrine as the lifecycle operator's event-order guard), which
+      also makes full-batch replays no-ops → effectively-once;
+    - equal-ts duplicates within a batch collapse to one version
+      (deterministic keep: highest state string, mirroring the upsert
+      sink's tie rule).
+
+    I/O is the dirty-bucket discipline of upsert_state_batch: only the
+    hash buckets containing this batch's keys are read, merged, and
+    atomically swapped. At 100 TB the function body becomes MERGE INTO
+    plus INSERT on a transactional table; the interval columns and the
+    bucketed-by-key layout are exactly what that MERGE wants."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bucket_of = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+
+        # collapse equal-ts duplicates, then chain versions in ts order
+        w_dedup = Window.partitionBy(key_col, ts_col).orderBy(
+            F.desc("state")
+        )
+        w_chain = Window.partitionBy(key_col).orderBy(
+            F.asc("valid_from_us")
+        )
+        changes = (
+            batch_df.withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .select(
+                F.col(key_col),
+                "state",
+                F.col(ts_col).alias("valid_from_us"),
+            )
+            .withColumn(
+                "valid_to_us", F.lead("valid_from_us").over(w_chain)
+            )
+            .withColumn("bucket", bucket_of)
+        )
+        dirty = [
+            r["bucket"] for r in changes.select("bucket").distinct().collect()
+        ]
+        if not dirty:
+            return
+
+        has_store = os.path.isdir(store_path) and any(
+            n.startswith("bucket=") for n in os.listdir(store_path)
+        )
+        if has_store:
+            store = spark.read.parquet(store_path).filter(
+                F.col("bucket").isin(dirty)
+            )
+            # first strictly-newer change per key closes the current row
+            firsts = (
+                changes.groupBy(key_col)
+                .agg(F.min("valid_from_us").alias("_first_ts"))
+            )
+            cur = store.filter(F.col("valid_to_us").isNull()).join(
+                firsts, key_col, "left"
+            )
+            closed = cur.select(
+                key_col,
+                "state",
+                "valid_from_us",
+                F.when(
+                    F.col("_first_ts") > F.col("valid_from_us"),
+                    F.col("_first_ts"),
+                )
+                .otherwise(F.lit(None))
+                .alias("valid_to_us"),
+                "bucket",
+            )
+            # late-event guard: drop batch changes not strictly newer
+            # than the stored current version
+            guard = store.filter(F.col("valid_to_us").isNull()).select(
+                key_col, F.col("valid_from_us").alias("_cur_from")
+            )
+            fresh = (
+                changes.join(guard, key_col, "left")
+                .filter(
+                    F.col("_cur_from").isNull()
+                    | (F.col("valid_from_us") > F.col("_cur_from"))
+                )
+                .drop("_cur_from")
+            )
+            merged = (
+                store.filter(F.col("valid_to_us").isNotNull())
+                .unionByName(closed)
+                .unionByName(fresh)
+            )
+        else:
+            merged = changes
+
+        tmp = f"{store_path}.stage-{batch_id}-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        try:
+            os.makedirs(store_path, exist_ok=True)
+            for b in dirty:
+                src = os.path.join(tmp, f"bucket={b}")
+                dst = os.path.join(store_path, f"bucket={b}")
+                old = dst + ".old"
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                if os.path.exists(dst):
+                    os.rename(dst, old)
+                if os.path.exists(src):
+                    os.rename(src, dst)
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return _sink
+
+
+def read_scd2_asof(
+    spark: SparkSession, store_path: str, at_us: int
+) -> DataFrame:
+    """Point-in-time view of the SCD2 history: the version of each key
+    valid at ``at_us`` — one interval predicate, partition-prunable by
+    bucket when a key filter is present."""
+    df = spark.read.parquet(store_path)
+    return df.filter(
+        (F.col("valid_from_us") <= at_us)
+        & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > at_us))
+    ).drop("bucket")

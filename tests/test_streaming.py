@@ -1044,3 +1044,54 @@ def test_rollup_sink_incremental_equals_batch_and_survives_replay(
     check()
     sink(batches[0].limit(0), 99)  # empty batch is a no-op
     check()
+
+
+def test_scd2_sink_builds_history_and_is_replay_safe(spark, tmp_path):
+    # hand-computed scenario: versions chain within and across batches,
+    # a replayed batch is a no-op, and the as-of view answers
+    # point-in-time lookups
+    from streamclient_spark.streaming import read_scd2_asof, scd2_sink_batch
+
+    store = str(tmp_path / "scd2")
+    sink = scd2_sink_batch(store)
+    cols = ["id", "state", "last_ts_us"]
+    b0 = spark.createDataFrame(
+        [("A", "started", 100), ("B", "started", 200)], cols
+    )
+    b1 = spark.createDataFrame(
+        [("A", "ended", 300), ("C", "started", 400), ("C", "cancelled", 500)],
+        cols,
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def history():
+        rows = spark.read.parquet(store).drop("bucket").collect()
+        return sorted(
+            (r.id, r.state, r.valid_from_us, r.valid_to_us) for r in rows
+        )
+
+    expected = [
+        ("A", "ended", 300, None),
+        ("A", "started", 100, 300),
+        ("B", "started", 200, None),
+        ("C", "cancelled", 500, None),
+        ("C", "started", 400, 500),
+    ]
+    assert history() == expected
+    sink(b1, 1)  # full-batch replay: late-event guard makes it a no-op
+    assert history() == expected
+    # a late event older than the current version is ignored
+    sink(spark.createDataFrame([("A", "started", 250)], cols), 2)
+    assert history() == expected
+
+    asof = lambda t: sorted(
+        (r.id, r.state) for r in read_scd2_asof(spark, store, t).collect()
+    )
+    assert asof(250) == [("A", "started"), ("B", "started")]
+    assert asof(450) == [("A", "ended"), ("B", "started"), ("C", "started")]
+    assert asof(600) == [
+        ("A", "ended"),
+        ("B", "started"),
+        ("C", "cancelled"),
+    ]
