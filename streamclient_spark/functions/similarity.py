@@ -47,7 +47,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from streamclient_spark.functions.vectors import dot_f64, dot_fold, norm
+from streamclient_spark.functions.vectors import dot_fold
 from streamclient_spark.plans.registry import register
 from streamclient_spark.tables import load
 

@@ -429,3 +429,50 @@ def test_incremental_dedup_never_flags_corpus_docs_and_matches_planted(
         )
         assert r.n_matches == len(brute), (d, r, brute)
         assert r.first_match == (brute[0] if brute else -1)
+
+
+def test_pq_codes_match_independent_recompute(spark, sf_oracle):
+    # PQ code words and reconstruction cosines must equal a brute-force
+    # driver-side recompute from the same deterministic codebook
+    import numpy as np
+
+    from streamclient_spark.functions.embeddings import (
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+        q_embed_pq,
+    )
+    from streamclient_spark.functions.similarity import _centroid_literals
+    from streamclient_spark.tables import load
+
+    rows = (
+        load(spark, sf_oracle, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    C = np.stack(
+        [
+            np.asarray(v, dtype=np.float64)
+            for _, v, _ in _centroid_literals(spark, sf_oracle)
+        ]
+    )
+    out = {r.vec_id: r for r in q_embed_pq(spark, sf_oracle).collect()}
+    assert len(out) == len(rows)
+    recs = []
+    for r in rows:
+        x = np.asarray(r.embedding, dtype=np.float64)
+        codes, recon = [], np.empty_like(x)
+        for s_ in range(PQ_SUBSPACES):
+            sl = slice(s_ * PQ_SUBDIM, (s_ + 1) * PQ_SUBDIM)
+            d2 = ((C[:, sl] - x[sl]) ** 2).sum(axis=1)
+            k = int(np.argmin(d2))
+            codes.append(k)
+            recon[sl] = C[k, sl]
+        got = out[r.vec_id]
+        assert got.pq_code == ",".join(str(c) for c in codes), r.vec_id
+        cos = float(
+            (x @ recon) / (np.linalg.norm(x) * np.linalg.norm(recon))
+        )
+        assert abs(got.recon_cos - cos) < 1e-5, r.vec_id
+        recs.append(cos)
+    # compression quality sanity: reconstructions correlate with inputs
+    assert sum(recs) / len(recs) > 0.4
