@@ -2585,3 +2585,74 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", "qty_mode", "mode_count")
     )
+
+
+@register(
+    "q_dq_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) AS n,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR),
+           CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile — row count, null count, distinct
+    count, min/max per column in long form, the health check every
+    ingestion pipeline runs before training data ships. The engine
+    computes ALL columns' statistics in ONE scan (a single wide
+    aggregate row, exploded to long form with ``stack``); the oracle
+    spells the same stats as one UNION branch per column, which is the
+    semantics, not the plan — a four-scan oracle against a one-scan
+    engine.
+
+    min/max project to strings so one schema covers heterogeneous
+    column types (the profile-table convention). At 100 TB: one
+    partial+final aggregate pass; the distinct counts are the only
+    expensive measures and each is a two-phase distinct on its own
+    column — swap in approx_count_distinct (or the HLL sketches of
+    q_agg_sketch_merge) when exactness is not required."""
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__n_null`, `{c}__n_distinct`, "
+        f"`{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col, n, n_null, n_distinct, min_str, max_str)"
+    )

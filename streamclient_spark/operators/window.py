@@ -619,3 +619,91 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mv").alias("max_value"),
         )
     )
+
+
+@register(
+    "q_seq_pattern",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT s1.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_view
+      FROM events e JOIN s1
+        ON e.user_id = s1.user_id
+       AND e.event_type = 'view'
+       AND CAST(e.ts AS TIMESTAMP) > s1.t_click
+      GROUP BY s1.user_id
+    ),
+    s3 AS (
+      SELECT s2.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM events e JOIN s2
+        ON e.user_id = s2.user_id
+       AND e.event_type = 'purchase'
+       AND CAST(e.ts AS TIMESTAMP) > s2.t_view
+      GROUP BY s2.user_id
+    )
+    SELECT s1.user_id, t_click, t_view, t_purchase,
+           (t_purchase IS NOT NULL) AS completed
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence pattern match (MATCH_RECOGNIZE shape): the
+    earliest click → view → purchase chain per user, each step
+    STRICTLY after the previous — the k-step generalization of
+    q_funnel's two-step form, and the greedy-leftmost semantics SQL's
+    MATCH_RECOGNIZE calls ``FIRST``. Chained conditional minima ARE
+    the scalable formulation: each step is one equi-join on user_id
+    with the follows-predicate as a residual plus a partial+final min
+    — never a per-user sort or a time-range join — and all three
+    steps reuse ONE user_id partitioning (Catalyst sees the
+    co-partitioning; zero extra Exchanges after the first).
+
+    At 100 TB: the event-type filters push to the scan, so each step
+    reads only its own event class; k-step patterns cost k co-located
+    join+agg rounds over ever-shrinking anchor sets. Timestamps
+    compare exactly (µs truncation in both engines), so every
+    "strictly after" picks identical event sets."""
+    ev = load(spark, sf_dir, "events")
+
+    def step(anchor: DataFrame, t_prev: str, etype: str, out: str) -> DataFrame:
+        nxt = ev.filter(F.col("event_type") == etype).select(
+            F.col("user_id").alias("_u"), F.col("ts").alias("_ts")
+        )
+        return (
+            nxt.join(
+                anchor,
+                (F.col("_u") == F.col("user_id"))
+                & (F.col("_ts") > F.col(t_prev)),
+            )
+            .groupBy("_u")
+            .agg(F.min("_ts").alias(out))
+            .select(F.col("_u").alias(f"_{out}_u"), out)
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s2 = step(s1, "t_click", "view", "t_view")
+    s2j = s1.join(
+        s2, F.col("user_id") == F.col("_t_view_u"), "left"
+    ).select("user_id", "t_click", "t_view")
+    s3 = step(
+        s2j.filter(F.col("t_view").isNotNull()), "t_view", "purchase",
+        "t_purchase",
+    )
+    return (
+        s2j.join(s3, F.col("user_id") == F.col("_t_purchase_u"), "left")
+        .select(
+            "user_id",
+            "t_click",
+            "t_view",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("completed"),
+        )
+    )

@@ -112,7 +112,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_hourly_rollup", "q_rank_global",
     "q_dedup_incremental", "q_sim_range", "q_text_hashvec",
     "q_agg_sketch_merge", "q_join_bucketed", "q_scan_partitioned",
-    "q_agg_mode", "q_embed_pq",
+    "q_agg_mode", "q_embed_pq", "q_dq_profile", "q_seq_pattern",
 )
 
 
