@@ -848,51 +848,63 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-level counting; the fixture documents have no newlines, so
     the fixed token window stands in for the paragraph boundary.
 
-    Plan: one projection builds the chunk-hash array with builtins
-    (split → sequence → slice/concat per window — a few interpreted
-    HOF lambdas per doc, ~n_tokens/16 chunks), posexplode, ONE shuffle
-    on chunk hash for the corpus-wide occurrence window, one shuffle
-    on doc_id for the per-doc rollup. The keep test is exact integer
-    arithmetic (2·n_dup ≤ n_chunks — no float fraction on either
-    engine).
+    Plan: ONE fused Arrow pass tokenizes and hashes every 16-token
+    window, emitting ``(doc_id, h, k)`` with within-document repeats
+    already combined (an earlier pure-Catalyst formulation built the
+    chunk array with split/sequence/slice HOF lambdas — interpreted
+    per element, measured 11.5 s vs ~2 s at sf1 — the same
+    split-recovery story as every fused token pass in text.py). Then
+    one shuffle on the chunk hash sums corpus-wide occurrences, and
+    the co-partitioned join + doc_id rollup scores each document. The
+    keep test is exact integer arithmetic (2·n_dup ≤ n_chunks — no
+    float fraction on either engine).
 
     100 TB: chunk hashes are uniform by construction (md5), so the
     occurrence-count shuffle has no skew; the per-doc rollup groups on
     the natural key. The md5 → xxhash64 swap applies here as
     everywhere (md5 is the cross-engine parity choice)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
     release_managed()
-    t = F.filter(
-        F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
-    )
-    n_chunks = F.floor(
-        (F.size("t") + F.lit(_CHUNK_TOKENS - 1)) / F.lit(_CHUNK_TOKENS)
-    ).cast("int")
-    chunk_hashes = F.transform(
-        F.sequence(F.lit(0), F.col("n_chunks") - 1),
-        lambda i: F.md5(
-            F.array_join(
-                F.slice(
-                    F.col("t"),
-                    i * F.lit(_CHUNK_TOKENS) + 1,
-                    F.lit(_CHUNK_TOKENS),
-                ),
-                " ",
-            )
-        ),
-    )
+    ws = re.compile(r"\s+")
+
+    def chunk_counts(batches):
+        for pdf in batches:
+            ids, hs, ks = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in ws.split(text) if t]
+                acc: Counter = Counter(
+                    hashlib.md5(
+                        " ".join(toks[i : i + _CHUNK_TOKENS]).encode()
+                    ).hexdigest()
+                    for i in range(0, len(toks), _CHUNK_TOKENS)
+                )
+                for h, k in acc.items():
+                    ids.append(doc_id)
+                    hs.append(h)
+                    ks.append(k)
+            yield pd.DataFrame({"doc_id": ids, "h": hs, "k": ks})
+
+    # split recovery (near-unsplittable fixture file, CPU-bound pass)
     chunks = (
         load(spark, sf_dir, "documents")
-        .select("doc_id", t.alias("t"))
-        .withColumn("n_chunks", n_chunks)
-        .select("doc_id", F.explode(chunk_hashes).alias("h"))
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(chunk_counts, "doc_id bigint, h string, k long")
     )
-    occ = Window.partitionBy("h")
+    totals = chunks.groupBy("h").agg(F.sum("k").alias("c"))
     per_doc = (
-        chunks.withColumn("c", F.count(F.lit(1)).over(occ))
+        chunks.join(totals, "h")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup"),
+            F.sum("k").alias("n_chunks"),
+            F.sum(F.when(F.col("c") > 1, F.col("k")).otherwise(0)).alias(
+                "n_dup"
+            ),
         )
     )
     # 2·n_dup ≤ n_chunks ⟺ n_dup ≤ 0.5·n_chunks, in exact integers

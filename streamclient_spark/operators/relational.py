@@ -1983,11 +1983,17 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the layout with zero exchanges. region (5 rows) broadcasts
     into nation (fixed 25), and that 5-row product broadcasts into
     supplier BEFORE the catalog join, cutting the supplier side to
-    one region (~20%). part's two filters push to its scan; the
-    part⋈catalog join is unhinted — AQE broadcasts the filtered part
-    side when it fits (~0.3% of part) and shuffles otherwise. The
-    LIMIT carries a unique total order (…, p_partkey, s_suppkey) so
-    the selected row set is deterministic."""
+    one region (~20%). part's two filters push to its scan, and the
+    part⋈catalog join runs FIRST — the ~0.3% surviving partkeys prune
+    99.7% of the catalog before the supplier join touches it
+    (measured 4.2 s → 2 s at sf1). Correlation safety of the
+    reorder: the per-partkey MIN needs every EUROPEAN supplier of a
+    SURVIVING partkey; the part join never drops suppliers within a
+    partkey, and the window still runs after the supplier
+    restriction. Both catalog joins are unhinted — AQE broadcasts the
+    small sides when they fit. The LIMIT carries a unique total order
+    (…, p_partkey, s_suppkey) so the selected row set is
+    deterministic."""
     supply = (
         load(spark, sf_dir, "lineitem")
         .groupBy(
@@ -2006,10 +2012,10 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(
         F.col("p_size").between(10, 15) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_brand")
-    eu = supply.join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
+    catp = supply.join(p, F.col("ps_partkey") == F.col("p_partkey"))
     w = Window.partitionBy("ps_partkey")
     return (
-        eu.join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        catp.join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
         .withColumn("_min_cost", F.min("ps_cost").over(w))
         .filter(F.col("ps_cost") == F.col("_min_cost"))
         .select(
