@@ -2662,3 +2662,90 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(col, n, n_null, n_distinct, min_str, max_str)"
     )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                 * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxx - sx * sx AS DOUBLE)
+                 / CAST(n * n AS DOUBLE) / 10000.0, 6) AS var_qty,
+           round(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                      / CAST(n * n AS DOUBLE) / 10000.0), 6) AS stddev_qty,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * n AS DOUBLE) / 10000.0, 6) AS covar_qty_price,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family — population variance, standard
+    deviation, covariance, and Pearson correlation — computed from
+    EXACT integer moment sums, never the engines' built-in
+    ``stddev``/``corr`` (those accumulate doubles in partition order,
+    so two engines — or two runs — disagree in the last ulps). The
+    doctrine extends the money-sum convention to second moments: scale
+    both measures to exact cents, sum n/Σx/Σy/Σx²/Σy²/Σxy as exact
+    integers (the one product whose sum exceeds int64, Σy², runs as a
+    two-limb long sum), then evaluate the closed forms
+    (n·Σx²−(Σx)²)/n² etc. with TEXTUALLY IDENTICAL double expressions
+    on both engines — exact integers convert to the same doubles, and
+    the same IEEE ops in the same order give bit-identical results.
+
+    This is also the 100 TB shape: one partial+final hash aggregate
+    carrying 7 long accumulators per group (DuckDB's int128 sums and
+    the limb trick are the same idea), no second pass, no
+    Welford-order sensitivity, retry/partitioning-independent. At
+    larger row counts the narrower sums migrate to limbs too (margins
+    documented in compat.py)."""
+    l = load(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    shift = 20
+    mask = (1 << shift) - 1
+    yy = y * y
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(F.shiftright(yy, shift)).alias("_syy_hi"),
+        F.sum(yy.bitwiseAND(F.lit(mask))).alias("_syy_lo"),
+        F.sum(x * y).alias("sxy"),
+    )
+    dec = "decimal(38,0)"
+    n = F.col("n").cast(dec)
+    sx, sy = F.col("sx").cast(dec), F.col("sy").cast(dec)
+    sxx, sxy = F.col("sxx").cast(dec), F.col("sxy").cast(dec)
+    syy = (
+        F.col("_syy_hi").cast(dec) * F.lit(1 << shift)
+        + F.col("_syy_lo").cast(dec)
+    )
+    numx = (n * sxx - sx * sx).cast("double")
+    numy = (n * syy - sy * sy).cast("double")
+    numc = (n * sxy - sx * sy).cast("double")
+    nn = (n * n).cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(numx / nn / F.lit(10000.0), 6).alias("var_qty"),
+        F.round(F.sqrt(numx / nn / F.lit(10000.0)), 6).alias("stddev_qty"),
+        F.round(numc / nn / F.lit(10000.0), 6).alias("covar_qty_price"),
+        F.round(numc / F.sqrt(numx * numy), 9).alias("corr_qty_price"),
+    )

@@ -182,3 +182,45 @@ def test_ranked_by_range_matches_window_row_number(spark, sf_oracle):
         ranked_by_range(e, ["value", "event_id"]).explain(mode="simple")
     plan = buf.getvalue()
     assert "rangepartitioning" in plan.replace(" ", "").lower()
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_oracle):
+    # Catalyst's runtime bloom-filter injection: a selective dim-side
+    # filter materializes a bloom filter that is pushed into the FACT
+    # scan as might_contain — rows that cannot join are dropped before
+    # the shuffle. At 100 TB this is the lever that turns a selective
+    # dim join into a fact-scan reduction without bucketing or hints.
+    # (Thresholds are lowered because fixture tables sit below the
+    # production defaults; production keeps the defaults.)
+    from pyspark.sql import functions as F
+
+    from streamclient_spark.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (
+            load(spark, sf_oracle, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        l = load(spark, sf_oracle, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
