@@ -374,3 +374,51 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_to_feb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B-F10 — conditional / null-handling functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+           NULLIF(CAST(l_quantity AS BIGINT), 0) AS qty_nonzero,
+           LEAST(CAST(l_quantity AS BIGINT), 25) AS qty_capped,
+           GREATEST(CAST(l_quantity AS BIGINT), 10) AS qty_floored,
+           CASE WHEN l_discount BETWEEN 0.05 AND 0.07 THEN 'mid'
+                WHEN l_discount < 0.05 THEN 'low' ELSE 'high' END
+             AS disc_band,
+           CAST(l_returnflag = 'R' AS INT) AS is_return
+    FROM lineitem
+    """,
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F10: NULLIF/COALESCE/LEAST/GREATEST/multi-branch CASE and a
+    boolean-to-int projection — the null-handling family every ETL
+    projection leans on (B-P2 covers the two-branch CASE; this row
+    covers the null-generating and null-absorbing forms). LEAST and
+    GREATEST on exact integers avoid any float-comparison ambiguity.
+
+    100 TB plan: pure codegen conditionals — branch-predictable, zero
+    shuffle, scan-speed."""
+    l = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")
+        ).alias("flag_or_none"),
+        F.nullif(qty, F.lit(0)).alias("qty_nonzero"),
+        F.least(qty, F.lit(25)).alias("qty_capped"),
+        F.greatest(qty, F.lit(10)).alias("qty_floored"),
+        F.when(F.col("l_discount").between(0.05, 0.07), "mid")
+        .when(F.col("l_discount") < 0.05, "low")
+        .otherwise("high")
+        .alias("disc_band"),
+        (F.col("l_returnflag") == "R").cast("int").alias("is_return"),
+    )

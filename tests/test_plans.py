@@ -427,3 +427,13 @@ def test_partitioned_scan_prunes_directories(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "q_scan_partitioned")
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "event_type" in pf[0]
+
+
+def test_driver_priority_names_resolve_uniquely():
+    # a typo in the attestation-priority list would silently push real
+    # queries out of the driver's 50-entry correctness window
+    from streamclient_spark.plans.registry import DRIVER_PRIORITY
+
+    assert len(set(DRIVER_PRIORITY)) == len(DRIVER_PRIORITY)
+    missing = [n for n in DRIVER_PRIORITY if n not in SPECS]
+    assert not missing, missing
