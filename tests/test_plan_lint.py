@@ -1,0 +1,56 @@
+"""Whole-surface plan lint: every registered query's physical plan is
+swept for patterns that do not survive scale, with explicit allowlists
+for the places they are the intended plan. Complements the targeted
+shape assertions in test_plans.py — a new query cannot silently ship a
+row-at-a-time Python stage or an unintended cartesian product just
+because nobody wrote it a dedicated test."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from streamclient_spark.plans.registry import load_all
+
+#: BatchEvalPython = row-at-a-time Python. Banned everywhere except the
+#: query whose PURPOSE is the Python UDTF extension point.
+ROW_PYTHON_ALLOWED = {"q_udtf_explode"}
+
+#: BroadcastNestedLoopJoin is legitimate exactly where the build side
+#: is a single-row scalar (totals / thresholds / cutoff timestamps —
+#: the standard decorrelated-scalar-subquery plan) or where the query
+#: IS a cross join.
+BNLJ_ALLOWED = {
+    "q_join_cross",       # the cross-join operator itself
+    "q_state_open",       # 1-row TTL-cutoff scalar
+    "q_ttl_filter",       # 1-row cutoff scalar
+    "q_tpch_q11",         # 1-row national-total threshold
+    "q_tpch_q22",         # 1-row average-balance scalar
+    "q_tpch_q15",         # 1-row max-revenue scalar (AQE-dependent)
+    "q_tpch_q17",         # 1-row scalar variants under default confs
+    "q_text_tfidf",       # 1-row corpus document count (idf)
+    "q_text_surprisal",   # 1-row corpus token total
+    "q_subquery_scalar",  # scalar-subquery demo
+    "q_sample_weights",   # 1-row max-weight scalar
+}
+
+
+def test_no_row_python_or_cartesian_anywhere(spark, sf_oracle):
+    specs = load_all()
+    offenders = []
+    for name, spec in specs.items():
+        df = spec.builder(spark, sf_oracle)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="simple")
+        plan = buf.getvalue()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan and name not in ROW_PYTHON_ALLOWED:
+            offenders.append((name, "BatchEvalPython"))
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in BNLJ_ALLOWED
+        ):
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
