@@ -707,3 +707,122 @@ def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_sparse — sparse count-vector cosine via inverted-index join (B-L3)
+# ---------------------------------------------------------------------------
+
+#: hub-token cutoff: tokens appearing in more than this many documents
+#: are dropped from the vectors BEFORE pairing (both engines) — the
+#: standard sparse-similarity pruning (a token in d documents generates
+#: O(d²) candidate pairs; hubs carry no similarity signal).
+SPARSE_MAX_DF = 50
+
+
+@register(
+    "q_sim_sparse",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS k FROM toks GROUP BY 1, 2),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    v AS (SELECT tf.doc_id, tf.t, tf.k
+          FROM tf JOIN df USING (t) WHERE df.df <= 50),
+    nrm AS (SELECT doc_id, SUM(k*k) AS n2 FROM v GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.k * b.k) AS dot
+      FROM v a JOIN v b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT dots.a_id, dots.b_id,
+           round(CAST(dot AS DOUBLE)
+                 / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+             AS cos_sim
+    FROM dots JOIN nrm na ON na.doc_id = dots.a_id
+              JOIN nrm nb ON nb.doc_id = dots.b_id
+    """,
+)
+def q_sim_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L3: sparse (bag-of-words) cosine similarity between documents
+    via an INVERTED-INDEX join — the text-side counterpart of the
+    dense embedding paths, and the shape every sparse similarity
+    system (DIMSUM, Elastic more-like-this) reduces to: vectors meet
+    only on the tokens they share, so the pair space is driven by the
+    posting lists, not |docs|².
+
+    Scale discipline: tokens with document frequency > 50 are dropped
+    from the vectors on BOTH engines before pairing — a token in d
+    docs emits O(d²) candidates, and hub tokens carry no signal; with
+    the cutoff the candidate count is bounded by Σ_rare df² ≪ |docs|².
+    Exactness: dot products and norms are INTEGER sums (raw term
+    counts — no idf floats inside the aggregation), so the one
+    sqrt/divide at the end is deterministic IEEE on identical exact
+    inputs (same doctrine as q_agg_stats).
+
+    Plan: one fused Arrow pass emits per-doc (token, count) partials
+    (split-recovery as in the other token passes), one token-keyed
+    aggregate for document frequencies, the posting-list self-join on
+    the token key, a pair-keyed aggregate for the dots, and two
+    co-partitioned norm joins. At 100 TB the posting lists are the
+    materialized inverted index, bucketed by token."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+
+    def doc_token_counts(batches):
+        for pdf in batches:
+            ids, ts, ks = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                acc: Counter = Counter(
+                    t for t in ws.split(text) if t
+                )
+                for t, k in acc.items():
+                    ids.append(doc_id)
+                    ts.append(t)
+                    ks.append(k)
+            yield pd.DataFrame({"doc_id": ids, "t": ts, "k": ks})
+
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(doc_token_counts, "doc_id bigint, t string, k long")
+    )
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    v = tf.join(df_t.filter(F.col("df") <= SPARSE_MAX_DF), "t").select(
+        "doc_id", "t", "k"
+    )
+    nrm = v.groupBy("doc_id").agg(F.sum(F.col("k") * F.col("k")).alias("n2"))
+    a = v.select(
+        F.col("doc_id").alias("a_id"), "t", F.col("k").alias("ka")
+    )
+    b = v.select(
+        F.col("doc_id").alias("b_id"), "t", F.col("k").alias("kb")
+    )
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("ka") * F.col("kb")).alias("dot"))
+    )
+    return (
+        dots.join(nrm.select(F.col("doc_id").alias("a_id"), F.col("n2").alias("na")), "a_id")
+        .join(nrm.select(F.col("doc_id").alias("b_id"), F.col("n2").alias("nb")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )

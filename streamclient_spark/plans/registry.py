@@ -113,7 +113,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_incremental", "q_sim_range", "q_text_hashvec",
     "q_agg_sketch_merge", "q_join_bucketed", "q_scan_partitioned",
     "q_agg_mode", "q_embed_pq", "q_dq_profile", "q_seq_pattern",
-    "q_agg_stats", "q_fn_conditional",
+    "q_agg_stats", "q_fn_conditional", "q_sim_sparse",
 )
 
 
