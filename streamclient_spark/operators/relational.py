@@ -2749,3 +2749,71 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(numc / nn / F.lit(10000.0), 6).alias("covar_qty_price"),
         F.round(numc / F.sqrt(numx * numy), 9).alias("corr_qty_price"),
     )
+
+
+@register(
+    "q_agg_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           (max(struct_pack(p := o_totalprice, k := o_orderkey))).k
+             AS top_order,
+           (max(struct_pack(p := o_totalprice, k := o_orderkey))).p
+             AS top_price,
+           (min(struct_pack(p := o_totalprice, k := o_orderkey))).k
+             AS bottom_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregation ("which order had the highest price
+    per priority") with a DETERMINISTIC tie rule — the built-in
+    ``max_by``/``min_by`` pick an arbitrary winner on ties in both
+    engines, so the engine computes ``max(struct(ord, key))`` instead:
+    struct comparison is lexicographic, making the key an explicit
+    tie-break, and struct min/max are ordinary associative aggregates
+    (partial+final, retry/partition-order independent — max_by with an
+    arbitrary tie rule is NOT stable across retries, which matters for
+    effectively-once pipelines).
+
+    100 TB plan: one partial+final hash aggregate; the struct payload
+    is (double, long) — 16 bytes of accumulator per group."""
+    o = load(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max(s).getField("k").alias("top_order"),
+        F.max(s).getField("p").alias("top_price"),
+        F.min(s).getField("k").alias("bottom_order"),
+    )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): the distinct
+    values of a group rendered as one canonically-ordered string.
+    Determinism rule: an UNORDERED listagg is nondeterministic in any
+    engine (concatenation order = arrival order), so the engine always
+    sorts the collected set before joining — ``collect_set`` →
+    ``array_sort`` → ``array_join``, matching the oracle's
+    ``ORDER BY`` clause.
+
+    100 TB plan: collect_set is an associative set-union aggregate
+    (partial+final); the per-group payload must be bounded (here ≤20
+    sources) — unbounded-cardinality groups should aggregate counts,
+    not strings (the same rule as any collect_*)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+            "sources"
+        ),
+        F.countDistinct("source").alias("n_sources"),
+    )

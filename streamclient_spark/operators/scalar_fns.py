@@ -422,3 +422,55 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("disc_band"),
         (F.col("l_returnflag") == "R").cast("int").alias("is_return"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B-F11 — array higher-order functions (lambda forms)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_array_hof",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> len(x) > 5)) AS INT) AS long_toks,
+           CAST(list_sum(list_transform(string_split_regex(text, '\s+'),
+                                        x -> len(x))) AS BIGINT)
+             AS total_chars,
+           CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x = 'spark')) > 0
+                THEN 1 ELSE 0 END AS has_spark,
+           array_to_string(list_transform(string_split_regex(text, '\s+')[1:3],
+                                          x -> upper(x)), '|') AS head_upper
+    FROM documents
+    """,
+)
+def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F11: array higher-order functions — ``transform``, ``filter``,
+    ``aggregate`` (fold), ``exists``, and slicing, the lambda forms
+    q_fn_array's element-level functions leave out. The fold sums
+    INTEGER lengths, so the cross-engine comparison is exact.
+
+    100 TB note: HOF lambdas are interpreted per element in Spark
+    (no codegen) — fine for short arrays in a projection; the fused
+    Arrow passes (text.py, dedup.py) are the documented escape hatch
+    when a HOF chain over long arrays becomes the hot path (measured
+    repeatedly in BENCH_NOTES)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("long_toks"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.exists(toks, lambda x: x == F.lit("spark"))
+        .cast("int")
+        .alias("has_spark"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), "|"
+        ).alias("head_upper"),
+    )

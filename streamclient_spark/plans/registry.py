@@ -114,6 +114,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_sketch_merge", "q_join_bucketed", "q_scan_partitioned",
     "q_agg_mode", "q_embed_pq", "q_dq_profile", "q_seq_pattern",
     "q_agg_stats", "q_fn_conditional", "q_sim_sparse",
+    "q_agg_argmax", "q_agg_listagg", "q_fn_array_hof",
 )
 
 
