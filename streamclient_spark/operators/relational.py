@@ -2669,15 +2669,20 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT l_returnflag,
-             count(*) AS n,
-             SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
-             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
-             SUM(CAST(round(l_quantity * 100) AS BIGINT)
-                 * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
-             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
-             SUM(CAST(round(l_quantity * 100) AS BIGINT)
-                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+             CAST(count(*) AS DECIMAL(38,0)) AS n,
+             SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                 * CAST(round(l_quantity * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS syy,
+             SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,

@@ -28,6 +28,13 @@ ANSI_PORTABLE = [
     "q_case_when",
     "q_filter_compound",
     "q_join_broadcast",
+    # round-2 late additions whose oracles are ANSI-portable
+    "q_agg_mode",
+    "q_events_hourly_rollup",
+    "q_agg_stats",
+    "q_rank_global",
+    "q_fn_conditional",
+    "q_seq_pattern",
 ]
 
 
