@@ -1095,3 +1095,73 @@ def test_scd2_sink_builds_history_and_is_replay_safe(spark, tmp_path):
         ("B", "started"),
         ("C", "cancelled"),
     ]
+
+
+def test_rollup_sink_through_checkpointed_stream(spark, sf_smoke, tmp_path):
+    # the incremental rollup maintained by a real checkpointed
+    # writeStream over the replay source must equal the one-pass batch
+    # aggregate of the same fixture — the continuous-aggregate contract
+    from streamclient_spark.streaming import read_rollup, rollup_sink_batch
+    from streamclient_spark.tables import load
+
+    spark.dataSource.register(EventReplayDataSource)
+    store = str(tmp_path / "rollup_store")
+    seen = {"batches": 0}
+    inner = rollup_sink_batch(store)
+
+    def sink(df, batch_id):
+        inner(df, batch_id)
+        seen["batches"] += 1
+
+    stream = (
+        spark.readStream.format("event_replay")
+        .option("path", f"{sf_smoke}/events.parquet")
+        .option("batches", "5")
+        .load()
+    )
+    totals = {"n": 0}
+
+    def done() -> bool:
+        import os
+
+        if not os.path.isdir(store):
+            return False
+        try:
+            totals["n"] = (
+                read_rollup(spark, store).agg(F.sum("n")).collect()[0][0]
+            )
+        except Exception:
+            return False
+        return (totals["n"] or 0) >= 1000
+
+    q = (
+        stream.selectExpr("ts", "value")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q, done, timeout_s=180)
+    assert seen["batches"] >= 2  # genuinely incremental
+
+    expected = {
+        (r.hour, r.n, r.sv, r.mx)
+        for r in (
+            load(spark, sf_smoke, "events")
+            .groupBy(
+                F.floor(
+                    F.unix_timestamp(F.date_trunc("hour", "ts"))
+                ).alias("hour")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(27,4)")).alias("sv"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        )
+    }
+    got = {
+        (r.hour, r.n, r.sv, r.mx)
+        for r in read_rollup(spark, store).collect()
+    }
+    assert got == expected
