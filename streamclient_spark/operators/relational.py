@@ -845,8 +845,13 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: shipping-priority — a selective dim filter
     (1/5 of customers), two fact joins, aggregate, global top-10.
 
-    100 TB plan: customer-after-filter broadcasts into orders (no
-    shuffle of the fact), the orders⋈lineitem join shuffles both sides
+    100 TB plan: customer is FACT-SCALED (sf×150k rows), so its join
+    carries NO broadcast hint — at fixture scale Catalyst/AQE measure
+    the filtered side under the threshold and broadcast it into
+    orders; at the 100 TB design point the same unhinted join falls
+    back to a custkey shuffle instead of OOMing every executor (the
+    r1-verdict lesson from Q5, applied uniformly). The
+    orders⋈lineitem join shuffles both sides
     on orderkey once (or zero times if both facts are bucketed by
     orderkey — the layout this engine would pick for a standing
     pipeline), the date filters push to the scans, and the top-10 is a
@@ -868,9 +873,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(
-            F.broadcast(c).join(
-                o, F.col("c_custkey") == F.col("o_custkey")
-            ),
+            c.join(o, F.col("c_custkey") == F.col("o_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -2200,10 +2203,12 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is lineitem; no s_comment → the "complaints" denylist is
     suppliers with negative account balance).
 
-    100 TB plan: the NOT IN becomes a left-anti join against the tiny
-    denylist — broadcast, null-safe by construction (s_suppkey is a
-    key, never null; a general NOT IN needs the null-aware variant
-    Catalyst picks for `anti` with `eqNullSafe`). All three part
+    100 TB plan: the NOT IN becomes a left-anti join against the
+    denylist — null-safe by construction (s_suppkey is a key, never
+    null; a general NOT IN needs the null-aware variant Catalyst picks
+    for `anti` with `eqNullSafe`). The denylist is supplier-scaled, so
+    it carries NO broadcast hint: AQE broadcasts it while it measures
+    small and shuffles it when it does not. All three part
     predicates push to part's scan (~10% of parts survive); the
     part⋈lineitem join is unhinted for AQE. COUNT(DISTINCT) expands
     to the standard two-phase plan: partial distinct on (brand, type,
@@ -2219,8 +2224,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        l.join(F.broadcast(deny), F.col("l_suppkey") == F.col("s_suppkey"),
-               "left_anti")
+        l.join(deny, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
