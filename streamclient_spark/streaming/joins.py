@@ -30,7 +30,10 @@ def stream_static_join(
     how: str = "inner",
 ) -> DataFrame:
     """B-T6 (stream-static): enrich a stream against a batch dimension.
-    The dim is broadcast — no shuffle of the stream, no state."""
+    The dim is broadcast — no shuffle of the stream, no state. CALLER
+    CONTRACT: ``dim`` must be a genuinely bounded dimension (lookup /
+    config / codebook tables); for a fact-scaled static side, drop the
+    hint and let each microbatch's AQE pick the join strategy."""
     return stream.join(F.broadcast(dim), on=on, how=how)
 
 
