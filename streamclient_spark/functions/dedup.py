@@ -890,7 +890,10 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "h": hs, "k": ks})
 
     # split recovery (near-unsplittable fixture file, CPU-bound pass)
-    chunks = (
+    # persist: both the totals aggregate and the join probe side read
+    # this frame — without it the CPU-bound Arrow chunking pass runs
+    # twice (Spark does not CSE across DataFrame branches)
+    chunks = managed_persist(
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)

@@ -565,3 +565,63 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank_in_lang", F.row_number().over(w))
         .filter(F.col("rank_in_lang") <= _EXACT_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sample_weighted — deterministic weight-proportional priority sampling
+# ---------------------------------------------------------------------------
+
+#: sample size for the weighted draw
+_WEIGHTED_K = 100
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           CAST({sql_hash32("'wsamp:' || CAST(doc_id AS VARCHAR)")} + 1
+                AS DOUBLE) / n_chars AS priority
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY priority, doc_id LIMIT {_WEIGHTED_K}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without randomness: priority
+    sampling (Duffield–Lund–Thorup) with the uniform draw replaced by
+    a content-stable hash.  Each document gets priority ``u / w``
+    (u = salted 32-bit hash of its id, w = its weight, here
+    ``n_chars``); the k smallest priorities are the sample, so heavier
+    documents are proportionally more likely to be kept — the standard
+    quality-weighted subsampling step of a pretraining mixture, made
+    reproducible across retries/partitionings because the "random"
+    key is a pure function of the row (same rule as q_sample_split /
+    q_sample_stratified — `rand()` is neither).
+
+    Determinism note: the priority is one IEEE division of two exactly
+    representable integers — correctly rounded and bit-identical in
+    any engine — and the top-k cut breaks ties by doc_id.
+
+    100 TB plan: shuffle-free scoring projection + global top-k via
+    sort-limit = TakeOrderedAndProject (every task forwards only its
+    local top-k; the driver merges k·tasks rows, never the corpus).
+    For k large enough that k·tasks matters, swap the final cut for
+    `scale.ranked_by_range`."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("n_chars") > 0)
+    )
+    u = hash32(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            ((u + F.lit(1)).cast("double") / F.col("n_chars")).alias(
+                "priority"
+            ),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(_WEIGHTED_K)
+    )

@@ -2826,3 +2826,112 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+@register(
+    "q_dq_skew",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ), t AS (
+      SELECT count(*) AS total FROM lineitem
+    )
+    SELECT l_suppkey, cnt, CAST((1000 * cnt) // total AS BIGINT) AS permille
+    FROM c, t
+    ORDER BY cnt DESC, l_suppkey LIMIT 20
+    """,
+)
+def q_dq_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the top-20 heavy-hitter values of a
+    shuffle key (`l_suppkey`) with exact counts and integer-permille
+    share of the table.  This is the diagnostic that decides whether a
+    key needs `scale.salted_join` / AQE skew handling before a 100 TB
+    join — run it on the key you are about to shuffle on.
+
+    Determinism: share is exact integer permille (``1000*cnt div
+    total`` — no float division), and the top-20 cut breaks count ties
+    by key, so the reported set is unique.
+
+    100 TB plan: one partial+final hash aggregate on the key (the
+    profile is itself skew-immune: partial aggregation collapses each
+    hot key map-side), a 1-row total broadcast-joined onto the per-key
+    counts, and a TakeOrderedAndProject top-k — no full sort, no
+    second scan of the fact: the per-key count table (O(distinct
+    keys), orders of magnitude smaller than the fact) is persisted so
+    the total sums from it rather than re-scanning (Spark does not CSE
+    across DataFrame branches — same rule as q_tpch_q11)."""
+    from streamclient_spark.cacheutil import managed_persist, release_managed
+
+    release_managed()
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    counts = managed_persist(
+        li.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            "cnt",
+            F.expr("CAST((1000 * cnt) div total AS BIGINT)").alias(
+                "permille"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("l_suppkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_join_interval",
+    oracle="""
+    SELECT a.o_orderkey, a.o_custkey,
+           CAST(count(b.o_orderkey) AS BIGINT) AS n_overlap
+    FROM orders a LEFT JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND b.o_orderkey <> a.o_orderkey
+     AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+     AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
+    GROUP BY a.o_orderkey, a.o_custkey
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: for every order, how many OTHER
+    orders of the same customer have a [date, date+30d) activity
+    window overlapping this order's window.  The canonical temporal
+    pattern (overlapping validity intervals, concurrent sessions)
+    that Spark has no native interval join for.
+
+    Scale rule demonstrated here: an interval join is only tractable
+    when an EQUI prefix bounds the candidate set — the join keys on
+    ``o_custkey`` (co-partitioning both sides) and the overlap test
+    ``|a.date − b.date| < 30 d`` rides along as a residual predicate
+    on the matched pairs, so candidates are per-customer, never
+    corpus×corpus.  Without a natural equi key, the same shape needs
+    time-bucket blocking (explode each interval to its 30-day grid
+    cells, equi-join on cell, dedupe) — the streaming twin is the
+    time-bound stream-stream join in streaming/joins.py.
+
+    100 TB plan: one shuffle of each side on ``o_custkey`` (or zero
+    with the bucketed layout of C-21), SMJ with the non-equi residual,
+    then the count groups on ``(o_orderkey, o_custkey)`` — a subset of
+    rows already co-located per customer partition, so AQE can keep it
+    local.  LEFT join keeps single-order customers with n_overlap=0."""
+    o = load(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_custkey", "o_orderdate")
+    b = o.select(
+        F.col("o_orderkey").alias("b_orderkey"),
+        F.col("o_custkey").alias("b_custkey"),
+        F.col("o_orderdate").alias("b_orderdate"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("o_custkey") == F.col("b_custkey"))
+        & (F.col("b_orderkey") != F.col("o_orderkey"))
+        & (F.col("b_orderdate") < F.expr("o_orderdate + INTERVAL 30 DAYS"))
+        & (F.col("o_orderdate") < F.expr("b_orderdate + INTERVAL 30 DAYS")),
+        "left",
+    )
+    return pairs.groupBy("o_orderkey", "o_custkey").agg(
+        F.count("b_orderkey").alias("n_overlap")
+    )
