@@ -378,6 +378,10 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # the changed flag rides on the update row itself (nmin < label
+        # ⟺ this round lowered the node's label), so convergence is one
+        # tiny aggregate over the already-checkpointed frame — not a
+        # second O(nodes) self-join per round
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -385,17 +389,15 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce("nmin", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nmin", F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        changed = updated.agg(F.sum("chg")).first()[0]
+        labels = updated.drop("chg")
+        if not changed:
             break
     w = Window.partitionBy("cluster_id")
     return (

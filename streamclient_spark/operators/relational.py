@@ -2935,3 +2935,88 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("o_orderkey", "o_custkey").agg(
         F.count("b_orderkey").alias("n_overlap")
     )
+
+
+@register(
+    "q_table_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN round(o_totalprice + 1.0, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           old.o_totalprice AS old_price,
+           new.o_totalprice AS new_price
+    FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_orderstatus <> new.o_orderstatus
+       OR old.o_totalprice <> new.o_totalprice
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC derivation): given two keyed snapshots of the
+    same table, emit each key that was added, removed, or changed —
+    the comparison step behind incremental re-processing, replication
+    audit, and "what changed since the last training-data cut".  The
+    two snapshots are deterministic derivations of the fixture
+    (drop-every-10th vs drop-every-13th with every-7th price bumped)
+    so both engines diff the same inputs.
+
+    Plan: one FULL OUTER equi-join on the key with the
+    unchanged-row filter applied on top, so only the delta survives
+    the join — Catalyst cannot push the disjunction below the outer
+    join (every branch references both sides), but the join itself is
+    the only shuffle.
+
+    100 TB plan: both snapshots shuffle once on the key — or ZERO
+    times with the bucketed layout of `scale.write_bucketed` (two
+    snapshots of the same table share its bucketing, making the diff a
+    co-located merge join, the standing-pipeline shape).  The
+    'changed' test compares exact column equality — floats compare
+    bit-identically because both snapshots derive from the same stored
+    values (one `round` on the bumped branch, same literal in both
+    engines)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 10 != 0)
+    new = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.round(F.col("o_totalprice") + 1.0, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    j = old.alias("old").join(
+        new.alias("new"),
+        F.col("old.o_orderkey") == F.col("new.o_orderkey"),
+        "full",
+    )
+    return j.filter(
+        F.col("old.o_orderkey").isNull()
+        | F.col("new.o_orderkey").isNull()
+        | (F.col("old.o_orderstatus") != F.col("new.o_orderstatus"))
+        | (F.col("old.o_totalprice") != F.col("new.o_totalprice"))
+    ).select(
+        F.coalesce(F.col("old.o_orderkey"), F.col("new.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("old.o_orderkey").isNull(), "added")
+        .when(F.col("new.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+        F.col("old.o_totalprice").alias("old_price"),
+        F.col("new.o_totalprice").alias("new_price"),
+    )

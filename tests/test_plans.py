@@ -475,3 +475,17 @@ def test_join_interval_is_equi_bounded(spark, sf_oracle):
         assert "CartesianProduct" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_table_diff_single_outer_join(spark, sf_oracle):
+    # the delta derivation is ONE full-outer equi-join on the key;
+    # the snapshots' filters push to the scans
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, sf_oracle, "q_table_diff", mode="simple")
+        assert plan.count("Join") == 1
+        assert "FullOuter" in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
