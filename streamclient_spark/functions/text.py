@@ -374,6 +374,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one join, all keyed on the token; the df side is tiny (|vocab|) so
     Spark broadcasts it after AQE sees the size. ``ln`` is rounded to 6
     decimals on both engines (libm vs Java Math.log last-ulp drift)."""
+    from streamclient_spark.cacheutil import managed_persist, release_managed
+
+    release_managed()
     d = load(spark, sf_dir, "documents")
     # corpus size as a 1-row aggregate cross-joined in (broadcast NL join
     # of a single row) — keeps the whole plan lazy/distributed instead of
@@ -384,7 +387,11 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", F.explode(tokens("text")).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # persist: the df aggregate and the filtered join probe both read the
+    # tf table — without it the tokenize+explode+count pipeline runs twice
+    tf = managed_persist(
+        tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    )
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     # the tf >= 3 output filter runs BEFORE the idf join: df must see
     # every (doc, token) row, but the join doesn't — filtering first
@@ -797,4 +804,124 @@ def q_text_hashvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).mapInPandas(hash_counts, "doc_id bigint, bucket bigint, tf long")
     return partials.groupBy("doc_id", "bucket").agg(
         F.sum("tf").alias("tf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_bm25 — BM25 retrieval scoring (B-L4 extension)
+# ---------------------------------------------------------------------------
+
+#: the standing query for the BM25 demo (mid-frequency fixture terms)
+_BM25_TERMS = ("hash", "join", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_SQL_BM25_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len({SQL_TOKENS.format(col="text")}) AS dl,
+             {SQL_TOKENS.format(col="text")} AS toks
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d
+    ), qtf AS (
+      SELECT doc_id, dl, unnest(toks) AS token FROM d
+    ), tf AS (
+      SELECT doc_id, dl, token, count(*) AS tf
+      FROM qtf WHERE token IN ({_SQL_BM25_TERMS})
+      GROUP BY doc_id, dl, token
+    ), tf2 AS (
+      SELECT doc_id, dl, token, tf,
+             count(*) OVER (PARTITION BY token) AS df
+      FROM tf
+    )
+    SELECT doc_id,
+           round(sum(
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * ({_BM25_K1} + 1))
+             / (tf + {_BM25_K1}
+                     * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf2 CROSS JOIN stats
+    GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L4 extension: BM25 ranking of the corpus against a standing
+    term query — THE retrieval scorer for RAG corpus preparation and
+    search-quality evaluation (Robertson–Spärck Jones probabilistic
+    model; the Okapi BM25 form with k1=1.2, b=0.75).
+
+    Plan: document length is a pure projection (``size(tokens)``) — no
+    explode needed for it; the explode is immediately filtered to the
+    query terms, so the expensive wide state (per-(doc,term) tf) is
+    |docs|×|Q| at most.  Per-term document frequency comes from a
+    window count over that tiny tf table (one shuffle on token — NOT a
+    second pass over the corpus), corpus stats ride in as a 1-row
+    broadcast, and the final cut is a TakeOrderedAndProject.  ``ln``
+    and the score division are rounded to 6 decimals (libm last-ulp
+    drift; same rule as tf-idf).
+
+    100 TB: the only corpus-wide work is the tokenize+filter scan; tf
+    and df are bounded by |docs|·|Q| and |Q|. For full-vocabulary
+    scoring (not a standing query), build the inverted tf table once
+    (the q_text_tfidf shape) and reuse it per query."""
+    from streamclient_spark.cacheutil import managed_persist, release_managed
+
+    release_managed()
+    # persist the tokenized projection: the corpus-stats aggregate and
+    # the query-term tf pipeline both read it — one tokenize pass, not
+    # two (Spark does not CSE across DataFrame branches)
+    d = managed_persist(
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokens("text").alias("toks"))
+        .withColumn("dl", F.size("toks"))
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    w_tok = Window.partitionBy("token")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_tok))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1
+                        - _BM25_B
+                        + _BM25_B * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("part_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("part_score"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(_BM25_TOPK)
     )

@@ -489,3 +489,12 @@ def test_table_diff_single_outer_join(spark, sf_oracle):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bm25_single_tokenize_pass_topk(spark, sf_oracle):
+    # corpus stats and the query-term tf pipeline share the persisted
+    # token projection (one tokenize pass), and the final cut is a
+    # map-side-limited top-k
+    plan = plan_of(spark, sf_oracle, "q_text_bm25")
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan
