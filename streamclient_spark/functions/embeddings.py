@@ -284,3 +284,158 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(code, "vec_id bigint, pq_code string, recon_cos double")
         .select("vec_id", "pq_code", F.round("recon_cos", 6).alias("recon_cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# kmeans_fit — distributed Lloyd's k-means (iterative; library function)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(
+    spark: SparkSession,
+    vectors: DataFrame,
+    k: int = 8,
+    max_iters: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    grid: int = 10**6,
+):
+    """Distributed Lloyd's k-means over an embedding column — the
+    iterative-algorithm shape (codebook training for IVF/PQ indexes,
+    corpus clustering for mixture design) that a SQL oracle cannot
+    express; correctness is pinned by property tests instead
+    (determinism, monotone inertia, true-argmin assignments).
+
+    Why this scales to 100 TB — each iteration is ONE fused Arrow pass:
+    the k×d codebook rides in the task closure, every partition runs a
+    BLAS GEMM assignment (argmin ‖x−c‖² = argmin ‖c‖² − 2·x·c) and
+    accumulates per-centroid PARTIAL sums locally, emitting k rows per
+    partition (cid, count, element sums). The shuffle/collect volume is
+    O(partitions × k × d) — independent of corpus size; the corpus
+    itself is never shuffled and never re-keyed. The driver holds only
+    the codebook and the convergence test (control flow, not data).
+
+    Determinism (retry/partitioning-reproducible, the q_embed_centroids
+    convention): element sums accumulate on a fixed-point grid
+    (``floor(x·grid + 0.5)`` per element, exact int64), so the new
+    centroid is one IEEE division of exact integers — identical under
+    any partitioning, task retry, or cluster size. Ties in the argmin
+    go to the lowest centroid id (numpy argmin first-occurrence).
+    Initialization is deterministic: the vectors of the k smallest ids.
+
+    Returns ``(centroids, assign, history)``: the final k×d codebook
+    (list of lists), a zero-argument callable producing the assignment
+    DataFrame ``(id, cid)`` for the final codebook, and the per-
+    iteration inertia history (floats; monitoring only — inertia is a
+    float partial sum and is NOT part of the deterministic state).
+
+    Empty clusters keep their previous centroid (the standard Lloyd
+    fallback; deterministic)."""
+    import numpy as np
+    import pandas as pd
+
+    vecs = vectors.select(
+        F.col(id_col).alias("id"), F.col(emb_col).alias("emb")
+    )
+
+    init = [
+        [float(x) for x in r["emb"]]
+        for r in vecs.orderBy("id").limit(k).collect()
+    ]
+    if len(init) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(init)}")
+
+    schema = "cid int, n long, s array<long>, sse double"
+
+    def estep(codebook):
+        C = np.asarray(codebook, dtype=np.float64)
+        cn2 = (C * C).sum(axis=1)
+
+        def run(batches):
+            kk, d = C.shape
+            sums = np.zeros((kk, d), dtype=np.int64)
+            cnts = np.zeros(kk, dtype=np.int64)
+            sse = 0.0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]
+                )
+                a = np.argmin(cn2[None, :] - 2.0 * (X @ C.T), axis=1)
+                Xg = np.floor(X * grid + 0.5).astype(np.int64)
+                for ci in np.unique(a):
+                    m = a == ci
+                    sums[ci] += Xg[m].sum(axis=0)
+                    cnts[ci] += int(m.sum())
+                sse += float(((X - C[a]) ** 2).sum())
+            yield pd.DataFrame(
+                {
+                    "cid": list(range(kk)),
+                    "n": cnts,
+                    "s": [sums[ci].tolist() for ci in range(kk)],
+                    "sse": [sse] + [0.0] * (kk - 1),
+                }
+            )
+
+        return run
+
+    centroids = init
+    history: list[float] = []
+    for _ in range(max_iters):
+        parts = vecs.mapInPandas(estep(centroids), schema)
+        # partials are O(partitions×k): explode to elements and reduce.
+        # One tiny job; the collect is k×d rows, never corpus data.
+        rows = (
+            parts.select(
+                "cid", "n", "sse", F.posexplode("s").alias("pos", "v")
+            )
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum("v").alias("sv"),
+                F.sum("n").alias("sn"),
+                F.sum("sse").alias("ssse"),
+            )
+            .collect()
+        )
+        d = len(centroids[0])
+        sums = np.zeros((k, d), dtype=np.int64)
+        cnts = np.zeros(k, dtype=np.int64)
+        sse = 0.0
+        for r in rows:
+            sums[r["cid"]][r["pos"]] = r["sv"]
+            if r["pos"] == 0:
+                cnts[r["cid"]] = r["sn"]
+                sse += r["ssse"]
+        history.append(sse)
+        new = []
+        for ci in range(k):
+            if cnts[ci] == 0:
+                new.append(list(centroids[ci]))
+            else:
+                new.append(
+                    [float(sums[ci][j]) / (cnts[ci] * grid) for j in range(d)]
+                )
+        if new == centroids:
+            break
+        centroids = new
+
+    final = [list(c) for c in centroids]
+
+    def assign() -> DataFrame:
+        C = np.asarray(final, dtype=np.float64)
+        cn2 = (C * C).sum(axis=1)
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]
+                )
+                a = np.argmin(cn2[None, :] - 2.0 * (X @ C.T), axis=1)
+                yield pd.DataFrame({"id": pdf["id"], "cid": a.astype("int32")})
+
+        return vecs.mapInPandas(run, "id long, cid int")
+
+    return final, assign, history

@@ -476,3 +476,28 @@ def test_pq_codes_match_independent_recompute(spark, sf_oracle):
         recs.append(cos)
     # compression quality sanity: reconstructions correlate with inputs
     assert sum(recs) / len(recs) > 0.4
+
+
+def test_kmeans_fit_properties(spark, sf_oracle):
+    """Iterative k-means: monotone inertia, deterministic rerun, and
+    every assignment is the true argmin against the returned codebook."""
+    import numpy as np
+
+    from streamclient_spark.functions.embeddings import kmeans_fit
+    from streamclient_spark.tables import load
+
+    vecs = load(spark, sf_oracle, "embeddings")
+    c1, assign1, hist1 = kmeans_fit(spark, vecs, k=8, max_iters=6)
+    # inertia never increases across Lloyd iterations
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(hist1, hist1[1:]))
+    # determinism: a fresh run reproduces the codebook exactly
+    c2, _, _ = kmeans_fit(spark, vecs, k=8, max_iters=6)
+    assert c1 == c2
+    # assignments are the true argmin (ties to lowest cid)
+    a = {r["id"]: r["cid"] for r in assign1().collect()}
+    C = np.asarray(c1)
+    cn2 = (C * C).sum(axis=1)
+    for r in vecs.limit(50).collect():
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        expect = int(np.argmin(cn2 - 2.0 * (x @ C.T)))
+        assert a[r["vec_id"]] == expect

@@ -32,6 +32,8 @@ BNLJ_ALLOWED = {
     "q_text_surprisal",   # 1-row corpus token total
     "q_subquery_scalar",  # scalar-subquery demo
     "q_sample_weights",   # 1-row max-weight scalar
+    "q_dq_skew",          # 1-row table-total scalar (permille share)
+    "q_text_bm25",        # 1-row corpus stats scalar (N, avgdl)
 }
 
 
