@@ -346,10 +346,12 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own and its neighbors' labels (one equi-join + partial-agg
     min per round, ``localCheckpoint`` to cut lineage). Rounds =
     graph diameter — near-dup components are tiny dense cliques, so
-    2-3 rounds in practice; the O(log n)-round alternating
-    large-star/small-star variant has the same per-round plan shape if
-    diameters ever grow. The driver-side loop is control flow only
-    (a convergence count per round) — all data stays distributed.
+    2-3 rounds in practice; for unknown/large diameters use the
+    O(log n)-round alternating variant
+    (:func:`streamclient_spark.scale.connected_components_star`,
+    tested equal to this query's labels). The driver-side loop is
+    control flow only (a convergence count per round) — all data
+    stays distributed.
 
     The oracle computes the same components by recursive transitive
     closure, which is only viable because components are small — the

@@ -220,3 +220,105 @@ def ranked_by_range(
             (F.col("__offset") + F.col("__local") + 1).alias(rank_col),
         )
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+) -> tuple[DataFrame, int]:
+    """Connected components by the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", 2014) — the scale fallback to plain min-label propagation
+    (q_dedup_cluster): propagation needs diameter-many rounds, this
+    needs O(log n) with high probability, so a single snake-shaped
+    component cannot stall the job. Use it when component diameters
+    are unknown (web graphs, transitive similarity chains); the
+    near-dup cliques of the dedup pipeline are diameter-2 and fine
+    either way.
+
+    Each round is two half-steps over the edge list, kept under the
+    invariant ``first > second``:
+
+    - **large-star**: per node u over its FULL neighborhood,
+      m = min(neighbors ∪ u); every neighbor v > u re-attaches to m.
+      (Strictly-larger test keeps the invariant and the edge count
+      bounded.)
+    - **small-star**: per larger endpoint a over its smaller
+      neighbors, m = min; a and every other smaller neighbor attach
+      to m.
+
+    Both are one partial+final min-aggregate plus one co-partitioned
+    join on the grouping key — the same per-round plan shape as label
+    propagation, just O(log n) rounds instead of O(diameter).
+    ``localCheckpoint`` cuts lineage per round. Convergence = edge-set
+    fixpoint, tested by (count, xxhash64-sum) checksum — one tiny
+    aggregate per round; a checksum collision (~2⁻⁶⁴) could only end
+    the loop one round early on an unconverged-but-colliding state.
+
+    Returns ``(labels, rounds)``: labels is ``(node, label)`` with
+    label = the component's minimum node id (roots label themselves).
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: a long sum of 64-bit hashes overflows
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    sig = checksum(e)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # large-star over the symmetric neighborhood
+        sym = e.select("a", "b").union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).toDF("u", "v")
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star over the larger endpoint
+        bmin = e.groupBy("a").agg(F.min("b").alias("m"))
+        joined = e.join(bmin, "a")
+        e = (
+            joined.select(F.col("a"), F.col("m").alias("b"))
+            .union(
+                joined.filter(F.col("b") != F.col("m")).select(
+                    F.col("b").alias("a"), F.col("m").alias("b")
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = checksum(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # fixpoint edges are stars onto component minima; roots label
+    # themselves
+    members = e.select(F.col("a").alias("node"), F.col("b").alias("label"))
+    roots = (
+        e.select(F.col("b").alias("node"))
+        .distinct()
+        .join(members.select("node"), "node", "left_anti")
+        .withColumn("label", F.col("node"))
+    )
+    return members.union(roots), rounds

@@ -224,3 +224,35 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_oracle):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_star_cc_long_path_converges_fast(spark):
+    # a 31-node path (diameter 30): min-label propagation would need
+    # ~30 rounds; the alternating algorithm must land in O(log n)
+    from streamclient_spark.scale import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    labels, rounds = connected_components_star(edges)
+    rows = labels.collect()
+    assert len(rows) == 31
+    assert all(r["label"] == 0 for r in rows)
+    assert rounds <= 12
+
+
+def test_star_cc_matches_label_propagation(spark, sf_oracle):
+    # same components as the propagation-based q_dedup_cluster on the
+    # real near-dup pair graph (both label by component minimum)
+    from streamclient_spark.functions.dedup import near_dup_pairs
+    from streamclient_spark.plans.registry import load_all
+    from streamclient_spark.scale import connected_components_star
+
+    pairs = near_dup_pairs(spark, sf_oracle).select("a_id", "b_id")
+    star, _ = connected_components_star(pairs, src="a_id", dst="b_id")
+    got = {(r["node"], r["label"]) for r in star.collect()}
+    prop = load_all()["q_dedup_cluster"].builder(spark, sf_oracle)
+    want = {
+        (r["doc_id"], r["cluster_id"]) for r in prop.collect()
+    }
+    assert got == want
