@@ -823,33 +823,34 @@ _SQL_BM25_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 @register(
     "q_text_bm25",
     oracle=f"""
-    WITH d AS (
+    WITH per_doc AS (
       SELECT doc_id,
-             len({SQL_TOKENS.format(col="text")}) AS dl,
-             {SQL_TOKENS.format(col="text")} AS toks
-      FROM documents
+             len(toks) AS dl,
+             {" ".join(
+                 f"len(list_filter(toks, x -> x = '{t}')) AS tf{i},"
+                 for i, t in enumerate(_BM25_TERMS)
+             ).rstrip(",")}
+      FROM (SELECT doc_id, {SQL_TOKENS.format(col="text")} AS toks
+            FROM documents)
     ), stats AS (
-      SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d
-    ), qtf AS (
-      SELECT doc_id, dl, unnest(toks) AS token FROM d
-    ), tf AS (
-      SELECT doc_id, dl, token, count(*) AS tf
-      FROM qtf WHERE token IN ({_SQL_BM25_TERMS})
-      GROUP BY doc_id, dl, token
-    ), tf2 AS (
-      SELECT doc_id, dl, token, tf,
-             count(*) OVER (PARTITION BY token) AS df
-      FROM tf
+      SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl,
+             {" ".join(
+                 f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i},"
+                 for i in range(len(_BM25_TERMS))
+             ).rstrip(",")}
+      FROM per_doc
     )
     SELECT doc_id,
-           round(sum(
-             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-             * (tf * ({_BM25_K1} + 1))
-             / (tf + {_BM25_K1}
-                     * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
-           ), 6) AS bm25
-    FROM tf2 CROSS JOIN stats
-    GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+           round({" + ".join(
+               f"ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+               f" * (tf{i} * ({_BM25_K1} + 1))"
+               f" / (tf{i} + {_BM25_K1}"
+               f" * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+               for i in range(len(_BM25_TERMS))
+           )}, 6) AS bm25
+    FROM per_doc CROSS JOIN stats
+    WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
+    ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
     """,
 )
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,70 +859,73 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     search-quality evaluation (Robertson–Spärck Jones probabilistic
     model; the Okapi BM25 form with k1=1.2, b=0.75).
 
-    Plan: document length is a pure projection (``size(tokens)``) — no
-    explode needed for it; the explode is immediately filtered to the
-    query terms, so the expensive wide state (per-(doc,term) tf) is
-    |docs|×|Q| at most.  Per-term document frequency comes from a
-    window count over that tiny tf table (one shuffle on token — NOT a
-    second pass over the corpus), corpus stats ride in as a 1-row
-    broadcast, and the final cut is a TakeOrderedAndProject.  ``ln``
-    and the score division are rounded to 6 decimals (libm last-ulp
-    drift; same rule as tf-idf).
+    Plan: ONE corpus pass — explode + conditional aggregation reduces
+    every document to ``(doc_id, dl, tf per query term)`` entirely in
+    whole-stage codegen, with the map-side partial aggregate collapsing
+    the exploded tokens before the single doc-keyed shuffle. Per-term
+    document frequency and corpus stats (N, avgdl) then fold into ONE
+    1-row aggregate over that |docs|-row frame (persisted — it feeds
+    both the stats aggregate and the scoring projection), so scoring is
+    a broadcast of one row plus a projection, and the cut is a
+    TakeOrderedAndProject. No window, no token-keyed shuffle, no second
+    corpus pass.
 
-    100 TB: the only corpus-wide work is the tokenize+filter scan; tf
-    and df are bounded by |docs|·|Q| and |Q|. For full-vocabulary
-    scoring (not a standing query), build the inverted tf table once
-    (the q_text_tfidf shape) and reuse it per query."""
+    Determinism: the per-term score sum is a fixed left-associated
+     3-term expression (identical association in both engines); ``ln``
+    and the divisions are rounded to 6 decimals at the end (libm
+    last-ulp drift; same rule as tf-idf). avgdl is exact (integer dl
+    sums are exactly representable).
+
+    100 TB: corpus-wide work is exactly one tokenize+explode scan;
+    everything downstream is bounded by |docs| (and the persisted frame
+    is |docs| integer rows, not token payloads). For full-vocabulary
+    scoring build the inverted tf table once (q_text_tfidf shape) and
+    reuse it per query."""
     from streamclient_spark.cacheutil import managed_persist, release_managed
 
     release_managed()
-    # persist the tokenized projection: the corpus-stats aggregate and
-    # the query-term tf pipeline both read it — one tokenize pass, not
-    # two (Spark does not CSE across DataFrame branches)
-    d = managed_persist(
+    tok = (
         load(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", tokens("text").alias("toks"))
-        .withColumn("dl", F.size("toks"))
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
     )
-    stats = d.agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
-    )
-    tf = (
-        d.select("doc_id", "dl", F.explode("toks").alias("token"))
-        .filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "dl", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    w_tok = Window.partitionBy("token")
-    scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(w_tok))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            (
-                F.log(
-                    1
-                    + (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
+    per_doc = managed_persist(
+        tok.groupBy("doc_id").agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum((F.col("token") == F.lit(t)).cast("long")).alias(
+                    f"tf{i}"
                 )
-                * (F.col("tf") * (_BM25_K1 + 1))
-                / (
-                    F.col("tf")
-                    + _BM25_K1
-                    * (
-                        1
-                        - _BM25_B
-                        + _BM25_B * F.col("dl") / F.col("avgdl")
-                    )
-                )
-            ).alias("part_score"),
+                for i, t in enumerate(_BM25_TERMS)
+            ],
         )
     )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def term_score(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        norm = 1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        return idf * (tf * (_BM25_K1 + 1)) / (tf + _BM25_K1 * norm)
+
+    score = term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + term_score(i)
+    matched = sum(
+        (F.col(f"tf{i}") for i in range(1, len(_BM25_TERMS))),
+        F.col("tf0"),
+    )
     return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("part_score"), 6).alias("bm25"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(matched > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(_BM25_TOPK)
     )
