@@ -3020,3 +3020,80 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old.o_totalprice").alias("old_price"),
         F.col("new.o_totalprice").alias("new_price"),
     )
+
+
+@register(
+    "q_dq_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DECIMAL(38,0)) AS n,
+             SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice
+    FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+    WHERE 4 * (n * CAST(round(l_extendedprice * 100) AS BIGINT) - sx)
+            * (n * CAST(round(l_extendedprice * 100) AS BIGINT) - sx)
+          > 9 * (n * sxx - sx * sx)
+    """,
+)
+def q_dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality outlier flag: rows whose value deviates from their
+    group's mean by more than 1.5 population standard deviations —
+    the per-group anomaly screen that complements q_dq_profile
+    (columns) and q_dq_skew (keys). The threshold is 1.5σ because the
+    fixture's price distribution is bounded (a 3σ screen on a bounded
+    distribution flags nothing); production pipelines tune k.
+
+    Exactness: the test |x−μ| > k·σ is evaluated in its squared,
+    cleared-denominator form — 4·(n·x − Σx)² > 9·(n·Σx² − (Σx)²) on
+    exact integer cents — so there is NO float, NO sqrt, and NO
+    division anywhere: the flag is bit-identical on any engine and any
+    partitioning. Σx² accumulates as two long limbs (the C-98/compat
+    convention) because price-cents squared overflow a long sum at
+    fact scale; the cleared form stays within decimal(38,0) up to
+    ~1e12-row groups — past that, precompute μ,σ per group in doubles
+    (the flag is then 1-ulp-sensitive only at the exact boundary).
+
+    100 TB plan: one partial+final aggregate for the 3-row group-stats
+    table, broadcast back onto the fact scan — the fact is scanned
+    twice but never shuffled (the stats side collapses map-side); the
+    outlier filter itself is a codegen projection."""
+    shift = 20
+    mask = (1 << shift) - 1
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("_cents"),
+    )
+    xx = F.col("_cents") * F.col("_cents")
+    s = l.groupBy(F.col("l_returnflag").alias("_rf")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_cents").alias("_sx"),
+        F.sum(F.shiftright(xx, shift)).alias("_sxx_hi"),
+        F.sum(xx.bitwiseAND(F.lit(mask))).alias("_sxx_lo"),
+    )
+    dec = "decimal(38,0)"
+    n = F.col("_n").cast(dec)
+    sx = F.col("_sx").cast(dec)
+    sxx = (
+        F.col("_sxx_hi").cast(dec) * F.lit(1 << shift)
+        + F.col("_sxx_lo").cast(dec)
+    )
+    dev = n * F.col("_cents").cast(dec) - sx
+    return (
+        l.join(F.broadcast(s), l.l_returnflag == F.col("_rf"))
+        .filter(4 * dev * dev > 9 * (n * sxx - sx * sx))
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+        )
+    )
