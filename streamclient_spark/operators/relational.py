@@ -3097,3 +3097,57 @@ def q_dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
         )
     )
+
+
+@register(
+    "q_agg_mad",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           min(m.med) AS median_price,
+           quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad_price,
+           count(*) AS n_orders
+    FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread measure
+    (breakdown point 50%) that pairs with q_dq_outliers' moment-based
+    screen: a handful of corrupt rows move σ arbitrarily but barely
+    move the MAD, so robust pipelines screen on |x−med| > k·MAD.
+
+    Two order-statistic passes: the per-group median, broadcast back
+    onto the fact, then the median of the absolute deviations.
+    Cross-engine exactness needs no rounding: both medians use the same
+    linear interpolation on the same doubles (the q_agg_percentile
+    parity), and |x−med| is a single IEEE subtraction.
+
+    100 TB plan: the 5-row median table broadcasts; the fact's 2
+    pruned columns are scanned twice (deliberate — persisting the raw
+    fact projection to save a pruned re-scan is a worse trade at fact
+    scale, unlike the small derived frames other queries persist).
+    Exact percentile holds per-group value multisets; for groups too
+    large for that, swap `approx_percentile` — the operator shape is
+    unchanged."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("med")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("med").alias("median_price"),
+            F.percentile(
+                F.abs(F.col("o_totalprice") - F.col("med")), 0.5
+            ).alias("mad_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )

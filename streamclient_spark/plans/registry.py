@@ -115,6 +115,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_mode", "q_embed_pq", "q_dq_profile", "q_seq_pattern",
     "q_agg_stats", "q_fn_conditional", "q_sim_sparse",
     "q_agg_argmax", "q_agg_listagg", "q_fn_array_hof",
+    # final round-2 additions (never attested; rotate into the window
+    # in r3 with the rest of the tail)
+    "q_dq_skew", "q_join_interval", "q_sample_weighted", "q_table_diff",
+    "q_text_bm25", "q_dq_outliers", "q_agg_mad",
 )
 
 
