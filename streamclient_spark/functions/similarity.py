@@ -826,3 +826,112 @@ def q_sim_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_knn_graph — block-local exact k-NN graph construction (B-L3)
+# ---------------------------------------------------------------------------
+
+#: neighbors per vector in the k-NN graph
+KNN_GRAPH_K = 3
+
+
+@register(
+    "q_knn_graph",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+             {_SQL_COS.format(a="a.embedding", b="b.embedding")} AS cos_sim
+      FROM embeddings a
+      JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, label, neighbor_id, round(cos_sim, 6) AS cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    WHERE rank <= {KNN_GRAPH_K}
+    """,
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L3: exact k-NN *graph* construction — every corpus vector gets
+    its top-{KNN_GRAPH_K} cosine neighbors WITHIN its block (here the
+    ``label`` column, standing in for an IVF cell / LSH bucket): the
+    building block for graph-based clustering, kNN-graph dedup and
+    HNSW-style index bootstrap.
+
+    The all-pairs problem is confined to blocks, never the corpus: one
+    shuffle co-locates each block, then a single per-block BLAS GEMM
+    (``applyInPandas``) scores the block against itself and emits only
+    k rows per vector — O(Σ|block|²) work bounded by the largest block,
+    zero driver-side data movement. Exactly the q_dedup_embed blocking
+    pattern (`functions/dedup.py`); a hot block splits with the chunked
+    GEMM fallback (`cosine_pairs_blocked`). At 100 TB the block key is
+    the IVF cell id, so block sizes are controlled by the quantizer.
+
+    Parity: fixture neighbor gaps dwarf GEMM-vs-fold double drift (see
+    q_sim_topk); the reported cosine rounds to 6 decimals; ranking is
+    tie-broken on neighbor_id in both engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        lab = pdf["label"].to_numpy()
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        En = E / np.sqrt(np.einsum("ij,ij->i", E, E))[:, None]
+        cos = En @ En.T
+        np.fill_diagonal(cos, -np.inf)  # no self-edges
+        out_v, out_l, out_n, out_c, out_r = [], [], [], [], []
+        k = min(KNN_GRAPH_K, len(ids) - 1)
+        if k <= 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": np.array([], dtype=np.int64),
+                    "label": np.array([], dtype=np.int32),
+                    "neighbor_id": np.array([], dtype=np.int64),
+                    "cos_sim": np.array([], dtype=np.float64),
+                    "rank": np.array([], dtype=np.int32),
+                }
+            )
+        for i in range(len(ids)):
+            row = cos[i]
+            # total order (cos DESC, neighbor_id ASC) — exact, tie-safe
+            order = np.lexsort((ids, -row))[:k]
+            out_v.extend([ids[i]] * k)
+            out_l.extend([lab[i]] * k)
+            out_n.extend(ids[order])
+            out_c.extend(row[order])
+            out_r.extend(range(1, k + 1))
+        return pd.DataFrame(
+            {
+                "vec_id": np.array(out_v, dtype=np.int64),
+                "label": np.array(out_l, dtype=np.int32),
+                "neighbor_id": np.array(out_n, dtype=np.int64),
+                "cos_sim": np.array(out_c, dtype=np.float64),
+                "rank": np.array(out_r, dtype=np.int32),
+            }
+        )
+
+    return (
+        e.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            block_knn,
+            "vec_id bigint, label int, neighbor_id bigint, "
+            "cos_sim double, rank int",
+        )
+        .select(
+            "vec_id",
+            "label",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )

@@ -474,3 +474,66 @@ def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), "|"
         ).alias("head_upper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_fn_url — URL construction / parsing family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+               || '&n=' || CAST(n_chars AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang,
+           regexp_extract(
+             regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+             '([^.]+\\.[^.]+)$', 1) AS domain
+    FROM u
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family — the web-pipeline staple (URL-keyed dedup,
+    domain filtering/blocklists, per-site mixture weights all start by
+    splitting a URL into components). The URL is constructed
+    deterministically from fixture columns (documents has no url
+    column), then decomposed with Spark's builtin ``parse_url``
+    (protocol / host / path / single query parameter) plus a
+    registrable-domain suffix extraction — all codegen'd JVM
+    expressions, shuffle-free projection. The oracle mirrors each
+    component with regexes, pinning ``parse_url``'s semantics.
+    """
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    d = d.select("doc_id", url.alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return d.select(
+        "doc_id",
+        "url",
+        F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL"))).alias("proto"),
+        host.alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "q_lang"
+        ),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+    )

@@ -707,3 +707,54 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_purchase").isNotNull().alias("completed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_win_range_time — event-time RANGE frame (trailing 7-day window)
+# ---------------------------------------------------------------------------
+
+_TRAIL_DAYS = 7
+_TRAIL_US = _TRAIL_DAYS * 86400 * 1_000_000
+
+
+@register(
+    "q_win_range_time",
+    oracle=f"""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER w AS DOUBLE)
+             AS trail7d_sum,
+           COUNT(*) OVER w AS trail7d_n
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user trailing {_TRAIL_DAYS}-day sum
+    and count at every event — the value-based frame (B-W3's ROWS
+    frames count rows; RANGE bounds the frame by the *order value*, the
+    shape trailing-window features and rate limits need). Ordering is
+    epoch microseconds in both engines, so the frame boundary is exact
+    and peer rows (equal timestamps) enter the frame together — RANGE
+    semantics make the result independent of tie order, no tie-break
+    column needed. One shuffle + sort on user_id; the running frame is
+    computed in a single pass (Spark's sliding frame keeps a moving
+    aggregate, never re-scans). Sums are exact decimal (compat
+    convention) cast to double once."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_TRAIL_US, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(27,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trail7d_sum"),
+        F.count(F.lit(1)).over(w).alias("trail7d_n"),
+    )
