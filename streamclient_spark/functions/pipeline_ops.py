@@ -625,3 +625,53 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(_WEIGHTED_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dq_entropy — per-group Shannon entropy of a categorical distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dq_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS k
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id, CAST(SUM(k) AS BIGINT) AS n,
+             SUM(CAST(round(k * log2(k), 6) AS DECIMAL(27,6))) AS s
+      FROM c GROUP BY 1
+    )
+    SELECT user_id, n AS n_events,
+           round(log2(n) - CAST(s AS DOUBLE) / n, 6) AS entropy_bits
+    FROM u
+    """,
+)
+def q_dq_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution, in bits —
+    the mixture-diversity / data-quality metric (a user collapsed onto
+    one event type scores 0; uniform over k types scores log2 k). The
+    same shape scores language or source diversity per domain in a
+    training-data mixture audit.
+
+    Uses the identity H = log2(N) − (Σ k·log2 k)/N so only one float
+    term per (group, category) exists; each term is rounded to the
+    1e-6 grid and summed as EXACT decimal (the compat convention —
+    float Σ would be partition-order-dependent and flap the hash), then
+    one IEEE division + subtraction finishes. Two-level hash aggregate,
+    partial-agg map-side combine, one shuffle on the group key."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    term = F.round(F.col("k") * F.log2("k"), 6).cast("decimal(27,6)")
+    u = c.groupBy("user_id").agg(
+        F.sum("k").alias("n"), F.sum(term).alias("s")
+    )
+    return u.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.round(
+            F.log2("n") - F.col("s").cast("double") / F.col("n"), 6
+        ).alias("entropy_bits"),
+    )

@@ -758,3 +758,55 @@ def q_win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trail7d_sum"),
         F.count(F.lit(1)).over(w).alias("trail7d_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_win_ignore_nulls — IGNORE NULLS navigation (forward / backward fill)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_win_ignore_nulls",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS pv
+      FROM events
+    )
+    SELECT user_id, event_id, pv,
+           LAST_VALUE(pv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value,
+           FIRST_VALUE(pv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS next_purchase_value
+    FROM e
+    """,
+)
+def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: at every event, the most recent
+    and the next upcoming purchase value for that user — forward fill
+    and backward fill in one pass, the sparse-to-dense gap-bridging
+    primitive (sensor carry-forward, price staleness, attribution).
+    Pure navigation over running/mirrored frames — no aggregation, so
+    raw doubles hash safely; one shuffle + sort on user_id serves both
+    directions (the backward fill is the same sorted flow with an
+    UNBOUNDED FOLLOWING frame, not a second sort)."""
+    e = load(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    back = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        pv.alias("pv"),
+        F.last(pv, ignorenulls=True).over(back).alias("last_purchase_value"),
+        F.first(pv, ignorenulls=True).over(fwd).alias("next_purchase_value"),
+    )

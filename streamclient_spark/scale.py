@@ -322,3 +322,91 @@ def connected_components_star(
         .withColumn("label", F.col("node"))
     )
     return members.union(roots), rounds
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    beta_permille: int = 850,
+    n_iters: int = 15,
+) -> DataFrame:
+    """Distributed PageRank by power iteration, in **fixed-point integer
+    arithmetic** so the result is bit-identical under retries, partition
+    counts and aggregation order (the same determinism device as
+    ``kmeans_fit``'s integer-grid partials: long sums are associative,
+    float sums are not).
+
+    Ranks live on a 1e-12 grid (``ONE = 10**12``). Per round:
+
+    - every node sends ``rank // outdeg`` to each out-neighbor (exact
+      integer division — the flooring loss stays with the sender and
+      vanishes from the distributed mass, shrinking the total by at
+      most |edges|/ONE per round: deterministic, not drift);
+    - dangling mass (rank parked on nodes with no out-edges) is
+      re-spread uniformly, the standard correction;
+    - ``new = teleport + beta · (received + dangling/N)`` with
+      ``beta = beta_permille/1000`` applied as integer multiply//1000.
+
+    Plan shape per round: one co-partitioned join of the (checkpointed,
+    degree-annotated) edge list with the rank vector on ``src``, one
+    partial+final long-sum aggregate on ``dst``, one left join back
+    onto the node set — no driver-side data beyond the 1-row dangling
+    total (same per-round footprint as ``connected_components_star``'s
+    checksum). ``localCheckpoint`` cuts lineage each round. At 100 TB
+    the edge list is the only big table and it shuffles once up front
+    onto ``src``; every round reuses that partitioning.
+
+    Returns ``(node, rank)`` with rank as double (rank_fp / ONE);
+    ranks sum to 1 − O((|edges| + N)·n_iters / 1e12).
+    """
+    ONE = 10**12
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(outdeg, "src").repartition("src").localCheckpoint()
+    dangling = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint()
+
+    teleport = ((ONE // n) * (1000 - beta_permille)) // 1000
+    ranks = nodes.withColumn("r", F.lit(ONE // n)).localCheckpoint()
+
+    for _ in range(n_iters):
+        dang_row = (
+            dangling.join(ranks, "node").agg(F.sum("r").alias("s")).first()
+        )
+        dang_share = int(dang_row["s"] or 0) // n
+        received = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_fp"))
+        )
+        ranks = (
+            nodes.join(received, nodes["node"] == received["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("in_fp"), F.lit(0)) + F.lit(dang_share)
+                ).alias("recv"),
+            )
+            # `div` is exact long division — no float in the update rule
+            .select(
+                "node",
+                F.expr(
+                    f"{teleport}L + (({beta_permille}L * recv) div 1000)"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+
+    return ranks.select("node", (F.col("r") / F.lit(float(ONE))).alias("rank"))
