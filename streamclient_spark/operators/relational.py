@@ -3151,3 +3151,153 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_histogram — equi-width histogram via width_bucket
+# ---------------------------------------------------------------------------
+
+_HIST_LO = 0.005  # .005 offsets: no 2-decimal price can sit on a boundary
+_HIST_HI = 500000.005
+_HIST_N = 50
+
+
+@register(
+    "q_agg_histogram",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < {_HIST_LO} THEN 0
+                WHEN o_totalprice >= {_HIST_HI} THEN {_HIST_N} + 1
+                ELSE 1 + CAST(FLOOR((o_totalprice - {_HIST_LO})
+                              * {_HIST_N} / ({_HIST_HI} - {_HIST_LO}))
+                         AS BIGINT)
+           END AS bucket,
+           COUNT(*) AS n_orders,
+           round(MIN(o_totalprice), 2) AS lo_price,
+           round(MAX(o_totalprice), 2) AS hi_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value via the SQL-standard
+    ``width_bucket`` ({_HIST_N} buckets plus under/overflow 0 and
+    {_HIST_N}+1) — the one-pass distribution profile behind data-quality
+    dashboards and equi-width binning features. The oracle replicates
+    Spark's closed form ``1 + floor((v-lo)·n/(hi-lo))`` arithmetically
+    (DuckDB has no width_bucket); boundaries sit on .005 offsets so no
+    two-decimal price can land within 0.004 of a boundary — float
+    rounding cannot move a row across buckets. Single hash aggregate
+    over ≤ n+2 groups, partial-agg map-side combined, one tiny
+    shuffle."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(
+                F.col("o_totalprice"),
+                F.lit(_HIST_LO),
+                F.lit(_HIST_HI),
+                F.lit(_HIST_N),
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_join_lateral — LATERAL correlated subquery join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_lateral",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal, t.pos
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal,
+             row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pos
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) t
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per nation, its top-2 customers by
+    balance — the per-row-subquery API surface (Spark 3.4+ lateral
+    join). Catalyst decorrelates this into the same window + filter
+    plan as q_topk_group (DataFrame form), so the SQL-level LATERAL
+    costs nothing over the hand-written shape: one shuffle on the
+    correlation key, ranking window, WindowGroupLimit pre-filter. The
+    dim side here is tiny; at scale the correlation key is the join
+    partitioning and no per-row re-execution ever happens."""
+    from streamclient_spark.sqlapi import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal, t.pos
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal,
+                 row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                   AS pos
+          FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_bitmap — exact distinct counting via bitmap aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_bitmap",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via BITMAP aggregation —
+    the scale path for exact COUNT(DISTINCT) over a dense integer key:
+    each partial aggregates its keys into a fixed 4 KB bitmap bucket
+    (``bitmap_construct_agg`` over ``bitmap_bit_position``), partials
+    OR together (associative, map-side combinable), and popcount sums
+    per group — two tiny shuffles of (group, bucket, 4 KB) rows,
+    **no** row explosion and no Expand, unlike the generic
+    count-distinct rewrite. The oracle is plain COUNT(DISTINCT): the
+    bitmap path must reproduce it exactly (bitmaps are exact, not
+    sketches — contrast q_agg_approx_cd / q_agg_sketch_merge)."""
+    e = load(spark, sf_dir, "events")
+    per_bucket = (
+        e.select(
+            "event_type",
+            "user_id",
+            F.bitmap_bucket_number(F.col("user_id")).alias("bkt"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position(F.col("user_id"))
+            ).alias("bm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"),
+        F.sum("n").alias("n_events"),
+    )

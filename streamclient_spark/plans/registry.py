@@ -120,6 +120,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dq_skew", "q_join_interval", "q_sample_weighted", "q_table_diff",
     "q_text_bm25", "q_dq_outliers", "q_agg_mad", "q_knn_graph",
     "q_win_range_time", "q_fn_url", "q_dq_entropy", "q_win_ignore_nulls",
+    "q_agg_histogram", "q_join_lateral", "q_agg_bitmap",
 )
 
 
