@@ -3301,3 +3301,36 @@ def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"),
         F.sum("n").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_approx_pct — approximate percentile (bounded-rank-error sketch)
+# ---------------------------------------------------------------------------
+
+_APPROX_PCT_ACC = 10000  # 1/accuracy = max rank-error fraction
+
+
+@register("q_agg_approx_pct")  # estimator-specific → rows-only check;
+# the rank-error bound is pinned by tests/test_oracle_parity-adjacent
+# property test in tests/test_llm_ops.py
+def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per return flag via Spark's
+    Greenwald-Khanna-style quantile sketch (``approx_percentile`` with
+    accuracy {_APPROX_PCT_ACC} → rank error ≤ n/{_APPROX_PCT_ACC}) —
+    the mergeable, single-pass, bounded-memory path for percentiles
+    over 100 TB, where the exact order-statistic (q_agg_percentile)
+    needs a per-group sort. Sketches combine associatively map-side,
+    so the shuffle carries one sketch per (group, partition), never
+    rows. Estimator internals are engine-specific (DuckDB's t-digest
+    differs) → no value oracle; a property test bounds the rank error
+    against the exact percentile instead."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(_APPROX_PCT_ACC)
+        ).alias("approx_p50"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.95), F.lit(_APPROX_PCT_ACC)
+        ).alias("approx_p95"),
+        F.count(F.lit(1)).alias("n"),
+    )

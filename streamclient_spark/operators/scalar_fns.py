@@ -537,3 +537,46 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_fn_binary — hash / encode / decode family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_binary",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256,
+           to_base64(CAST(p_name AS BLOB)) AS name_b64,
+           hex(p_brand) AS brand_hex,
+           bit_length(p_name) AS name_bits,
+           octet_length(CAST(p_name AS BLOB)) AS name_bytes,
+           CAST(from_base64(to_base64(CAST(p_name AS BLOB))) AS VARCHAR)
+             = p_name AS b64_roundtrip
+    FROM part
+    """,
+)
+def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash / encode / decode scalar family — content hashing (md5 /
+    sha256: the dedup and split keys), transport encoding (base64 /
+    hex) and byte-length introspection, with a base64 round-trip
+    proving decode inverts encode. All codegen JVM intrinsics in a
+    shuffle-free projection; both engines emit lowercase hex digests
+    and RFC 4648 base64 so the strings hash identically."""
+    p = load(spark, sf_dir, "part")
+    b64 = F.base64(F.col("p_name").cast("binary"))
+    return p.select(
+        "p_partkey",
+        F.md5(F.col("p_name")).alias("name_md5"),
+        F.sha2(F.col("p_name"), 256).alias("name_sha256"),
+        b64.alias("name_b64"),
+        F.hex(F.col("p_brand")).alias("brand_hex"),
+        F.bit_length(F.col("p_name")).alias("name_bits"),
+        F.octet_length(F.col("p_name")).alias("name_bytes"),
+        (F.unbase64(b64).cast("string") == F.col("p_name")).alias(
+            "b64_roundtrip"
+        ),
+    )

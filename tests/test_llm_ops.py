@@ -501,3 +501,33 @@ def test_kmeans_fit_properties(spark, sf_oracle):
         x = np.asarray(r["embedding"], dtype=np.float64)
         expect = int(np.argmin(cn2 - 2.0 * (x @ C.T)))
         assert a[r["vec_id"]] == expect
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_oracle):
+    # the sketch's promise is bounded RANK error: the reported value's
+    # true rank must be within n/accuracy of the target rank
+    from streamclient_spark.plans.registry import load_all
+    from streamclient_spark.tables import load
+
+    rows = (
+        load_all()["q_agg_approx_pct"].builder(spark, sf_oracle).collect()
+    )
+    li = load(spark, sf_oracle, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    by_flag = {}
+    for r in li.collect():
+        by_flag.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    for r in rows:
+        vals = sorted(by_flag[r["l_returnflag"]])
+        n = len(vals)
+        assert r["n"] == n
+        for pct, col in ((0.5, "approx_p50"), (0.95, "approx_p95")):
+            import bisect
+            lo = bisect.bisect_left(vals, r[col])
+            hi = bisect.bisect_right(vals, r[col])
+            target = pct * n
+            err_bound = n / 10000 + 1
+            assert lo - err_bound <= target <= hi + err_bound, (
+                r["l_returnflag"], col, lo, hi, target,
+            )
