@@ -3334,3 +3334,89 @@ def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_p95"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_table_merge — batch MERGE (apply a keyed changeset to a snapshot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_table_merge",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS k, 'D' AS op,
+             CAST(NULL AS DOUBLE) AS new_bal
+      FROM customer WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT c_custkey, 'U', round(c_acctbal + 100.0, 2)
+      FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I', round(-c_acctbal, 2)
+      FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT COALESCE(c.c_custkey, ch.k) AS c_custkey,
+           CASE WHEN ch.op = 'U' OR ch.op = 'I' THEN ch.new_bal
+                ELSE round(c.c_acctbal, 2) END AS acctbal,
+           CASE WHEN ch.op = 'U' THEN 'updated'
+                WHEN ch.op = 'I' THEN 'inserted'
+                ELSE 'kept' END AS status
+    FROM customer c
+    FULL OUTER JOIN changes ch ON c.c_custkey = ch.k
+    WHERE ch.op IS NULL OR ch.op <> 'D'
+    """,
+)
+def q_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE: apply a keyed changeset (inserts / updates /
+    deletes) to a snapshot in one statement — the WHEN MATCHED THEN
+    UPDATE / DELETE, WHEN NOT MATCHED THEN INSERT semantics of SQL
+    MERGE, expressed as ONE full-outer equi-join + conditional
+    projection (OSS Spark has no MERGE on plain parquet; this is the
+    canonical rewrite, and the streaming twin is the C-26 dirty-bucket
+    upsert sink). The changeset here is derived deterministically from
+    the snapshot itself (mod rules on the key) so both engines build
+    the identical input with no side files.
+
+    Scale: one shuffle of each side on the merge key — or ZERO
+    Exchanges when both sides are bucket-partitioned on the key
+    (q_join_bucketed layout); the anti/semi/outer family all reduce to
+    the same co-partitioned join. Changed keys are typically ≪
+    snapshot, so AQE will broadcast the changeset side."""
+    c = load(spark, sf_dir, "customer")
+    changes = (
+        c.filter(F.col("c_custkey") % 11 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("new_bal"),
+        )
+        .unionByName(
+            c.filter(
+                (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 11 != 0)
+            ).select(
+                F.col("c_custkey").alias("k"),
+                F.lit("U").alias("op"),
+                F.round(F.col("c_acctbal") + 100.0, 2).alias("new_bal"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.lit("I").alias("op"),
+                F.round(-F.col("c_acctbal"), 2).alias("new_bal"),
+            )
+        )
+    )
+    merged = c.join(changes, c["c_custkey"] == changes["k"], "full_outer")
+    return merged.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        F.coalesce(F.col("c_custkey"), F.col("k")).alias("c_custkey"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+        .otherwise(F.round(F.col("c_acctbal"), 2))
+        .alias("acctbal"),
+        F.when(F.col("op") == "U", F.lit("updated"))
+        .when(F.col("op") == "I", F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )

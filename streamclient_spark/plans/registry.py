@@ -121,7 +121,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_bm25", "q_dq_outliers", "q_agg_mad", "q_knn_graph",
     "q_win_range_time", "q_fn_url", "q_dq_entropy", "q_win_ignore_nulls",
     "q_agg_histogram", "q_join_lateral", "q_agg_bitmap",
-    "q_fn_binary", "q_agg_approx_pct",
+    "q_fn_binary", "q_agg_approx_pct", "q_table_merge",
 )
 
 
