@@ -3420,3 +3420,107 @@ def q_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_percentile_disc — discrete (order-statistic) percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+                AS DOUBLE) AS q25,
+           CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity)
+                AS DOUBLE) AS q50,
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)
+                AS DOUBLE) AS q75,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (percentile_disc / inverse-distribution
+    order statistic): the reported value is always an ACTUAL data
+    value — the smallest value whose cumulative fraction reaches p —
+    never an interpolation (q_agg_percentile covers the continuous
+    form). Because the result is picked, not computed, raw doubles
+    hash safely with no decimal convention needed. Same execution
+    shape as any exact percentile: one shuffle on the group key,
+    per-group selection."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_pdisc_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+                 AS q25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity)
+                 AS q50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)
+                 AS q75,
+               COUNT(*) AS n
+        FROM _pdisc_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rollup_grid — multi-granularity time rollup in one Expand
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rollup_grid",
+    oracle=f"""
+    SELECT CASE WHEN GROUPING(g_hour) = 0 THEN 'hour'
+                WHEN GROUPING(g_day)  = 0 THEN 'day'
+                ELSE 'week' END AS grain,
+           COALESCE(g_hour, g_day, g_week) AS bucket_ts,
+           COUNT(*) AS n_events,
+           {{dec_sum}} AS sum_value
+    FROM (
+      SELECT value,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS g_hour,
+             date_trunc('day',  CAST(ts AS TIMESTAMP)) AS g_day,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS g_week
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((g_hour), (g_day), (g_week))
+    """.replace("{dec_sum}", sql_dec_sum("value")),
+)
+def q_rollup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup: hourly, daily and weekly totals
+    of the event stream in ONE statement — the hypertable /
+    continuous-aggregate resolution grid, as explicit GROUPING SETS
+    over three date_trunc derivations. One scan + one Expand (3×) +
+    one partial/final aggregate: at 100 TB this beats three separate
+    scans 3:1 on I/O, and the per-set NULL columns coalesce into a
+    single (grain, bucket) key. C-83 materializes day-from-hour
+    incrementally; this computes the whole grid declaratively when the
+    partials don't exist yet. Exact-decimal sums per the compat
+    convention."""
+    e = load(spark, sf_dir, "events")
+    e.select(
+        "value",
+        F.date_trunc("hour", F.col("ts")).alias("g_hour"),
+        F.date_trunc("day", F.col("ts")).alias("g_day"),
+        F.date_trunc("week", F.col("ts")).alias("g_week"),
+    ).createOrReplaceTempView("_grid_events")
+    return spark.sql(
+        f"""
+        SELECT CASE WHEN GROUPING(g_hour) = 0 THEN 'hour'
+                    WHEN GROUPING(g_day)  = 0 THEN 'day'
+                    ELSE 'week' END AS grain,
+               COALESCE(g_hour, g_day, g_week) AS bucket_ts,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)
+                 AS sum_value
+        FROM _grid_events
+        GROUP BY GROUPING SETS ((g_hour), (g_day), (g_week))
+        """
+    )

@@ -580,3 +580,46 @@ def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b64_roundtrip"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_fn_timezone — timezone conversion family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_timezone",
+    oracle="""
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+    SELECT event_id, ts,
+           ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS ts_nyc,
+           ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo' AS ts_tokyo,
+           CAST(EXTRACT(hour FROM ts AT TIME ZONE 'UTC'
+                        AT TIME ZONE 'America/New_York') AS INT)
+             AS hour_nyc,
+           CAST(date_trunc('day', ts AT TIME ZONE 'UTC'
+                           AT TIME ZONE 'Asia/Tokyo') AS TIMESTAMP)
+             AS day_tokyo
+    FROM e
+    """,
+)
+def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion family: the fixture's UTC event times
+    rendered as New York / Tokyo wall-clock, with local hour
+    extraction and a local-midnight day boundary — the global-rollup
+    primitive (a "daily" aggregate keyed on the *viewer's* day needs
+    the local truncation, not UTC's). ``convert_timezone`` is a
+    codegen'd offset lookup against the JVM tzdb; DuckDB's
+    ``AT TIME ZONE`` chain consults ICU — both resolve the same IANA
+    zone names, pinned by the hash compare. Shuffle-free projection."""
+    e = load(spark, sf_dir, "events")
+    nyc = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), F.col("ts"))
+    tokyo = F.convert_timezone(F.lit("UTC"), F.lit("Asia/Tokyo"), F.col("ts"))
+    return e.select(
+        "event_id",
+        "ts",
+        nyc.alias("ts_nyc"),
+        tokyo.alias("ts_tokyo"),
+        F.hour(nyc).alias("hour_nyc"),
+        F.date_trunc("day", tokyo).alias("day_tokyo"),
+    )

@@ -122,6 +122,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_win_range_time", "q_fn_url", "q_dq_entropy", "q_win_ignore_nulls",
     "q_agg_histogram", "q_join_lateral", "q_agg_bitmap",
     "q_fn_binary", "q_agg_approx_pct", "q_table_merge",
+    "q_agg_percentile_disc", "q_rollup_grid", "q_fn_timezone",
 )
 
 
