@@ -3524,3 +3524,49 @@ def q_rollup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((g_hour), (g_day), (g_week))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bucketize — quantile bucketing without a global sort
+# ---------------------------------------------------------------------------
+
+_DECILE_PS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _decile_sql(table: str) -> str:
+    bs = ",\n             ".join(
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice) AS b{i}"
+        for i, p in enumerate(_DECILE_PS, 1)
+    )
+    cases = "\n             + ".join(
+        f"CASE WHEN o_totalprice > b{i} THEN 1 ELSE 0 END"
+        for i in range(1, 10)
+    )
+    return f"""
+    WITH b AS (
+      SELECT {bs}
+      FROM {table}
+    )
+    SELECT o_orderkey, o_totalprice,
+           1 + {cases} AS decile
+    FROM {table} CROSS JOIN b
+    """
+
+
+@register("q_bucketize", oracle=_decile_sql("orders"))
+def q_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing at scale: every order tagged with its decile
+    of order value — WITHOUT the global sort that ``ntile(10) OVER
+    (ORDER BY ...)`` forces onto a single reducer. Phase 1 computes the
+    9 decile boundaries as discrete order statistics (actual data
+    values — deterministic, engine-identical); phase 2 broadcasts that
+    single row and assigns each row by counting boundaries below it —
+    a shuffle-free codegen projection. At 100 TB: the boundary row is
+    bytes, the assignment is linear and embarrassingly parallel; swap
+    phase 1 to ``approx_percentile`` when exactness isn't required
+    (q_agg_approx_pct) and the whole thing is one pass. Ties share a
+    bucket by construction (strict > against picked values), which is
+    the reproducible behavior ntile cannot give."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_bktz_orders")
+    return spark.sql(_decile_sql("_bktz_orders"))

@@ -33,6 +33,7 @@ BNLJ_ALLOWED = {
     "q_subquery_scalar",  # scalar-subquery demo
     "q_sample_weights",   # 1-row max-weight scalar
     "q_dq_skew",          # 1-row table-total scalar (permille share)
+    "q_bucketize",        # 1-row decile-boundary scalar broadcast
     "q_text_bm25",        # 1-row corpus stats scalar (N, avgdl)
 }
 
