@@ -1011,3 +1011,88 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.min("old_id"), F.lit(-1)).alias("first_match"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_canonical — keep-best document selection per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_SETS.strip().removeprefix("WITH")},
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM shingle_sets a JOIN shingle_sets b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= {_NEAR_THRESHOLD}
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, m) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m
+    ),
+    comp AS (SELECT node AS doc_id, min(m) AS cluster_id
+             FROM reach GROUP BY node),
+    sized AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    keepers AS (SELECT cluster_id, doc_id AS keeper_id FROM sized
+                WHERE rn = 1)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(k.keeper_id, d.doc_id) AS keeper_id,
+           CAST(COALESCE(k.keeper_id, d.doc_id) = d.doc_id AS INT) AS keep
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    LEFT JOIN keepers k ON k.cluster_id = c.cluster_id
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L2 capstone: the full dedup DECISION — every document tagged
+    keep/drop, with near-dup clusters keeping their single best
+    representative (longest text, doc_id tie-break: the keep-longest
+    policy of RefinedWeb-style pipelines) and singletons keeping
+    themselves. This is the list a training-data materialization
+    actually consumes: detect (LSH) → verify (Jaccard on candidates)
+    → cluster (connected components) → select canonical → emit.
+
+    Reuses the cluster derivation (q_dedup_cluster, including its
+    cross-query cached pair table); selection adds one ranking window
+    over the tiny cluster-membership table and two broadcast-sized
+    joins back onto the corpus spine — the expensive graph work is not
+    repeated per policy change. The oracle recomputes everything by
+    brute force (all-pairs Jaccard + recursive closure)."""
+    clusters = q_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sized = clusters.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    keepers = (
+        sized.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keeper_id"))
+    )
+    return (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        .join(keepers, "cluster_id", "left")
+        .withColumn("keeper_id", F.coalesce("keeper_id", "doc_id"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "keeper_id",
+            (F.col("keeper_id") == F.col("doc_id")).cast("int").alias("keep"),
+        )
+    )

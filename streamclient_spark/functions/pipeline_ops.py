@@ -675,3 +675,51 @@ def q_dq_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2("n") - F.col("s").cast("double") / F.col("n"), 6
         ).alias("entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mixture_report — dataset-card mixture profile per (source, lang)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mixture_report",
+    oracle="""
+    WITH g AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM g)
+    SELECT g.source, g.lang, g.n_docs, g.sum_chars,
+           CAST(g.sum_chars AS DOUBLE) / g.n_docs AS mean_chars,
+           CAST((g.n_docs * 1000) // t.total AS BIGINT) AS share_permille
+    FROM g CROSS JOIN t
+    """,
+)
+def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card mixture report: per (source, language) cell — doc
+    count, total/mean characters, and the cell's exact integer-permille
+    share of the corpus. The one-pass profile behind mixture rebalancing
+    (q_sample_stratified consumes exactly these shares) and every
+    dataset datasheet. One hash aggregate over the corpus; the corpus
+    total re-aggregates the TINY per-cell table (never a second corpus
+    scan) and broadcasts back as a 1-row scalar; shares are integer
+    permille (long division — no float ratio in the hash)."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    g = g.localCheckpoint()  # reuse: cells feed both the total and the report
+    total = g.agg(F.sum("n_docs").alias("total"))
+    return g.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "sum_chars",
+        (F.col("sum_chars").cast("double") / F.col("n_docs")).alias(
+            "mean_chars"
+        ),
+        F.expr("(n_docs * 1000) div total").alias("share_permille"),
+    )

@@ -37,6 +37,7 @@ BRUTE_FORCE_ORACLES = {
     "q_dedup_jaccard",
     "q_dedup_embed",
     "q_dedup_incremental",  # new×corpus brute-force ground truth (218 s at sf1)
+    "q_dedup_canonical",  # all-pairs Jaccard + recursive closure oracle
     "q_sim_topk",  # exact rank over all pairs — linear×queries, keep
 }
 KEEP_ANYWAY = {"q_sim_topk"}  # linear scans race fairly at any sf
