@@ -623,3 +623,55 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour(nyc).alias("hour_nyc"),
         F.date_trunc("day", tokyo).alias("day_tokyo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_fn_variant — semi-structured VARIANT type (parse / typed extract)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(
+             json_object('event_type', event_type, 'value', value),
+             '$.event_type') AS VARCHAR) AS etype,
+           CAST(json_extract(
+             json_object('event_type', event_type, 'value', value),
+             '$.value') AS DOUBLE) AS val,
+           CAST(NULL AS INT) AS missing
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) % 3 = 0
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): the ``props`` JSON
+    column parsed once into the binary VARIANT encoding, then typed
+    path extraction (``variant_get``), a predicate pushed against a
+    variant field, and graceful missing-path access
+    (``try_variant_get`` → NULL, never an error). VARIANT is the scale
+    story for schema-drifting payloads — parse once at ingest, store
+    shredded binary, extract fields without per-query JSON re-parsing
+    (contrast q_fn_json's string-path get_json_object). The oracle
+    mirrors every extraction with DuckDB's JSON operators; the double
+    survives the JSON round-trip exactly on both engines
+    (shortest-repr serialization)."""
+    e = load(spark, sf_dir, "events")
+    out = e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        F.expr(
+            "variant_get(parse_json(to_json(struct(event_type, value))),"
+            " '$.event_type', 'string')"
+        ).alias("etype"),
+        F.expr(
+            "variant_get(parse_json(to_json(struct(event_type, value))),"
+            " '$.value', 'double')"
+        ).alias("val"),
+        F.expr(
+            "try_variant_get(parse_json(props), '$.missing', 'int')"
+        ).alias("missing"),
+    )
+    return out.filter(F.col("k") % 3 == 0)
