@@ -810,3 +810,60 @@ def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(pv, ignorenulls=True).over(back).alias("last_purchase_value"),
         F.first(pv, ignorenulls=True).over(fwd).alias("next_purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_wow — period-over-period (week-over-week) change
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_wow",
+    oracle=f"""
+    WITH w AS (
+      SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+             COUNT(*) AS n_events,
+             {sql_dec_sum('value')} AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT week, n_events, sum_value,
+           n_events - lag(n_events) OVER (ORDER BY week) AS wow_events,
+           CASE WHEN lag(n_events) OVER (ORDER BY week) IS NULL THEN NULL
+                ELSE CAST(FLOOR(
+                       CAST((n_events - lag(n_events) OVER (ORDER BY week))
+                            * 1000 AS DOUBLE)
+                       / lag(n_events) OVER (ORDER BY week)) AS BIGINT)
+           END AS wow_permille
+    FROM w
+    """,
+)
+def q_ts_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: weekly event totals with the
+    week-over-week absolute delta and integer-permille growth rate —
+    the KPI-dashboard staple. The corpus aggregates down to |weeks|
+    rows FIRST (one partial/final hash agg); the unpartitioned lag
+    window then sorts only that tiny table, so the "global" window is
+    harmless at any scale. Growth is exact long permille (floored
+    division), never a float ratio; the weekly sum follows the exact-
+    decimal convention."""
+    e = load(spark, sf_dir, "events")
+    w = e.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+    )
+    prev = F.lag("n_events").over(Window.orderBy("week"))
+    # FLOOR of the double quotient on BOTH engines: Spark's long `div`
+    # truncates toward zero while DuckDB's `//` floors — they disagree
+    # on negative deltas, so neither is used
+    permille = F.floor(
+        ((F.col("n_events") - prev) * 1000).cast("double") / prev
+    ).cast("long")
+    return w.select(
+        "week",
+        "n_events",
+        "sum_value",
+        (F.col("n_events") - prev).alias("wow_events"),
+        permille.alias("wow_permille"),
+    )
