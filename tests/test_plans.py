@@ -498,3 +498,42 @@ def test_bm25_single_tokenize_pass_topk(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "q_text_bm25")
     assert "InMemoryTableScan" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rollup_grid_single_expand(spark, sf_oracle):
+    # hour/day/week grid = ONE scan + ONE Expand (3x), never 3 scans
+    plan = plan_of(spark, sf_oracle, "q_rollup_grid", mode="simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_bucketize_is_tiny_agg_plus_broadcast_assignment(spark, sf_oracle):
+    # phase 1 is one sort-aggregate (all 9 boundaries from the array
+    # form); phase 2 broadcasts the 1-row boundary table — the fact
+    # side never shuffles for the assignment
+    plan = plan_of(spark, sf_oracle, "q_bucketize", mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_bitmap_distinct_has_partial_aggregation(spark, sf_oracle):
+    # bitmap partials must combine map-side (partial_bitmap_construct_agg
+    # before the bucket exchange) and carry no Expand
+    plan = plan_of(spark, sf_oracle, "q_agg_bitmap", mode="simple")
+    assert "partial_bitmap_construct_agg" in plan
+    assert "Expand" not in plan
+
+
+def test_ignore_nulls_fills_share_one_window(spark, sf_oracle):
+    # forward and backward fill ride ONE Window node on one sort
+    plan = plan_of(spark, sf_oracle, "q_win_ignore_nulls", mode="simple")
+    assert plan.count("Window") == 1
+    assert plan.count("Sort") == 1
+
+
+def test_knn_graph_single_block_shuffle(spark, sf_oracle):
+    # the block GEMM sees exactly one exchange (co-locate blocks);
+    # no join anywhere
+    plan = plan_of(spark, sf_oracle, "q_knn_graph", mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
