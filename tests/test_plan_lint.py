@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "q_sample_weights",   # 1-row max-weight scalar
     "q_dq_skew",          # 1-row table-total scalar (permille share)
     "q_bucketize",        # 1-row decile-boundary scalar broadcast
+    "q_mixture_report",   # 1-row corpus-total scalar (permille share)
     "q_text_bm25",        # 1-row corpus stats scalar (N, avgdl)
 }
 
