@@ -881,15 +881,18 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
 
+    #: rows per GEMM chunk: bounds the similarity slab at
+    #: CHUNK × |block| doubles (~16 MB per 1k corpus rows) so a hot
+    #: block cannot OOM a task, and keeps the selection vectorized
+    CHUNK = 2048
+
     def block_knn(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         lab = pdf["label"].to_numpy()
         E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         En = E / np.sqrt(np.einsum("ij,ij->i", E, E))[:, None]
-        cos = En @ En.T
-        np.fill_diagonal(cos, -np.inf)  # no self-edges
-        out_v, out_l, out_n, out_c, out_r = [], [], [], [], []
-        k = min(KNN_GRAPH_K, len(ids) - 1)
+        n = len(ids)
+        k = min(KNN_GRAPH_K, n - 1)
         if k <= 0:
             return pd.DataFrame(
                 {
@@ -900,15 +903,27 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "rank": np.array([], dtype=np.int32),
                 }
             )
-        for i in range(len(ids)):
-            row = cos[i]
-            # total order (cos DESC, neighbor_id ASC) — exact, tie-safe
-            order = np.lexsort((ids, -row))[:k]
-            out_v.extend([ids[i]] * k)
-            out_l.extend([lab[i]] * k)
-            out_n.extend(ids[order])
-            out_c.extend(row[order])
-            out_r.extend(range(1, k + 1))
+        # sort the block by vec_id: argmax's first-occurrence rule then
+        # IS the (cos DESC, neighbor_id ASC) tie-break, no per-row sort
+        order_ids = np.argsort(ids, kind="stable")
+        ids, lab, En = ids[order_ids], lab[order_ids], En[order_ids]
+        out_v, out_l, out_n, out_c, out_r = [], [], [], [], []
+        for start in range(0, n, CHUNK):
+            stop = min(start + CHUNK, n)
+            cos = En[start:stop] @ En.T  # chunk × n slab
+            rows = np.arange(stop - start)
+            cos[rows, np.arange(start, stop)] = -np.inf  # no self-edges
+            # k successive vectorized argmax passes (k is tiny): each
+            # pass peels the current best column per row — O(k·chunk·n)
+            # flat scans, no per-row partition/sort at all
+            for j in range(1, k + 1):
+                best = np.argmax(cos, axis=1)
+                out_v.extend(ids[start:stop])
+                out_l.extend(lab[start:stop])
+                out_n.extend(ids[best])
+                out_c.extend(cos[rows, best])
+                out_r.extend([j] * (stop - start))
+                cos[rows, best] = -np.inf
         return pd.DataFrame(
             {
                 "vec_id": np.array(out_v, dtype=np.int64),
