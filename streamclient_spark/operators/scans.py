@@ -154,3 +154,64 @@ def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_scan_text — raw text source + JSON-line parsing, full oracle
+# ---------------------------------------------------------------------------
+
+
+def _stage_text(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as raw JSON lines with all-exact field encodings
+    (longs only: timestamps as unix micros, value in 1e-4 fixed point)
+    so the text round-trip is bit-lossless and oracle-checkable —
+    unlike the CSV/JSON scans, whose float/timestamp formatting makes
+    them rows-only."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"{_STAGE_ROOT}/{tag}/events_text"
+    marker = f"{out}/_SUCCESS"
+    if not os.path.exists(marker):
+        df = load(spark, sf_dir, "events").select(
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    F.col("user_id"),
+                    F.col("event_type"),
+                    F.unix_micros(F.col("ts")).alias("ts_us"),
+                    F.round(F.col("value") * 10000, 0).cast("long").alias("value_e4"),
+                )
+            ).alias("value")
+        )
+        df.coalesce(1).write.mode("overwrite").text(out)
+    return out
+
+
+@register(
+    "q_scan_text",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           CAST(round(value * 10000, 0) AS BIGINT) AS value_e4
+    FROM events
+    """,
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-S2 (text): the log-ingestion path — ``spark.read.text`` over
+    raw JSON lines, parsed with a schema'd ``from_json`` projection.
+    Unlike the CSV/JSON scans (rows-only: their float/timestamp text
+    formats are lossy), the staged lines carry only exact integer
+    encodings (unix-micros timestamps, 1e-4 fixed-point value), so
+    this scan carries a FULL value oracle against the original parquet
+    rows: text staging + line parsing must be collectively lossless.
+    At scale the text source splits by line ranges and the from_json
+    parse is one codegen projection — no inference pass (explicit
+    schema, the same no-inference rule as the other scans)."""
+    path = _stage_text(spark, sf_dir)
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, "
+        "ts_us bigint, value_e4 bigint"
+    )
+    parsed = spark.read.text(path).select(
+        F.from_json(F.col("value"), schema).alias("r")
+    )
+    return parsed.select("r.*")
