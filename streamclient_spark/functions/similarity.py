@@ -950,3 +950,149 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_matryoshka — truncated-prefix coarse search + full-dim rerank
+# ---------------------------------------------------------------------------
+
+#: prefix dims for the coarse stage / candidates kept per query
+MATRYOSHKA_DIM = 16
+MATRYOSHKA_CAND = 30
+MATRYOSHKA_K = 5
+
+_SQL_COS_PREFIX = (
+    "list_cosine_similarity(CAST({a}[1:16] AS DOUBLE[]), "
+    "CAST({b}[1:16] AS DOUBLE[]))"
+)
+
+
+@register(
+    "q_sim_matryoshka",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ),
+    coarse AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, q.qe, e.embedding,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_SQL_COS_PREFIX.format(a="q.qe", b="e.embedding")}
+                        DESC, e.vec_id) AS crank
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           round({_SQL_COS.format(a="qe", b="embedding")}, 6) AS cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, qe, embedding,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_SQL_COS.format(a="qe", b="embedding")} DESC,
+                        neighbor_id) AS rank
+      FROM coarse WHERE crank <= {MATRYOSHKA_CAND}
+    )
+    WHERE rank <= {MATRYOSHKA_K}
+    """,
+)
+def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L3: Matryoshka-style two-stage retrieval — coarse top-{MATRYOSHKA_CAND}
+    per query by cosine over the FIRST {MATRYOSHKA_DIM} dimensions (the
+    nested-prefix property of Matryoshka representation learning:
+    prefixes are usable embeddings), then exact full-dimension rerank
+    of just those candidates to top-{MATRYOSHKA_K}. The corpus-side
+    work drops 4× in the scoring GEMM (and at real scale the prefix
+    fits cache / a smaller index); the rerank touches only
+    queries×{MATRYOSHKA_CAND} vectors.
+
+    One fused Arrow pass does BOTH stages per partition (prefix GEMM →
+    local candidate cut → full GEMM on survivors), so no second corpus
+    scan and no join; the final window ranks partitions×candidates
+    rows. Both stages use deterministic (score DESC, id ASC) orders,
+    and the local candidate cut keeps every boundary tie, so the
+    global result equals the oracle's two-window formulation exactly."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
+    Qn = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+    Qp = Q[:, :MATRYOSHKA_DIM]
+    Qpn = Qp / np.sqrt(np.einsum("ij,ij->i", Qp, Qp))[:, None]
+
+    def search(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            Ep = E[:, :MATRYOSHKA_DIM]
+            Epn = Ep / np.sqrt(np.einsum("ij,ij->i", Ep, Ep))[:, None]
+            coarse = Epn @ Qpn.T  # n × q prefix cosines
+            En = E / np.sqrt(np.einsum("ij,ij->i", E, E))[:, None]
+            out_q, out_n, out_p, out_c = [], [], [], []
+            for qi in range(len(q_ids)):
+                cc = coarse[:, qi]
+                mask = ids != q_ids[qi]
+                cid, cs = ids[mask], cc[mask]
+                m = min(MATRYOSHKA_CAND, len(cid))
+                if m == 0:
+                    continue
+                # tie-safe local candidate cut (keep boundary ties)
+                kth = np.partition(-cs, m - 1)[m - 1]
+                cand = np.nonzero(-cs <= kth)[0]
+                order = np.lexsort((cid[cand], -cs[cand]))[:m]
+                sel = cand[order]
+                # full-dim exact rerank scores for the LOCAL survivors;
+                # the global coarse cut happens in the ranking windows
+                # (local top-m is a superset of every global-top-m
+                # member in this partition, so nothing global is lost)
+                sub = En[mask][sel] @ Qn[qi]
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_n.extend(cid[sel])
+                out_p.extend(cs[sel])
+                out_c.extend(sub)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "coarse_cos": np.array(out_p, dtype=np.float64),
+                    "cos_sim": np.array(out_c, dtype=np.float64),
+                }
+            )
+
+    scored = (
+        e.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            search,
+            "query_id bigint, neighbor_id bigint, coarse_cos double, "
+            "cos_sim double",
+        )
+    )
+    # both windows share the query_id partitioning: ONE exchange, two
+    # in-partition rankings (global coarse cut, then full-dim rerank)
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("coarse_cos"), F.asc("neighbor_id")
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= MATRYOSHKA_CAND)
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= MATRYOSHKA_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
