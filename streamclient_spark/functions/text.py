@@ -929,3 +929,76 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_keywords — top-3 tf-idf keywords per document (B-L4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKENS.format(col="text")}) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+               AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    )
+    WHERE rank <= 3
+    """,
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L4: keyword extraction — each document's top-3 tokens by
+    tf-idf (the classic unsupervised keyword picker feeding search
+    indexing, tagging, and topic drift monitors). Same tokenize → tf →
+    df → idf pipeline as q_text_tfidf (shared decimal/ln conventions),
+    plus one ranking window per doc_id; WindowGroupLimit pushes the
+    top-3 cut below the window sort, so the shuffle carries candidate
+    rows, not the full posting table, per partition. Ties break on the
+    token string in both engines."""
+    from streamclient_spark.cacheutil import managed_persist, release_managed
+
+    release_managed()
+    d = load(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    tok = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    tf = managed_persist(
+        tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+    )

@@ -124,7 +124,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fn_binary", "q_agg_approx_pct", "q_table_merge",
     "q_agg_percentile_disc", "q_rollup_grid", "q_fn_timezone",
     "q_bucketize", "q_dedup_canonical", "q_mixture_report", "q_fn_variant",
-    "q_ts_wow", "q_scan_text", "q_sim_matryoshka",
+    "q_ts_wow", "q_scan_text", "q_sim_matryoshka", "q_text_keywords",
 )
 
 
