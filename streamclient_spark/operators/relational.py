@@ -3589,3 +3589,83 @@ def q_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(b))
         .select("o_orderkey", "o_totalprice", decile.alias("decile"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_moments34 — skewness / kurtosis from exact power sums
+# ---------------------------------------------------------------------------
+
+#: identical arithmetic text on both engines: same IEEE op sequence from
+#: identical exact inputs ⇒ identical doubles (sqrt is correctly
+#: rounded; pow(x,1.5) is not, so m2^1.5 is spelled m2*sqrt(m2))
+_SKEW_EXPR = (
+    "round((s3 / n - 3 * (s1 / n) * (s2 / n)"
+    " + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+    " / ((s2 / n - (s1 / n) * (s1 / n))"
+    " * sqrt(s2 / n - (s1 / n) * (s1 / n))), 6) AS skewness"
+)
+_KURT_EXPR = (
+    "round((s4 / n - 4 * (s1 / n) * (s3 / n)"
+    " + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
+    " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+    " / ((s2 / n - (s1 / n) * (s1 / n))"
+    " * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6) AS excess_kurtosis"
+)
+_MOMENT_FINISH = _SKEW_EXPR + ",\n           " + _KURT_EXPR
+
+
+@register(
+    "q_agg_moments34",
+    oracle=f"""
+    WITH f AS (
+      SELECT event_type,
+             CAST(round(value * 10000, 0) AS BIGINT) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(v AS DECIMAL(38,0)) * v * v) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(v AS DECIMAL(38,0)) * v * v * v) AS DOUBLE) AS s4
+      FROM f GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           {_MOMENT_FINISH}
+    FROM s
+    """,
+)
+def q_agg_moments34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per event type from EXACT integer
+    power sums — the 3rd/4th-moment extension of q_agg_stats, and the
+    same determinism argument: Σv, Σv², Σv³, Σv⁴ accumulate as exact
+    DECIMAL(38,0) over the 1e-4 fixed-point grid (v⁴ ≈ 1e24 × 1e12
+    rows still fits), so partial aggregation is associative and
+    partition-order-independent where the built-in ``skewness`` /
+    ``kurtosis`` float accumulators drift. One double cast per sum,
+    then an IEEE closed form written with the IDENTICAL operation
+    sequence on both engines (m2^1.5 as m2·sqrt(m2) — sqrt is
+    correctly rounded, pow is not). Skew/kurtosis are scale-invariant,
+    so the 1e4 fixed-point scaling cancels and no rescale is needed.
+    Single partial/final hash aggregate, one tiny shuffle."""
+    e = load(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 10000, 0).cast("long")
+    dec = v.cast("decimal(38,0)")
+    s = e.select("event_type", v.alias("v"), dec.alias("vd")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("vd")).cast("double").alias("s1"),
+        F.sum(F.col("vd") * F.col("v")).cast("double").alias("s2"),
+        F.sum(F.col("vd") * F.col("v") * F.col("v")).cast("double").alias("s3"),
+        F.sum(F.col("vd") * F.col("v") * F.col("v") * F.col("v"))
+        .cast("double")
+        .alias("s4"),
+    )
+    return s.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_events",
+        _SKEW_EXPR,
+        _KURT_EXPR,
+    )
