@@ -182,3 +182,58 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL tokenize_udtf(d.text) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q_udf_arrow — raw Arrow batch transform (mapInArrow)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_udf_arrow",
+    oracle="""
+    SELECT event_id,
+           CAST(round(value * 10000, 0) AS BIGINT) AS value_e4,
+           length(event_type) AS type_len
+    FROM events
+    """,
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF surface, raw-Arrow tier: ``mapInArrow`` hands the kernel
+    pyarrow RecordBatches directly — no pandas materialization at all,
+    the zero-copy path for kernels that speak Arrow natively (Polars,
+    DataFusion-style compute, custom C++ via pyarrow). The kernel here
+    runs pyarrow.compute vector ops (fixed-point rounding, UTF-8
+    length) whose results the oracle reproduces in SQL, so this
+    Python-side tier is value-attested like any builtin. Same batch
+    semantics and scale posture as the pandas tier (B-U1): Arrow
+    batches stream through, nothing row-at-a-time, no state."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = load(spark, sf_dir, "events")
+
+    def kernel(batches):
+        for batch in batches:
+            value = batch.column(batch.schema.get_field_index("value"))
+            etype = batch.column(batch.schema.get_field_index("event_type"))
+            eid = batch.column(batch.schema.get_field_index("event_id"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    eid,
+                    pc.cast(
+                        pc.round(
+                            pc.multiply(value, pa.scalar(10000.0)),
+                            ndigits=0,
+                            round_mode="half_towards_infinity",
+                        ),
+                        pa.int64(),
+                    ),
+                    pc.cast(pc.utf8_length(etype), pa.int32()),
+                ],
+                names=["event_id", "value_e4", "type_len"],
+            )
+
+    return e.select("event_id", "value", "event_type").mapInArrow(
+        kernel, "event_id bigint, value_e4 bigint, type_len int"
+    )
