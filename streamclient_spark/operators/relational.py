@@ -3669,3 +3669,69 @@ def q_agg_moments34(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SKEW_EXPR,
         _KURT_EXPR,
     )
+
+
+# ---------------------------------------------------------------------------
+# q_join_null_aware — NOT IN with nullable subquery (null-aware anti join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_null_aware",
+    oracle="""
+    WITH clean AS (
+      SELECT count(*) AS n FROM orders
+      WHERE o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      )
+    ),
+    poisoned AS (
+      SELECT count(*) AS n FROM orders
+      WHERE o_custkey NOT IN (
+        SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END
+        FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      )
+    )
+    SELECT 'clean_list' AS variant, n FROM clean
+    UNION ALL
+    SELECT 'null_in_list', n FROM poisoned
+    """,
+)
+def q_join_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN three-valued-logic semantics — the null-aware anti join.
+    Two variants of the same denylist anti-predicate: against a
+    NULL-free list it is a plain anti join; against a list where even
+    ONE element is NULL, SQL's three-valued logic makes ``x NOT IN
+    (...)`` never-true and the count collapses to 0 — the footgun
+    Spark handles with its optimized single-column null-aware anti
+    join (a broadcast build that short-circuits on any null) instead
+    of a naive per-row re-scan. Both variants and both engines must
+    agree exactly; the planted NULL is a deterministic mod rule. At
+    scale: the denylist side is the small side (broadcast); the fact
+    side streams."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("_naaj_orders")
+    c.createOrReplaceTempView("_naaj_customer")
+    return spark.sql(
+        """
+        WITH clean AS (
+          SELECT count(*) AS n FROM _naaj_orders
+          WHERE o_custkey NOT IN (
+            SELECT c_custkey FROM _naaj_customer
+            WHERE c_mktsegment = 'AUTOMOBILE'
+          )
+        ),
+        poisoned AS (
+          SELECT count(*) AS n FROM _naaj_orders
+          WHERE o_custkey NOT IN (
+            SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL
+                        ELSE c_custkey END
+            FROM _naaj_customer WHERE c_mktsegment = 'AUTOMOBILE'
+          )
+        )
+        SELECT 'clean_list' AS variant, n FROM clean
+        UNION ALL
+        SELECT 'null_in_list', n FROM poisoned
+        """
+    )
