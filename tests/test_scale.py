@@ -305,3 +305,65 @@ def test_pagerank_matches_reference_power_iteration(spark):
     # are exactly tied by construction — both receive only β·r₂/2)
     assert max(got, key=got.get) == max(rank, key=rank.get) == 2
     assert min(got, key=got.get) == min(rank, key=rank.get) == 3
+
+
+def test_zorder_layout_tightens_both_columns(spark, sf_oracle, tmp_path):
+    # z-order must give every file a SMALL min/max rectangle in BOTH
+    # dimensions; a single-column sort leaves the trailing column's
+    # per-file range at ~full width. Measured from real parquet footers.
+    import pyarrow.parquet as pq
+    import glob as g
+    from pyspark.sql import functions as F
+    from streamclient_spark.scale import write_zordered
+    from streamclient_spark.tables import load
+
+    e = load(spark, sf_oracle, "events").select(
+        "user_id",
+        (F.unix_micros("ts") / 3_600_000_000).cast("long").alias("hour"),
+        "event_id",
+    )
+
+    def avg_cover(path, col):
+        tot_lo, tot_hi = None, None
+        spans = []
+        files = sorted(g.glob(f"{path}/part-*.parquet"))
+        stats = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(c).name for c in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(c).name for c in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            stats.append((lo, hi))
+        tot_lo = min(s[0] for s in stats)
+        tot_hi = max(s[1] for s in stats)
+        width = max(tot_hi - tot_lo, 1)
+        return sum((hi - lo) / width for lo, hi in stats) / len(stats)
+
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "usersort")
+    write_zordered(e, zpath, "user_id", "hour", n_files=8, bits=12)
+    (
+        e.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    # single-column layout: trailing col per-file range ≈ full width
+    assert avg_cover(spath, "hour") > 0.9
+    # z-order: BOTH columns' per-file ranges are fractions of the width
+    assert avg_cover(zpath, "user_id") < 0.6
+    assert avg_cover(zpath, "hour") < 0.6
+    # and the data survives the layout byte-for-byte (row multiset)
+    a = spark.read.parquet(zpath).orderBy("event_id").collect()
+    b = e.orderBy("event_id").collect()
+    assert a == b
