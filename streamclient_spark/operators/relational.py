@@ -3735,3 +3735,57 @@ def q_join_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'null_in_list', n FROM poisoned
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q_join_fuzzy — blocked fuzzy self-join by edit distance
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 8
+
+
+@register(
+    "q_join_fuzzy",
+    oracle=f"""
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, a.p_brand,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+    """,
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join — record linkage by edit distance: part
+    names within the same (brand, size) block whose Levenshtein
+    distance is ≤ {_FUZZY_MAX_DIST} (catalog-dedup / entity-resolution
+    shape). The quadratic distance computation is confined to equi-join
+    blocks — the same blocking discipline as every dedup operator here
+    (LSH bands, IVF cells, label blocks): the plan is ONE co-partitioned
+    equi-join on the block key with the distance as a post-join filter,
+    never an all-pairs cross product; `a < b` halves the block's pair
+    count. Both engines implement the same Wagner-Fischer distance, so
+    the integer distances hash identically."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_name"
+    )
+    a = p.select(
+        F.col("p_partkey").alias("a_key"),
+        "p_brand",
+        "p_size",
+        F.col("p_name").alias("a_name"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        "p_brand",
+        "p_size",
+        F.col("p_name").alias("b_name"),
+    )
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("a_key") < F.col("b_key"))
+        .withColumn("dist", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .select("a_key", "b_key", "p_brand", "dist")
+    )
