@@ -867,3 +867,59 @@ def q_ts_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") - prev).alias("wow_events"),
         permille.alias("wow_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_markov — event-type transition matrix (first-order chain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, count(*) AS n FROM seq
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS row_n FROM pairs GROUP BY cur)
+    SELECT p.cur, p.nxt, p.n,
+           CAST(FLOOR(CAST(p.n * 1000 AS DOUBLE) / t.row_n) AS BIGINT)
+             AS permille
+    FROM pairs p JOIN tot t USING (cur)
+    """,
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every (current, next) event-type pair per user timeline, the count
+    and the integer-permille transition probability — the behavioral-
+    model / anomalous-flow primitive (a sudden drop in
+    click→purchase permille is the alert). One user_id shuffle orders
+    the timelines for ``lead``; the pair table is ≤ |types|² rows, so
+    the row-normalizing join is trivially broadcast. Probabilities are
+    floored integer permille (the explicit-FLOOR convention both
+    engines share)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("row_n"))
+    return pairs.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.floor((F.col("n") * 1000).cast("double") / F.col("row_n"))
+        .cast("long")
+        .alias("permille"),
+    )
