@@ -3789,3 +3789,52 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= _FUZZY_MAX_DIST)
         .select("a_key", "b_key", "p_brand", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_weighted — exact weighted mean
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS sum_w,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                    * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS sum_wx,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                    * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per return flag — the
+    weighted-average shape (mixture weights, cost-weighted KPIs) in
+    the exact-decimal convention: Σw and Σw·x accumulate as exact
+    decimals (associative partials), ONE IEEE division at the end.
+    Contrast a naive ``avg(w*x/w)``-style float pipeline, whose result
+    depends on partition order. Single partial/final hash aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("decimal(18,4)")
+    x = F.col("l_extendedprice").cast("decimal(18,4)")
+    # decimal→double conversion is 1-ulp off between engines at this
+    # magnitude (DuckDB divides the int128 by the scale in float math);
+    # explicit rounds absorb it while the SUMS stay exact
+    g = li.groupBy("l_returnflag").agg(
+        F.sum(w).cast("double").alias("sum_w"),
+        F.sum(w * x).cast("double").alias("sum_wx"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.round("sum_w", 2).alias("sum_w"),
+        F.round("sum_wx", 2).alias("sum_wx"),
+        F.round(F.col("sum_wx") / F.col("sum_w"), 6).alias(
+            "weighted_avg_price"
+        ),
+    )

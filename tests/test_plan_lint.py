@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "q_tpch_q15",         # 1-row max-revenue scalar (AQE-dependent)
     "q_tpch_q17",         # 1-row scalar variants under default confs
     "q_text_tfidf",       # 1-row corpus document count (idf)
+    "q_text_keywords",    # same 1-row corpus-count scalar as tfidf
     "q_text_surprisal",   # 1-row corpus token total
     "q_subquery_scalar",  # scalar-subquery demo
     "q_sample_weights",   # 1-row max-weight scalar
