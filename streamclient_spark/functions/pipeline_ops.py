@@ -723,3 +723,48 @@ def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("(n_docs * 1000) div total").alias("share_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dq_freshness — per-slice freshness lag vs the corpus watermark
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dq_freshness",
+    oracle="""
+    WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS corpus_max FROM events),
+    s AS (
+      SELECT event_type, MAX(CAST(ts AS TIMESTAMP)) AS slice_max,
+             COUNT(*) AS n_events
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, s.slice_max, s.n_events,
+           CAST(epoch_us(m.corpus_max) - epoch_us(s.slice_max) AS BIGINT)
+             AS lag_us,
+           CAST(epoch_us(m.corpus_max) - epoch_us(s.slice_max) >= 86400000000
+                AS INT) AS stale_1d
+    FROM s CROSS JOIN m
+    """,
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness audit: each slice's (event type's) newest event versus
+    the corpus watermark, as an exact microsecond lag plus a 1-day
+    staleness flag — the did-a-feed-stop-arriving monitor. Anchoring on
+    the corpus max (never wall-clock ``now()``) keeps the query
+    deterministic and retry-safe — the same discipline as every
+    operator here. Per-slice maxima partial-aggregate map-side; the
+    1-row watermark broadcasts."""
+    e = load(spark, sf_dir, "events")
+    m = e.agg(F.max("ts").alias("corpus_max"))
+    s = e.groupBy("event_type").agg(
+        F.max("ts").alias("slice_max"), F.count(F.lit(1)).alias("n_events")
+    )
+    lag = F.unix_micros("corpus_max") - F.unix_micros("slice_max")
+    return s.crossJoin(F.broadcast(m)).select(
+        "event_type",
+        "slice_max",
+        "n_events",
+        lag.alias("lag_us"),
+        (lag >= 86400000000).cast("int").alias("stale_1d"),
+    )

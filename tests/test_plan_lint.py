@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "q_dq_skew",          # 1-row table-total scalar (permille share)
     "q_bucketize",        # 1-row decile-boundary scalar broadcast
     "q_mixture_report",   # 1-row corpus-total scalar (permille share)
+    "q_dq_freshness",     # 1-row corpus-watermark scalar
     "q_text_bm25",        # 1-row corpus stats scalar (N, avgdl)
 }
 
