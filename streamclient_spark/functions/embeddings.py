@@ -439,3 +439,90 @@ def kmeans_fit(
         return vecs.mapInPandas(run, "id long, cid int")
 
     return final, assign, history
+
+
+# ---------------------------------------------------------------------------
+# q_embed_outliers — distance-to-centroid embedding-space audit
+# ---------------------------------------------------------------------------
+
+#: cosine-to-own-centroid below this → flagged (compared on the rounded
+#: value so both engines test identical doubles). Sits mid-gap in the
+#: fixture's 2.6e-2-wide tail gap (~3% flagged) — no value within 1e-2,
+#: so cross-engine drift cannot flip a flag.
+OUTLIER_TAU = -0.0773
+
+
+@register(
+    "q_embed_outliers",
+    oracle=f"""
+    WITH fx AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                        + 0.5) AS BIGINT) AS fx
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(SUM(fx) AS DOUBLE) / (COUNT(*) * 1000000.0) AS c
+      FROM fx GROUP BY label, dim
+    ),
+    cvec AS (
+      SELECT label, list(c ORDER BY dim) AS centroid FROM cent GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        cv.centroid), 6) AS cos_centroid,
+           CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             cv.centroid), 6) < {OUTLIER_TAU}
+                AS INT) AS is_outlier
+    FROM embeddings e JOIN cvec cv USING (label)
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality audit: every vector's cosine to its own
+    label centroid, flagging the far tail — mislabeled / corrupted /
+    off-distribution vectors (the embedding twin of the q_dq_outliers
+    value screen). Centroids come from the SAME exact 1e-6-grid mean
+    as q_embed_centroids (long sums — partition-order-independent),
+    assembled into per-label arrays entirely JVM-side (array_sort of
+    collect_list over (dim, value) structs — 10 rows of 64 doubles)
+    and broadcast into a codegen sequential-fold cosine: no Python
+    anywhere, one corpus scan for centroids + one for scoring. The
+    flag compares the ROUNDED cosine so both engines test identical
+    doubles against τ={OUTLIER_TAU}."""
+    from streamclient_spark.functions.vectors import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    fx = e.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("fx"),
+    )
+    cent = fx.groupBy("label", "dim").agg(
+        (F.sum("fx").cast("double") / (F.count(F.lit(1)) * 1000000.0)).alias(
+            "c"
+        )
+    )
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s.c,
+        ).alias("centroid")
+    )
+    cos_r = F.round(
+        cosine(F.col("embedding").cast("array<double>"), F.col("centroid")), 6
+    )
+    return (
+        e.join(F.broadcast(cvec), "label")
+        .select(
+            "vec_id",
+            "label",
+            cos_r.alias("cos_centroid"),
+            (cos_r < OUTLIER_TAU).cast("int").alias("is_outlier"),
+        )
+    )
