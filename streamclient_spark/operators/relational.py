@@ -3766,7 +3766,10 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the block key with the distance as a post-join filter,
     never an all-pairs cross product; `a < b` halves the block's pair
     count. Both engines implement the same Wagner-Fischer distance, so
-    the integer distances hash identically."""
+    the integer distances hash identically. (The classic
+    |len(a)−len(b)| ≤ k pre-gate was measured to prune 0% here — the
+    fixture's names are uniform-length — so it is omitted; put it back
+    in front of real-world name data, where it is the main pruner.)"""
     p = load(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_size", "p_name"
     )
