@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "q_bucketize",        # 1-row decile-boundary scalar broadcast
     "q_mixture_report",   # 1-row corpus-total scalar (permille share)
     "q_dq_freshness",     # 1-row corpus-watermark scalar
+    "q_graph_triangles",  # 1-row triangle/wedge/edge scalars
     "q_text_bm25",        # 1-row corpus stats scalar (N, avgdl)
 }
 
