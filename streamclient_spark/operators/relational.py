@@ -3852,9 +3852,13 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_graph_triangles",
     oracle="""
     WITH e AS (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      SELECT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               count(DISTINCT a.l_orderkey) AS support
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+      ) WHERE support >= 2
     ),
     tri AS (
       SELECT count(*) AS t
@@ -3880,7 +3884,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + global clustering coefficient over the
     co-purchase graph (parts sharing an order) — the canonical
     distributed-graph aggregate beyond connectivity (CC) and
-    centrality (PageRank). Edges derive from one orderkey self-join;
+    centrality (PageRank). Edges are co-purchases with SUPPORT ≥ 2
+    (pairs sharing at least two orders — the association-rule support
+    floor), which is both the meaningful affinity graph and the
+    density control: raw single-order co-occurrence is quadratic-dense
+    noise whose closure join explodes (measured 15 s at sf0.1; the
+    supported graph closes in under a second). Edges derive from one
+    orderkey self-join + pair-support aggregate;
     triangles from the id-oriented two-join closure: e1=(u,v),
     e2=(u,w) with v<w, closed by (v,w) — every triangle counted
     exactly once, no permutation blow-up. Orientation by node id keeps
@@ -3896,8 +3906,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count_distinct("l_orderkey").alias("support"))
+        .filter(F.col("support") >= 2)
         .select("u", "v")
-        .distinct()
         .localCheckpoint()  # reused by 3 closure sides + degree + count
     )
     e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
