@@ -3943,3 +3943,94 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_market_basket — association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 3  # orders containing the pair
+
+
+@register(
+    "q_market_basket",
+    oracle=f"""
+    WITH n AS (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+               FROM orders),
+    item AS (
+      SELECT l_partkey, count(DISTINCT l_orderkey) AS s_item
+      FROM lineitem GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             count(DISTINCT a.l_orderkey) AS s_pair
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= {_BASKET_MIN_SUPPORT}
+    )
+    SELECT p.u, p.v, CAST(p.s_pair AS BIGINT) AS s_pair,
+           CAST(iu.s_item AS BIGINT) AS s_u,
+           CAST(iv.s_item AS BIGINT) AS s_v,
+           CAST(FLOOR(CAST(p.s_pair * 1000 AS DOUBLE) / iu.s_item)
+                AS BIGINT) AS conf_u_to_v_permille,
+           CAST(FLOOR(CAST(p.s_pair * n.n_orders * 1000 AS DOUBLE)
+                      / (iu.s_item * iv.s_item)) AS BIGINT)
+             AS lift_permille
+    FROM pair p
+    JOIN item iu ON iu.l_partkey = p.u
+    JOIN item iv ON iv.l_partkey = p.v
+    CROSS JOIN n
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: for every part pair co-bought
+    in ≥ {_BASKET_MIN_SUPPORT} orders — pair support, item supports,
+    confidence(u→v) and lift, all in floored integer permille (exact
+    long counts, one float division each, both engines identical).
+    This is the recommendation / affinity-analysis staple; the same
+    shape scores token co-occurrence (PMI) over documents.
+
+    Plan: one orderkey self-join feeds the pair-support aggregate
+    (map-side combined); the support floor prunes before the two item-
+    support joins, whose right side is a |parts|-row table → AQE
+    broadcasts it; corpus size is a 1-row scalar. No quadratic blow-up
+    survives past the HAVING."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    n = o.agg(F.count_distinct("o_orderkey").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_orderkey").alias("s_item")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count_distinct("l_orderkey").alias("s_pair"))
+        .filter(F.col("s_pair") >= _BASKET_MIN_SUPPORT)
+    )
+    iu = item.select(F.col("l_partkey").alias("u"), F.col("s_item").alias("s_u"))
+    iv = item.select(F.col("l_partkey").alias("v"), F.col("s_item").alias("s_v"))
+    return (
+        pair.join(iu, "u")
+        .join(iv, "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "u",
+            "v",
+            "s_pair",
+            "s_u",
+            "s_v",
+            F.floor((F.col("s_pair") * 1000).cast("double") / F.col("s_u"))
+            .cast("long")
+            .alias("conf_u_to_v_permille"),
+            F.floor(
+                (F.col("s_pair") * F.col("n_orders") * 1000).cast("double")
+                / (F.col("s_u") * F.col("s_v"))
+            )
+            .cast("long")
+            .alias("lift_permille"),
+        )
+    )

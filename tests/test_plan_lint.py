@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "q_mixture_report",   # 1-row corpus-total scalar (permille share)
     "q_dq_freshness",     # 1-row corpus-watermark scalar
     "q_graph_triangles",  # 1-row triangle/wedge/edge scalars
+    "q_market_basket",    # 1-row corpus-size scalar (lift)
     "q_text_bm25",        # 1-row corpus stats scalar (N, avgdl)
 }
 
