@@ -1002,3 +1002,82 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_chunker — RAG chunking: token windows with overlap (B-L4)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64  # window size
+CHUNK_STRIDE = 48  # step (=> 16-token overlap)
+
+
+@register(
+    "q_text_chunker",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKENS.format(col="text")} AS toks
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(range(0,
+               CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                    ELSE CAST(CEIL(CAST(len(toks) - {CHUNK_TOKENS} AS DOUBLE)
+                              / {CHUNK_STRIDE}) AS BIGINT) + 1 END))
+               AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(
+             toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                  chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+             AS chunk_text,
+           CAST(least(len(toks) - chunk_id * {CHUNK_STRIDE}, {CHUNK_TOKENS})
+                AS INT) AS n_tokens
+    FROM starts
+    """,
+)
+def q_text_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L4: RAG chunking — every document split into {CHUNK_TOKENS}-token
+    windows at stride {CHUNK_STRIDE} ({CHUNK_TOKENS - CHUNK_STRIDE}-token
+    overlap so no boundary sentence is orphaned), the retrieval-corpus
+    preparation step between cleaning and embedding. Pure codegen:
+    tokenize once, derive the chunk-start index array with ``sequence``
+    (ceil-div chunk count, short docs → one chunk), ``posexplode`` into
+    rows, ``slice`` + ``array_join`` per chunk — no Python, no shuffle
+    (a stateless projection that explodes ~len/stride× — exactly the
+    fan-out an embedding stage consumes in place). Chunk math is
+    integer on both engines; DuckDB's 1-based inclusive slice mirrors
+    Spark's 1-based ``slice`` length form."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_chunks = F.when(
+        F.size(toks) <= CHUNK_TOKENS, F.lit(1)
+    ).otherwise(
+        F.ceil(
+            (F.size(toks) - CHUNK_TOKENS).cast("double") / CHUNK_STRIDE
+        ).cast("long")
+        + 1
+    )
+    t = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.sequence(F.lit(0), n_chunks - 1).alias("chunk_ids"),
+    )
+    ex = t.select(
+        "doc_id",
+        "toks",
+        F.explode("chunk_ids").alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("toks"), start + 1, F.lit(CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+        F.least(F.size("toks") - start, F.lit(CHUNK_TOKENS))
+        .cast("int")
+        .alias("n_tokens"),
+    )

@@ -128,6 +128,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_moments34", "q_udf_arrow", "q_join_null_aware", "q_join_fuzzy",
     "q_events_markov", "q_agg_weighted", "q_dq_freshness",
     "q_embed_outliers", "q_graph_triangles", "q_market_basket",
+    "q_text_chunker",
 )
 
 
