@@ -481,3 +481,42 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_files: int,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Compact a small-file parquet directory to ``target_files`` files
+    with an atomic directory swap — the maintenance pass every
+    streaming sink needs (each microbatch appends files; a day of
+    1-minute batches is 1440 tiny files whose open/footer overhead
+    dominates scans long before data volume does).
+
+    Reads the directory, coalesces (``coalesce`` — a narrow
+    repartitioning, no shuffle) to the target count, optionally sorts
+    within partitions to restore run-length/footer-stat quality, writes
+    to a sibling temp dir, then swaps via two renames. The swap is the
+    same crash posture as the C-26 bucket swap: a crash between the
+    renames leaves the valid old dir under ``<path>.old`` — nothing is
+    ever half-visible. Returns the new file count."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    df = spark.read.parquet(path)
+    w = df.coalesce(target_files)
+    if sort_within:
+        w = w.sortWithinPartitions(*sort_within)
+    tmp = path.rstrip("/") + ".compact_tmp"
+    old = path.rstrip("/") + ".old"
+    w.write.mode("overwrite").parquet(tmp)
+    if _os.path.exists(old):
+        _shutil.rmtree(old)
+    _os.rename(path, old)
+    _os.rename(tmp, path)
+    _shutil.rmtree(old)
+    return len(_glob.glob(f"{path}/part-*.parquet"))

@@ -367,3 +367,27 @@ def test_zorder_layout_tightens_both_columns(spark, sf_oracle, tmp_path):
     a = spark.read.parquet(zpath).orderBy("event_id").collect()
     b = e.orderBy("event_id").collect()
     assert a == b
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(
+    spark, sf_oracle, tmp_path
+):
+    from streamclient_spark.scale import compact_parquet
+    from streamclient_spark.tables import load
+
+    import glob
+
+    p = str(tmp_path / "frag")
+    e = load(spark, sf_oracle, "events").select("event_id", "user_id", "ts")
+    e.repartition(64).write.parquet(p)  # simulate a day of tiny batches
+    assert len(glob.glob(f"{p}/part-*.parquet")) == 64
+
+    before = e.count()
+    n = compact_parquet(spark, p, target_files=4, sort_within=["event_id"])
+    assert n <= 4
+    after_df = spark.read.parquet(p)
+    assert after_df.count() == before
+    # compaction must not leave swap debris
+    import os
+    assert not os.path.exists(p + ".old")
+    assert not os.path.exists(p + ".compact_tmp")
