@@ -3843,6 +3843,26 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_support(spark: SparkSession, sf_dir: str):
+    """Shared co-purchase pair-support table ``(u, v, s_pair)`` with
+    u < v — the one expensive aggregate (orderkey self-join over ~15
+    pairs/order) behind both the triangle query and the basket rules.
+    Keyed cross-query persist (cacheutil): computed once per session
+    per sf_dir, exactly like the near-dup pair index."""
+    from streamclient_spark.cacheutil import managed_persist
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return managed_persist(
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count_distinct("l_orderkey").alias("s_pair")),
+        key=f"copurchase:{sf_dir}",
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_graph_triangles — triangle count / global clustering coefficient
 # ---------------------------------------------------------------------------
@@ -3900,15 +3920,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed at fixture skew). Clustering = 3·triangles/wedges in
     floored integer permille. The graph build shuffles on orderkey,
     the closure on node prefixes; everything else is tiny aggregates."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
     e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count_distinct("l_orderkey").alias("support"))
-        .filter(F.col("support") >= 2)
+        _copurchase_support(spark, sf_dir)
+        .filter(F.col("s_pair") >= 2)
         .select("u", "v")
         .localCheckpoint()  # reused by 3 closure sides + degree + count
     )
@@ -4002,14 +4016,8 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = li.groupBy("l_partkey").agg(
         F.count_distinct("l_orderkey").alias("s_item")
     )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
-    pair = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count_distinct("l_orderkey").alias("s_pair"))
-        .filter(F.col("s_pair") >= _BASKET_MIN_SUPPORT)
+    pair = _copurchase_support(spark, sf_dir).filter(
+        F.col("s_pair") >= _BASKET_MIN_SUPPORT
     )
     iu = item.select(F.col("l_partkey").alias("u"), F.col("s_item").alias("s_u"))
     iv = item.select(F.col("l_partkey").alias("v"), F.col("s_item").alias("s_v"))
