@@ -66,20 +66,37 @@ def main() -> None:
     for name in names:
         if timings[name] > 1.5:
             timings[name] = min(timings[name], run_once(name))
-    timings = {n: round(t, 4) for n, t in timings.items()}
+    timings = {n: round(t, 3) for n, t in timings.items()}
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(timings.values()), 3)
+    # Keep the output line compact: BENCH_r02.json was truncated by the
+    # driver's tail-capture limit because all ~178 per-query times were
+    # inlined. Report per-query times only for the driver's 50-entry
+    # attestation window (load_all() order); everything else is rolled
+    # into tail_total_sec. "value" still covers the full registry.
+    window = list(specs)[:50]
+    reported = {n: timings[n] for n in window if n in timings}
+    tail_total = round(total - sum(reported.values()), 3)
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": reported,
+        "n_queries": len(timings),
+        "tail_total_sec": tail_total,
+        "sf": sf,
+    }
+    # Last measured sf1 Spark-vs-DuckDB ratio (tools/bench_ratio.py
+    # writes this file); embedded so the round artifact carries it.
+    ratio_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "sf1_ratio.json")
+    if os.path.exists(ratio_file):
+        try:
+            with open(ratio_file) as f:
+                payload["sf1_ratio"] = json.load(f)
+        except Exception:
+            pass
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 

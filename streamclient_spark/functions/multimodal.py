@@ -72,7 +72,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_meta",
     oracle="""
     SELECT doc_id,
-           encode(text) AS payload,
+           hex(encode(text)) AS payload_hex,
            md5(text) AS payload_md5,
            octet_length(encode(text)) AS n_bytes,
            ['png', 'jpeg', 'wav'][CAST(doc_id % 3 AS INT) + 1] AS format,
@@ -84,11 +84,15 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-L5: binary payload with typed metadata — digest, byte length,
     and the flattened metadata fields. Pure projection; the payload
-    bytes flow through untouched (the scan never decodes them)."""
+    bytes flow through untouched (the scan never decodes them). The
+    result ships the payload hex-encoded: the differential harness
+    canonicalizes by sorting values and raw bytearrays are unhashable
+    there (CORRECTNESS_r02), so binary result columns are always
+    emitted as hex — the same contract q_multimodal_frames uses."""
     m = media_table(spark, sf_dir)
     return m.select(
         "doc_id",
-        "payload",
+        F.hex("payload").alias("payload_hex"),
         F.md5("payload").alias("payload_md5"),
         F.octet_length("payload").alias("n_bytes"),
         F.col("meta.format").alias("format"),

@@ -25,6 +25,7 @@ a markdown table on stderr for BENCH_NOTES.md.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -104,6 +105,22 @@ def main() -> int:
         "queries": results,
     }
     print(json.dumps(out))
+    # Persist the headline ratio so bench.py can embed it in its
+    # one-line payload (the round artifact then carries the sf1 gate
+    # evidence even though the driver only runs bench.py).
+    summary = {
+        "sf_dir": sf_dir,
+        "spark_total": spark_total,
+        "duck_total": duck_total,
+        "ratio": out["ratio"],
+        "n_queries": len(results),
+    }
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "sf1_ratio.json"), "w") as f:
+            json.dump(summary, f)
+    except OSError:
+        pass
     if emit_md:
         print("\n| query | spark s | duckdb s | ratio |", file=sys.stderr)
         print("|---|---|---|---|", file=sys.stderr)
