@@ -961,9 +961,11 @@ MATRYOSHKA_DIM = 16
 MATRYOSHKA_CAND = 30
 MATRYOSHKA_K = 5
 
+# built from MATRYOSHKA_DIM so oracle and engine cannot desynchronize
+# (DuckDB slices are 1-based inclusive: [1:d] is the first d elements)
 _SQL_COS_PREFIX = (
-    "list_cosine_similarity(CAST({a}[1:16] AS DOUBLE[]), "
-    "CAST({b}[1:16] AS DOUBLE[]))"
+    f"list_cosine_similarity(CAST({{a}}[1:{MATRYOSHKA_DIM}] AS DOUBLE[]), "
+    f"CAST({{b}}[1:{MATRYOSHKA_DIM}] AS DOUBLE[]))"
 )
 
 

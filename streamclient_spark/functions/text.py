@@ -349,6 +349,35 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared term-frequency posting table ``(doc_id, token, tf)`` —
+    the one tokenize+explode+count build behind both q_text_tfidf and
+    q_text_keywords, keyed in cacheutil so the second consumer reuses
+    the first's cache (the same cross-query-index pattern as the
+    co-purchase pair table: corpus-proportional but far smaller than
+    the raw text, and the in-session analog of materializing the
+    inverted index a production pipeline would write to storage).
+
+    Partitioning is pinned by hashing doc_id BEFORE the tokenize
+    (split recovery for the near-unsplittable fixture file, and AQE
+    never coalesces a user-pinned number — without the pin it folds
+    the tf aggregate's modest shuffle to ONE partition and every
+    cached-table consumer runs single-task). doc_id hash partitioning
+    satisfies the (doc_id, token) grouping, so the tf aggregate needs
+    no second exchange, and per-doc consumers (q_text_keywords'
+    top-3 aggregate) group with no exchange at all."""
+    from streamclient_spark.cacheutil import managed_persist
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.explode(tokens("text")).alias("token"))
+    return managed_persist(
+        tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")),
+        key=f"texttf:{sf_dir}",
+    )
+
+
 @register(
     "q_text_tfidf",
     oracle=f"""
@@ -374,7 +403,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one join, all keyed on the token; the df side is tiny (|vocab|) so
     Spark broadcasts it after AQE sees the size. ``ln`` is rounded to 6
     decimals on both engines (libm vs Java Math.log last-ulp drift)."""
-    from streamclient_spark.cacheutil import managed_persist, release_managed
+    from streamclient_spark.cacheutil import release_managed
 
     release_managed()
     d = load(spark, sf_dir, "documents")
@@ -382,16 +411,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of a single row) — keeps the whole plan lazy/distributed instead of
     # collecting a count at plan-build time.
     n = d.agg(F.count("*").cast("double").alias("n_docs"))
-    # split recovery: tokenize+explode is the CPU-heavy stage and the
-    # near-unsplittable fixture file otherwise runs it on 1-3 tasks
-    tok = d.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id", F.explode(tokens("text")).alias("token")
-    )
-    # persist: the df aggregate and the filtered join probe both read the
-    # tf table — without it the tokenize+explode+count pipeline runs twice
-    tf = managed_persist(
-        tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    )
+    tf = _tf_table(spark, sf_dir)
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     # the tf >= 3 output filter runs BEFORE the idf join: df must see
     # every (doc, token) row, but the join doesn't — filtering first
@@ -967,23 +987,27 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-L4: keyword extraction — each document's top-3 tokens by
     tf-idf (the classic unsupervised keyword picker feeding search
-    indexing, tagging, and topic drift monitors). Same tokenize → tf →
-    df → idf pipeline as q_text_tfidf (shared decimal/ln conventions),
-    plus one ranking window per doc_id; WindowGroupLimit pushes the
-    top-3 cut below the window sort, so the shuffle carries candidate
-    rows, not the full posting table, per partition. Ties break on the
-    token string in both engines."""
-    from streamclient_spark.cacheutil import managed_persist, release_managed
+    indexing, tagging, and topic drift monitors). Rides the SAME
+    shared tf posting table as q_text_tfidf (:func:`_tf_table` —
+    tokenize once per session, not once per consumer; r2 paid the
+    full tokenize+tf build twice and a ranking window on top, 6.4×
+    the oracle at sf1).
+
+    The per-doc top-3 is an AGGREGATE, not a window: collect each
+    document's (−tfidf, token, tfidf) triples, ``sort_array`` +
+    ``slice(…, 1, 3)`` them per group, ``posexplode`` the slice into
+    (rank−1, row). Per-doc arrays are bounded by document length, the
+    group-by reuses the hash-agg path with no sort of the full posting
+    table, and the shuffle carries posting rows exactly once. The
+    negated-tfidf struct sort is lexicographic (tfidf desc, token asc)
+    — identical ordering to the oracle's row_number window, so the
+    selected rows and ranks hash-match."""
+    from streamclient_spark.cacheutil import release_managed
 
     release_managed()
     d = load(spark, sf_dir, "documents")
     n = d.agg(F.count("*").cast("double").alias("n_docs"))
-    tok = d.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id", F.explode(tokens("text")).alias("token")
-    )
-    tf = managed_persist(
-        tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    )
+    tf = _tf_table(spark, sf_dir)
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         tf.join(df, "token")
@@ -996,11 +1020,28 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("doc_id", "token", "tfidf", "rank")
+    top3 = scored.groupBy("doc_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("tfidf")).alias("neg"),
+                        F.col("token").alias("token"),
+                        F.col("tfidf").alias("tfidf"),
+                    )
+                )
+            ),
+            1,
+            3,
+        ).alias("top")
+    )
+    return top3.select(
+        "doc_id", F.posexplode("top").alias("pos", "kw")
+    ).select(
+        "doc_id",
+        F.col("kw.token").alias("token"),
+        F.col("kw.tfidf").alias("tfidf"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
     )
 
 

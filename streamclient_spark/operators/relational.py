@@ -1980,30 +1980,36 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     partkey)`` becomes a window MIN over partkey — one shuffle on
     partkey, no self-join, no second scan of the catalog.
 
-    100 TB plan: the catalog aggregate shuffles lineitem once on
-    (partkey, suppkey) — at scale that table would be materialized as
-    the supply index, bucketed by partkey so this query's window
-    reuses the layout with zero exchanges. region (5 rows) broadcasts
-    into nation (fixed 25), and that 5-row product broadcasts into
-    supplier BEFORE the catalog join, cutting the supplier side to
-    one region (~20%). part's two filters push to its scan, and the
-    part⋈catalog join runs FIRST — the ~0.3% surviving partkeys prune
-    99.7% of the catalog before the supplier join touches it
-    (measured 4.2 s → 2 s at sf1). Correlation safety of the
-    reorder: the per-partkey MIN needs every EUROPEAN supplier of a
-    SURVIVING partkey; the part join never drops suppliers within a
-    partkey, and the window still runs after the supplier
-    restriction. Both catalog joins are unhinted — AQE broadcasts the
-    small sides when they fit. The LIMIT carries a unique total order
+    100 TB plan: the selective part filter (~0.3% survive) is joined
+    into lineitem BELOW the catalog aggregate — the per-(partkey,
+    suppkey) MIN is oblivious to other partkeys, so pruning first is
+    exact, and the groupBy aggregates 0.3% of the fact instead of all
+    of it (r2 aggregated the full 6 M-row catalog first: 1.5 of its
+    2.3 s at sf1 was that agg). region (5 rows) broadcasts into
+    nation (fixed 25), that product broadcasts into supplier, and the
+    pruned supplier side joins BEFORE the window. Correlation safety:
+    the per-partkey MIN needs every EUROPEAN supplier of a SURVIVING
+    partkey — the part join never drops suppliers within a partkey,
+    and the window runs after the supplier restriction. The
+    part⋈lineitem join is unhinted: the filtered part side is tiny at
+    any scale (a fixed fraction of an already-small dim), AQE
+    broadcasts it at runtime. The LIMIT carries a unique total order
     (…, p_partkey, s_suppkey) so the selected row set is
     deterministic."""
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
     supply = (
         load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
             F.col("l_partkey").alias("ps_partkey"),
             F.col("l_suppkey").alias("ps_suppkey"),
+            "p_brand",
         )
         .agg(F.min("l_extendedprice").alias("ps_cost"))
+        .withColumn("p_partkey", F.col("ps_partkey"))
     )
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     n = load(spark, sf_dir, "nation").join(
@@ -2012,13 +2018,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    p = load(spark, sf_dir, "part").filter(
-        F.col("p_size").between(10, 15) & (F.col("p_type") == "STANDARD")
-    ).select("p_partkey", "p_brand")
-    catp = supply.join(p, F.col("ps_partkey") == F.col("p_partkey"))
     w = Window.partitionBy("ps_partkey")
     return (
-        catp.join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
+        supply.join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
         .withColumn("_min_cost", F.min("ps_cost").over(w))
         .filter(F.col("ps_cost") == F.col("_min_cost"))
         .select(
@@ -2632,39 +2634,85 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality column profile — row count, null count, distinct
     count, min/max per column in long form, the health check every
-    ingestion pipeline runs before training data ships. The engine
-    computes ALL columns' statistics in ONE scan (a single wide
-    aggregate row, exploded to long form with ``stack``); the oracle
-    spells the same stats as one UNION branch per column, which is the
-    semantics, not the plan — a four-scan oracle against a one-scan
-    engine.
+    ingestion pipeline runs before training data ships. The oracle
+    spells the stats as one UNION branch per column; the engine makes
+    ONE scan: ``stack`` unpivots the four columns to narrow
+    ``(col, v_str, v_num)`` rows (map-side only — no shuffle sees the
+    4×), then a two-level aggregate computes every measure at once.
+
+    Exact distinct WITHOUT the multi-countDistinct Expand (the r2 plan
+    multiplied every row ×4 through Expand and was 26× the oracle at
+    sf1): integer columns aggregate into fixed 4 KB bitmap buckets
+    (``bitmap_construct_agg`` over ``bitmap_bit_position``, the
+    q_agg_bitmap technique) and low-cardinality string columns group
+    by their value, so the shuffle after the map-side partial carries
+    only (col, bucket, bitmap) rows plus one row per distinct string —
+    Σ|buckets| + Σ|distinct strings|, never data rows. Popcount sums
+    and the string-group count recombine into the exact n_distinct.
 
     min/max project to strings so one schema covers heterogeneous
-    column types (the profile-table convention). At 100 TB: one
-    partial+final aggregate pass; the distinct counts are the only
-    expensive measures and each is a two-phase distinct on its own
-    column — swap in approx_count_distinct (or the HLL sketches of
-    q_agg_sketch_merge) when exactness is not required."""
+    column types; numeric min/max is taken on the numeric value and
+    cast at the end (lexicographic min over digit strings would be
+    wrong). At 100 TB: one pass, two tiny shuffles, no Expand — the
+    plan test pins Expand's absence."""
     o = load(spark, sf_dir, "orders")
-    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
-            F.countDistinct(c).alias(f"{c}__n_distinct"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-        ]
-    wide = o.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', `{c}__n`, `{c}__n_null`, `{c}__n_distinct`, "
-        f"`{c}__min`, `{c}__max`"
-        for c in cols
+    long_form = o.selectExpr(
+        "stack(4, "
+        "'o_orderkey', CAST(o_orderkey AS STRING), "
+        "CAST(o_orderkey AS BIGINT), "
+        "'o_orderstatus', o_orderstatus, CAST(NULL AS BIGINT), "
+        "'o_orderpriority', o_orderpriority, CAST(NULL AS BIGINT), "
+        "'o_custkey', CAST(o_custkey AS STRING), "
+        "CAST(o_custkey AS BIGINT)"
+        ") AS (col, v_str, v_num)"
     )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS "
-        "(col, n, n_null, n_distinct, min_str, max_str)"
+    per_bucket = (
+        long_form
+        # integer values land in their bitmap bucket; string values are
+        # their own sub-key (bucket pinned to 0). A null value joins the
+        # (col, 0, NULL) group: counted in n, absent from every distinct.
+        .groupBy(
+            "col",
+            F.coalesce(
+                F.bitmap_bucket_number(F.col("v_num")), F.lit(0)
+            ).alias("bkt"),
+            F.when(F.col("v_num").isNull(), F.col("v_str")).alias("skey"),
+        )
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position(F.col("v_num"))
+            ).alias("bm"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("v_str").alias("cnt_nonnull"),
+            F.min("v_num").alias("mn_num"),
+            F.max("v_num").alias("mx_num"),
+        )
+    )
+    prof = per_bucket.groupBy("col").agg(
+        F.sum("cnt").alias("n"),
+        (F.sum("cnt") - F.sum("cnt_nonnull")).alias("n_null"),
+        (
+            F.coalesce(F.sum(F.bitmap_count(F.col("bm"))), F.lit(0))
+            + F.count("skey")
+        )
+        .cast("long")
+        .alias("n_distinct"),
+        F.min("mn_num").alias("mn_num"),
+        F.max("mx_num").alias("mx_num"),
+        F.min("skey").alias("mn_s"),
+        F.max("skey").alias("mx_s"),
+    )
+    return prof.select(
+        "col",
+        "n",
+        "n_null",
+        "n_distinct",
+        F.coalesce(F.col("mn_num").cast("string"), F.col("mn_s")).alias(
+            "min_str"
+        ),
+        F.coalesce(F.col("mx_num").cast("string"), F.col("mx_s")).alias(
+            "max_str"
+        ),
     )
 
 
@@ -3050,20 +3098,31 @@ def q_dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's price distribution is bounded (a 3σ screen on a bounded
     distribution flags nothing); production pipelines tune k.
 
-    Exactness: the test |x−μ| > k·σ is evaluated in its squared,
-    cleared-denominator form — 4·(n·x − Σx)² > 9·(n·Σx² − (Σx)²) on
-    exact integer cents — so there is NO float, NO sqrt, and NO
-    division anywhere: the flag is bit-identical on any engine and any
-    partitioning. Σx² accumulates as two long limbs (the C-98/compat
+    Exactness: the test |x−μ| > k·σ is the squared, cleared-denominator
+    predicate 4·(n·x − Σx)² > 9·(n·Σx² − (Σx)²) on exact integer cents
+    — no float, no division, bit-identical on any engine and any
+    partitioning. Σx² accumulates as two long limbs (the compat
     convention) because price-cents squared overflow a long sum at
-    fact scale; the cleared form stays within decimal(38,0) up to
-    ~1e12-row groups — past that, precompute μ,σ per group in doubles
-    (the flag is then 1-ulp-sensitive only at the exact boundary).
+    fact scale.
+
+    The per-row side, though, never evaluates that decimal128 algebra
+    (r2 did, and the decimal multiplies on the fact scan were 3.6× the
+    oracle at sf1): with x integer and n > 0 the predicate is exactly
+    ⟺ x > ⌊(Σx+T)/n⌋ or x < ⌈(Σx−T)/n⌉ where T = ⌊isqrt(9V)/2⌋,
+    V = n·Σx² − (Σx)². The per-group thresholds are computed ONCE from
+    the collected group-stats rows in exact arbitrary-precision
+    integer arithmetic (``math.isqrt`` — the collect is bounded:
+    l_returnflag is an enum, one row per group, same contract as the
+    IVF codebook), so the fact-scan filter is two LONG comparisons in
+    whole-stage codegen.
 
     100 TB plan: one partial+final aggregate for the 3-row group-stats
-    table, broadcast back onto the fact scan — the fact is scanned
-    twice but never shuffled (the stats side collapses map-side); the
-    outlier filter itself is a codegen projection."""
+    table; exact thresholds on those 3 rows driver-side; a 3-row
+    threshold table broadcast back onto the fact scan — the fact is
+    scanned twice but never shuffled, and the filter costs two long
+    compares per row."""
+    import math
+
     shift = 20
     mask = (1 << shift) - 1
     l = load(spark, sf_dir, "lineitem").select(
@@ -3076,23 +3135,34 @@ def q_dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_cents"),
     )
     xx = F.col("_cents") * F.col("_cents")
-    s = l.groupBy(F.col("l_returnflag").alias("_rf")).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_cents").alias("_sx"),
-        F.sum(F.shiftright(xx, shift)).alias("_sxx_hi"),
-        F.sum(xx.bitwiseAND(F.lit(mask))).alias("_sxx_lo"),
+    stats = (
+        l.groupBy(F.col("l_returnflag").alias("_rf"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_cents").alias("_sx"),
+            F.sum(F.shiftright(xx, shift)).alias("_sxx_hi"),
+            F.sum(xx.bitwiseAND(F.lit(mask))).alias("_sxx_lo"),
+        )
+        .collect()  # bounded: one row per return-flag enum value
     )
-    dec = "decimal(38,0)"
-    n = F.col("_n").cast(dec)
-    sx = F.col("_sx").cast(dec)
-    sxx = (
-        F.col("_sxx_hi").cast(dec) * F.lit(1 << shift)
-        + F.col("_sxx_lo").cast(dec)
+    rows = []
+    for r in stats:
+        n, sx = int(r["_n"]), int(r["_sx"])
+        sxx = (int(r["_sxx_hi"]) << shift) + int(r["_sxx_lo"])
+        v = n * sxx - sx * sx  # n²·Var ≥ 0
+        t = math.isqrt(9 * v) // 2  # largest T with 4T² ≤ 9V
+        hi = (sx + t) // n  # outlier ⟺ x > hi …
+        lo = -((t - sx) // n)  # … or x < lo  (= ⌈(Σx−T)/n⌉)
+        rows.append((r["_rf"], hi, lo))
+    thresholds = spark.createDataFrame(
+        rows, schema="_rf string, _hi long, _lo long"
     )
-    dev = n * F.col("_cents").cast(dec) - sx
     return (
-        l.join(F.broadcast(s), l.l_returnflag == F.col("_rf"))
-        .filter(4 * dev * dev > 9 * (n * sxx - sx * sx))
+        l.join(F.broadcast(thresholds), l.l_returnflag == F.col("_rf"))
+        .filter(
+            (F.col("_cents") > F.col("_hi"))
+            | (F.col("_cents") < F.col("_lo"))
+        )
         .select(
             "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
         )
@@ -3765,11 +3835,30 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (LSH bands, IVF cells, label blocks): the plan is ONE co-partitioned
     equi-join on the block key with the distance as a post-join filter,
     never an all-pairs cross product; `a < b` halves the block's pair
-    count. Both engines implement the same Wagner-Fischer distance, so
-    the integer distances hash identically. (The classic
-    |len(a)−len(b)| ≤ k pre-gate was measured to prune 0% here — the
-    fixture's names are uniform-length — so it is omitted; put it back
-    in front of real-world name data, where it is the main pruner.)"""
+    count.
+
+    Two scale guards (r2 was 28.6 s at sf1 — in ONE task):
+
+    * **Pinned fan-out repartition.** The block-key shuffle carries only
+      |part| rows (a few MB), so AQE coalesces it to one partition —
+      blind to the ×|block| join amplification and the per-pair distance
+      behind it. Both sides repartition to an explicit partition count
+      (AQE never coalesces a user-pinned number), so the pair work runs
+      wide. At 100 TB the parallelism ceiling is the block-key
+      cardinality (~1250 here); finer lossless keys would raise it.
+    * **Banded distance.** ``levenshtein(a, b, k)`` computes only the
+      |i−j| ≤ k diagonal band and bails at -1 past the threshold —
+      O(k·n) per pair instead of O(n²) — then the -1 sentinel is the
+      rejected-pair filter. The exact distances ≤ k are unchanged, so
+      the hash matches the unbanded oracle.
+
+    (The classic |len(a)−len(b)| ≤ k pre-gate was measured to prune 0%
+    here — the fixture's names are short and uniform — so it is
+    omitted; put it back in front of real-world name data. Note the
+    *output* is inherently ~quadratic in block population for this
+    fixture — 63% of in-block pairs really are within distance 8 — so
+    no admissible blocking can shrink it; the levers are parallelism
+    and per-pair cost.)"""
     p = load(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_size", "p_name"
     )
@@ -3778,18 +3867,21 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "p_size",
         F.col("p_name").alias("a_name"),
-    )
+    ).repartition(64, "p_brand", "p_size")
     b = p.select(
         F.col("p_partkey").alias("b_key"),
         "p_brand",
         "p_size",
         F.col("p_name").alias("b_name"),
-    )
+    ).repartition(64, "p_brand", "p_size")
     return (
         a.join(b, ["p_brand", "p_size"])
         .filter(F.col("a_key") < F.col("b_key"))
-        .withColumn("dist", F.levenshtein("a_name", "b_name"))
-        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .withColumn(
+            "dist",
+            F.levenshtein("a_name", "b_name", _FUZZY_MAX_DIST),
+        )
+        .filter(F.col("dist") >= 0)
         .select("a_key", "b_key", "p_brand", "dist")
     )
 
@@ -3911,35 +4003,68 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise whose closure join explodes (measured 15 s at sf0.1; the
     supported graph closes in under a second). Edges derive from one
     orderkey self-join + pair-support aggregate;
-    triangles from the id-oriented two-join closure: e1=(u,v),
-    e2=(u,w) with v<w, closed by (v,w) — every triangle counted
-    exactly once, no permutation blow-up. Orientation by node id keeps
-    the engine identical to the oracle; at real scale orient by
-    (degree, id) instead so high-degree hubs never fan out as the
-    smaller endpoint (same count, bounded per-key work — noted, not
-    needed at fixture skew). Clustering = 3·triangles/wedges in
-    floored integer permille. The graph build shuffles on orderkey,
-    the closure on node prefixes; everything else is tiny aggregates."""
+    triangles from the DEGREE-ORIENTED two-join closure: every
+    undirected edge is directed from its lower- to its higher-rank
+    endpoint under rank = (degree, id), wedges pair the two out-edges
+    of the low vertex ordered by rank, and the (y, z) closure probe
+    hits the oriented edge exactly once per triangle. Identical count
+    to any orientation (each triangle is counted at its minimum-rank
+    vertex) — the oracle's id-oriented SQL proves it by hash — but the
+    per-key wedge fan-out is now bounded by ~O(sqrt(|E|)) out-degree
+    instead of a hub's full degree: a node with degree d contributes
+    wedges only for neighbors that outrank it, so the celebrity node
+    that would generate d²/2 wedges under id orientation generates
+    almost none (arboricity bound, the standard 100×-scale fix).
+    Degrees come from one tiny aggregate joined back onto the edge
+    list. Clustering = 3·triangles/wedges in floored integer permille.
+    The graph build shuffles on orderkey, the closure on node
+    prefixes; everything else is tiny aggregates."""
     e = (
         _copurchase_support(spark, sf_dir)
         .filter(F.col("s_pair") >= 2)
         .select("u", "v")
-        .localCheckpoint()  # reused by 3 closure sides + degree + count
-    )
-    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    e3 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    tri = (
-        e1.join(e2, "x")
-        .filter(F.col("z") > F.col("y"))
-        .join(e3, ["y", "z"])
-        .agg(F.count(F.lit(1)).alias("t"))
+        .localCheckpoint()  # reused by orientation + degree + count
     )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"
+    )
+    lo_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lo_is_u, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lo_is_u, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(lo_is_u, F.col("dv")).otherwise(F.col("du")).alias("d_hi"),
+    ).localCheckpoint()  # reused by both wedge sides + the closure probe
+    w1 = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y"),
+        F.col("d_hi").alias("dy"),
+    )
+    w2 = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("z"),
+        F.col("d_hi").alias("dz"),
+    )
+    rank_y_below_z = (F.col("dy") < F.col("dz")) | (
+        (F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z"))
+    )
+    tri = (
+        w1.join(w2, "x")
+        .filter(rank_y_below_z)
+        .join(
+            oriented.select(
+                F.col("lo").alias("y"), F.col("hi").alias("z")
+            ),
+            ["y", "z"],
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
     )
     wedges = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("w")

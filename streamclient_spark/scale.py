@@ -460,6 +460,12 @@ def write_zordered(
         F.min(col_a).alias("al"), F.max(col_a).alias("ah"),
         F.min(col_b).alias("bl"), F.max(col_b).alias("bh"),
     ).first()
+    if ext["al"] is None or ext["bl"] is None:
+        # empty input (or all-null layout columns): there is nothing to
+        # lay out — write the frame as-is instead of crashing on
+        # float(None) in the grid arithmetic
+        df.write.mode("overwrite").parquet(path)
+        return
     grid = (1 << bits) - 1
 
     def scaled(c: str, lo: float, hi: float) -> Column:
@@ -499,20 +505,27 @@ def compact_parquet(
     Reads the directory, coalesces (``coalesce`` — a narrow
     repartitioning, no shuffle) to the target count, optionally sorts
     within partitions to restore run-length/footer-stat quality, writes
-    to a sibling temp dir, then swaps via two renames. The swap is the
-    same crash posture as the C-26 bucket swap: a crash between the
-    renames leaves the valid old dir under ``<path>.old`` — nothing is
+    to a sibling temp dir, then swaps via two renames. Crash posture:
+    a reader between the two renames sees ENOENT (the window is two
+    metadata ops, but it exists — a transactional table format closes
+    it; this is the parquet-swap trade-off), and a crash inside the
+    window leaves the valid old dir under ``<path>.old``, which the
+    NEXT call recovers automatically before compacting. No state is
     ever half-visible. Returns the new file count."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
 
+    path = path.rstrip("/")
+    tmp = path + ".compact_tmp"
+    old = path + ".old"
+    if not _os.path.exists(path) and _os.path.exists(old):
+        # crashed mid-swap last time: the .old dir is the valid data
+        _os.rename(old, path)
     df = spark.read.parquet(path)
     w = df.coalesce(target_files)
     if sort_within:
         w = w.sortWithinPartitions(*sort_within)
-    tmp = path.rstrip("/") + ".compact_tmp"
-    old = path.rstrip("/") + ".old"
     w.write.mode("overwrite").parquet(tmp)
     if _os.path.exists(old):
         _shutil.rmtree(old)

@@ -537,3 +537,12 @@ def test_knn_graph_single_block_shuffle(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "q_knn_graph", mode="simple")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dq_profile_has_no_expand_and_partial_bitmaps(spark, sf_oracle):
+    # the profile's exact distinct rides bitmap buckets + string value
+    # groups, never the multi-countDistinct Expand that multiplies
+    # every row by the number of profiled columns (r2 regression)
+    plan = plan_of(spark, sf_oracle, "q_dq_profile", mode="simple")
+    assert "Expand" not in plan
+    assert "partial_bitmap_construct_agg" in plan
