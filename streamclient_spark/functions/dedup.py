@@ -1096,3 +1096,203 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("keeper_id") == F.col("doc_id")).cast("int").alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_substring — cross-document duplicated token spans (C-148)
+# ---------------------------------------------------------------------------
+
+#: span width in tokens for exact-substring duplication detection
+SPAN_TOKENS = 8
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, toks FROM (
+        SELECT doc_id, {SQL_TOKENS.format(col="text")} AS toks
+        FROM documents
+      ) WHERE len(toks) >= {SPAN_TOKENS}
+    ),
+    sp AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[i+1:i+{SPAN_TOKENS}], ' ')
+                     for i in range(0, len(toks) - {SPAN_TOKENS} + 1)])
+               AS span
+      FROM t
+    ),
+    pd AS (
+      SELECT doc_id, span, count(*) AS cnt FROM sp GROUP BY 1, 2
+    ),
+    ss AS (SELECT span, count(*) AS nd FROM pd GROUP BY 1),
+    agg AS (
+      SELECT pd.doc_id, CAST(SUM(pd.cnt) AS BIGINT) AS n_dup
+      FROM pd JOIN ss USING (span) WHERE ss.nd >= 2 GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) - {SPAN_TOKENS} + 1 AS BIGINT) AS n_spans,
+           coalesce(agg.n_dup, 0) AS n_dup_spans,
+           CAST(coalesce(agg.n_dup, 0) * 1000
+                // (len(t.toks) - {SPAN_TOKENS} + 1) AS BIGINT)
+             AS dup_permille
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication profile — for every document,
+    how many of its sliding {SPAN_TOKENS}-token spans also occur in at
+    least one OTHER document (the span-level dedup signal of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022 — public literature: whole-doc dedup misses boilerplate,
+    licenses, and quoted passages that repeat across otherwise-unique
+    pages). Output is per-doc long form: total spans, cross-duplicated
+    span positions, and the integer-permille duplication ratio a
+    filtering pipeline thresholds on.
+
+    Shape: tokenize once, slide the span window inside codegen
+    (``transform`` over an index ``sequence`` — no UDF), explode to
+    (doc, span) rows, collapse within-doc repeats with the first
+    hash aggregate (map-side combined), count cross-doc span frequency
+    with the second, and join the ≥2-doc spans back. Every shuffle is
+    linear in token count. At 100 TB the span STRING in the shuffle key
+    (kept here because it is what both engines hash identically) is
+    replaced by a 128-bit span fingerprint — same plan, ~5× less
+    shuffle payload; and the posting join inherits LSH-style bucketing
+    for the handful of mega-frequent boilerplate spans (cap df, the
+    q_sim_sparse hub rule)."""
+    k = SPAN_TOKENS
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.array_join(F.slice("toks", i + 1, k), " "),
+            )
+        ).alias("span"),
+    )
+    per_doc = spans.groupBy("doc_id", "span").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    span_docs = per_doc.groupBy("span").agg(F.count(F.lit(1)).alias("nd"))
+    dup = (
+        per_doc.join(span_docs.filter(F.col("nd") >= 2), "span")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_dup"))
+    )
+    return (
+        t.select("doc_id", (F.size("toks") - k + 1).cast("long").alias("n_spans"))
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup_spans"),
+            F.expr("coalesce(n_dup, 0) * 1000 div n_spans").alias(
+                "dup_permille"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_containment — asymmetric containment via rare-shingle blocking
+# ---------------------------------------------------------------------------
+
+#: document-frequency band for blocking shingles (rare but shared)
+CONTAIN_DF_MIN, CONTAIN_DF_MAX = 2, 10
+#: emit pairs whose containment is at least this (permille)
+CONTAIN_MIN_PERMILLE = 600
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {sql_shingles(SQL_TOKENS.format(col="text"))} AS sh
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    rare AS (
+      SELECT s FROM ex GROUP BY s
+      HAVING count(*) BETWEEN {CONTAIN_DF_MIN} AND {CONTAIN_DF_MAX}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      FROM ex a JOIN rare USING (s) JOIN ex b USING (s)
+      WHERE a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT CASE WHEN (len(ta.sh), pairs.ia) <= (len(tb.sh), pairs.ib)
+                  THEN pairs.ia ELSE pairs.ib END AS small_id,
+             CASE WHEN (len(ta.sh), pairs.ia) <= (len(tb.sh), pairs.ib)
+                  THEN pairs.ib ELSE pairs.ia END AS large_id,
+             CAST(len(list_intersect(ta.sh, tb.sh)) * 1000
+                  // least(len(ta.sh), len(tb.sh)) AS BIGINT)
+               AS containment_permille
+      FROM pairs
+      JOIN t ta ON ta.doc_id = pairs.ia
+      JOIN t tb ON tb.doc_id = pairs.ib
+    )
+    SELECT * FROM scored
+    WHERE containment_permille >= {CONTAIN_MIN_PERMILLE}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: CONTAINMENT of the smaller document's
+    shingle set in the larger's — |A∩B| / |A| — the measure that
+    catches quote-inside-article, snippet-of-page, and
+    version-superset duplicates that symmetric Jaccard scores low
+    (small A, big B ⇒ tiny union ratio but total containment).
+
+    Candidate pairs come from RARE-shingle blocking: only shingles
+    shared by {CONTAIN_DF_MIN}–{CONTAIN_DF_MAX} documents generate
+    pairs, so each posting list emits at most C({CONTAIN_DF_MAX},2)
+    pairs and boilerplate mega-shingles generate none (the hub rule —
+    same posting-list discipline as q_sim_sparse). Containment is then
+    EXACT on the candidate pairs via one array-intersection per pair,
+    with the (smaller, larger) orientation decided by the total order
+    (set size, doc_id). Both sides land at the same integer permille
+    — `array_intersect` and `list_intersect` agree because shingle
+    sets are distinct by construction. At 100 TB: shuffles are the
+    shingle posting join (df-capped) and two doc_id joins to fetch the
+    pair's shingle arrays; nothing quadratic in the corpus."""
+    d = load(spark, sf_dir, "documents")
+    t = managed_persist(
+        d.select("doc_id", shingles(tokens("text")).alias("sh"))
+    )
+    ex = t.select("doc_id", F.explode("sh").alias("s"))
+    rare = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(CONTAIN_DF_MIN, CONTAIN_DF_MAX))
+        .select("s")
+    )
+    blocked = ex.join(rare, "s")
+    pairs = (
+        blocked.select(F.col("doc_id").alias("ia"), "s")
+        .join(blocked.select(F.col("doc_id").alias("ib"), "s"), "s")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sha"))
+    tb = t.select(F.col("doc_id").alias("ib"), F.col("sh").alias("shb"))
+    joined = pairs.join(ta, "ia").join(tb, "ib")
+    a_small = (F.size("sha") < F.size("shb")) | (
+        (F.size("sha") == F.size("shb")) & (F.col("ia") <= F.col("ib"))
+    )
+    scored = joined.select(
+        F.when(a_small, F.col("ia")).otherwise(F.col("ib")).alias("small_id"),
+        F.when(a_small, F.col("ib")).otherwise(F.col("ia")).alias("large_id"),
+        F.expr(
+            "size(array_intersect(sha, shb)) * 1000 "
+            "div least(size(sha), size(shb))"
+        ).alias("containment_permille"),
+    )
+    return scored.filter(
+        F.col("containment_permille") >= CONTAIN_MIN_PERMILLE
+    )

@@ -768,3 +768,74 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_us"),
         (lag >= 86400000000).cast("int").alias("stale_1d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mixture_temperature — temperature-reweighted source sampling (C-150)
+# ---------------------------------------------------------------------------
+
+#: sampling budget the reweighted mixture is projected onto
+MIXTURE_BUDGET_DOCS = 10_000
+
+
+@register(
+    "q_mixture_temperature",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(sum_chars) AS BIGINT) AS total_chars,
+             SUM(sqrt(CAST(sum_chars AS DOUBLE))) AS z
+      FROM g
+    )
+    SELECT g.source, g.n_docs, g.sum_chars,
+           round(CAST(g.sum_chars AS DOUBLE) / t.total_chars, 6) AS p_raw,
+           round(sqrt(CAST(g.sum_chars AS DOUBLE)) / t.z, 6) AS p_temp,
+           CAST(FLOOR(sqrt(CAST(g.sum_chars AS DOUBLE)) / t.z
+                      * {MIXTURE_BUDGET_DOCS}) AS BIGINT) AS budget_docs
+    FROM g CROSS JOIN t
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted source mixture — the pretraining-mixture
+    op that flattens the source distribution before sampling: raw
+    character shares p_i are re-weighted to p_i^(1/T) / Σ p_j^(1/T)
+    with T = 2 (i.e. √p — the multilingual-sampling temperature trick
+    of the XLM/mT5 line, public literature), so over-represented
+    sources shrink and the long tail is upsampled; the budget column
+    projects the reweighted share onto a {MIXTURE_BUDGET_DOCS}-doc
+    sampling budget with a deterministic floor.
+
+    Exactness: √(Σchars) is one IEEE sqrt of an exactly-summed BIGINT
+    on both engines; shares divide by the once-aggregated
+    normalizer and round to 6 decimals (the repo's libm-ulp
+    convention); the budget floors AFTER one double multiply —
+    identical FP sequence both sides. Plan: one corpus aggregate, the
+    per-source table re-aggregates to the 1-row normalizer (never a
+    second corpus scan), broadcast back. The consumer is
+    q_sample_weighted / q_sample_stratified, whose per-row selection
+    hashes ride these budget numbers."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    g = g.localCheckpoint()  # feeds both the normalizer and the report
+    t = g.agg(
+        F.sum("sum_chars").alias("total_chars"),
+        F.sum(F.sqrt(F.col("sum_chars").cast("double"))).alias("z"),
+    )
+    w = F.sqrt(F.col("sum_chars").cast("double")) / F.col("z")
+    return g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        F.round(
+            F.col("sum_chars").cast("double") / F.col("total_chars"), 6
+        ).alias("p_raw"),
+        F.round(w, 6).alias("p_temp"),
+        F.floor(w * MIXTURE_BUDGET_DOCS).cast("long").alias("budget_docs"),
+    )

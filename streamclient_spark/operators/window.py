@@ -923,3 +923,74 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_attribution — last-touch attribution window (C-151)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_attribution",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP),
+                   event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, touch_type, touch_ts,
+           CAST(epoch_us(ts) - epoch_us(touch_ts) AS BIGINT) AS lag_us
+    FROM o WHERE event_type = 'purchase'
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the same
+    user's most recent PRECEDING click or view — the conversion-
+    attribution shape (marketing spend, recommendation credit) that
+    composes a filtered ``last(..., ignorenulls=True)`` with a frame
+    that EXCLUDES the current row (unbounded-preceding → -1), so a
+    purchase can never attribute to itself and purchases with no prior
+    touch keep NULLs (shown, not dropped — the unattributed-conversion
+    rate is itself a KPI). Total order inside a user is (ts, event_id)
+    — event_id is unique, so the credited row is deterministic under
+    ties. One shuffle on user_id, one sort, one window; the purchase
+    filter cannot be pushed below the window (the window must see the
+    non-purchase rows) — that ordering IS the semantics. At 100 TB:
+    user_id partitions are independent and skew-free (no celebrity
+    hubs in per-user activity at this grain); sessionized variants
+    bound the frame by a session window first."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touched = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return touched.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "touch_type",
+        "touch_ts",
+        (F.unix_micros("ts") - F.unix_micros("touch_ts")).alias("lag_us"),
+    )

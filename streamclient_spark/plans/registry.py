@@ -131,6 +131,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ttl_filter", "q_state_open", "q_metric_total", "q_metric_last_ts",
     "q_win_rank", "q_win_frame", "q_win_tumbling", "q_win_session",
     "q_join_asof", "q_topk_group", "q_agg_percentile", "q_subquery_scalar",
+    # round-3 additions (never attested; head of the round-4 window)
+    "q_dedup_substring", "q_dedup_containment", "q_mixture_temperature",
+    "q_events_attribution",
 )
 
 
