@@ -58,7 +58,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # autoBroadcastJoinThreshold stays at Spark's 10 MB default ON
+        # PURPOSE: a 64 MB override (tried in round 2) let AQE broadcast
+        # a 3.2 M-row filtered fact at sf1 — a single-threaded hash
+        # build that measured 2-3× slower than the sort-merge join on
+        # every affected query and OOMs outright on a default-sized
+        # driver. Mid-size dims AQE should broadcast are far under
+        # 10 MB; anything near the line is safer shuffled.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
