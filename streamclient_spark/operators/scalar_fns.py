@@ -456,8 +456,12 @@ def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no codegen) — fine for short arrays in a projection; the fused
     Arrow passes (text.py, dedup.py) are the documented escape hatch
     when a HOF chain over long arrays becomes the hot path (measured
-    repeatedly in BENCH_NOTES)."""
-    d = load(spark, sf_dir, "documents")
+    repeatedly in BENCH_NOTES). The split-recovery repartition fans
+    the near-unsplittable fixture file out before the interpreted
+    lambdas (3.1 s → ~1 s at sf1); delete it for multi-split input."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split(F.col("text"), r"\s+")
     return d.select(
         "doc_id",
