@@ -994,3 +994,238 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "touch_ts",
         (F.unix_micros("ts") - F.unix_micros("touch_ts")).alias("lag_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: gaps-and-islands, rolling anomaly flags, integer EWMA
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d
+    )
+    SELECT user_id,
+           CAST(min(day) AS VARCHAR) AS streak_start,
+           CAST(max(day) AS VARCHAR) AS streak_end,
+           count(*) AS days
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def q_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE
+    active days (an "island" = a streak with no missing day inside) —
+    the canonical streak/retention shape (login streaks, SLA uptime
+    runs, contiguous sensor coverage). The classic constant-difference
+    trick: within a user, ``epoch_day − row_number`` is constant
+    exactly along a consecutive run, so one window plus one aggregate
+    materializes every island without self-joins or loops.
+
+    ONE shuffle total: the explicit hash(user_id) repartition feeds
+    the distinct-day aggregate (subset-key rule: hash(user_id)
+    clusters (user_id, day) too), the row_number window (same key,
+    sort only), and the island aggregate ((user_id, grp) — subset rule
+    again). At 100 TB the plan is embarrassingly per-user; no step
+    ever sees another user's rows, and days-per-user bounds every
+    partition's sort. Streak dates ship as ISO strings: both engines
+    render DATE→string identically, while raw DATE columns
+    canonicalize differently (Timestamp vs date) in pandas."""
+    e = load(spark, sf_dir, "events")
+    d = (
+        e.repartition("user_id")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("_grp"),
+    )
+    return (
+        g.groupBy("user_id", "_grp")
+        .agg(
+            F.min("day").cast("string").alias("streak_start"),
+            F.max("day").cast("string").alias("streak_end"),
+            F.count(F.lit(1)).alias("days"),
+        )
+        .select("user_id", "streak_start", "streak_end", "days")
+    )
+
+
+#: trailing-baseline width (rows) for the rolling anomaly detector
+_ANOM_BASE = 20
+
+
+@register(
+    "q_ts_anomaly",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, event_id,
+             CAST(ts AS TIMESTAMP) AS ts,
+             CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, xc,
+             CAST(count(*) OVER f AS BIGINT) AS n,
+             CAST(coalesce(sum(xc) OVER f, 0) AS BIGINT) AS sx,
+             CAST(coalesce(sum(xc * xc) OVER f, 0) AS BIGINT) AS sxx
+      FROM x
+      WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_ANOM_BASE} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, n AS n_base,
+           (n * xc - sx) * (n * xc - sx) AS dev2_num,
+           n * sxx - sx * sx AS var_num,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (1000 * (n * xc - sx) * (n * xc - sx))
+                     // (n * sxx - sx * sx)
+           END AS z2_permille
+    FROM w
+    WHERE n >= 5
+      AND (n * xc - sx) * (n * xc - sx) > 9 * (n * sxx - sx * sx)
+    """,
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: an event is anomalous when its
+    value deviates from the mean of the user's previous ≤20 events by
+    more than 3 trailing standard deviations — the standard streaming
+    outlier monitor, expressed so both engines agree BIT-EXACTLY. The
+    z² > 9 test is evaluated with cleared denominators over exact
+    integer cents (dev²·1 > 9·var numerators; n ≤ 21, cents ≤ 5.7e4 →
+    every product < 2e15, comfortably int64), so there is no float
+    comparison to flap; the reported z² ships as a floored permille
+    integer. A zero-variance baseline with a deviating point is an
+    anomaly with NULL z² (infinite z).
+
+    The trailing frame EXCLUDES the current row (−20 → −1): the point
+    under test must not contaminate its own baseline. Total order
+    inside a user is (ts, event_id) — deterministic under ts ties.
+    ONE shuffle (hash(user_id)), one sort, one bounded frame that
+    Spark evaluates incrementally; at 100 TB per-user partitions are
+    independent and the frame never re-scans. Mirrors the reference's
+    monitor loop (ess_client.py keeps per-character gauges) as a batch
+    analytic."""
+    e = load(spark, sf_dir, "events").repartition("user_id")
+    fw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ANOM_BASE, -1)
+    )
+    xc = F.round(F.col("value") * 100).cast("long")
+    b = e.select(
+        "user_id",
+        "event_id",
+        xc.alias("xc"),
+        F.count(F.lit(1)).over(fw).alias("n"),
+        F.coalesce(F.sum(xc).over(fw), F.lit(0)).alias("sx"),
+        F.coalesce(F.sum(xc * xc).over(fw), F.lit(0)).alias("sxx"),
+    )
+    dev2 = (F.col("n") * F.col("xc") - F.col("sx")) * (
+        F.col("n") * F.col("xc") - F.col("sx")
+    )
+    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        b.select(
+            "user_id",
+            "event_id",
+            F.col("n").alias("n_base"),
+            dev2.alias("dev2_num"),
+            var_num.alias("var_num"),
+        )
+        .filter(
+            (F.col("n_base") >= 5)
+            & (F.col("dev2_num") > 9 * F.col("var_num"))
+        )
+        .withColumn(
+            "z2_permille",
+            F.when(F.col("var_num") == 0, F.lit(None).cast("long")).otherwise(
+                F.expr("(1000 * dev2_num) div var_num")
+            ),
+        )
+    )
+
+
+@register(
+    "q_ts_ewma",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id,
+             CAST(ts AS TIMESTAMP) AS ts,
+             CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, event_id, xc,
+             row_number() OVER w AS rn,
+             lag(xc, 1) OVER w AS x1, lag(xc, 2) OVER w AS x2,
+             lag(xc, 3) OVER w AS x3, lag(xc, 4) OVER w AS x4,
+             lag(xc, 5) OVER w AS x5, lag(xc, 6) OVER w AS x6,
+             lag(xc, 7) OVER w AS x7
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, xc,
+           (128 * xc + 64 * x1 + 32 * x2 + 16 * x3
+            + 8 * x4 + 4 * x5 + 2 * x6 + 1 * x7) // 255 AS ewma_cents
+    FROM l WHERE rn >= 8
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = ½, 8-tap) of each
+    user's event values — the trend-smoothing primitive behind rate
+    monitors and load gauges — computed ENTIRELY in integers: the
+    geometric weights 128,64,…,1 (sum 255) over exact cents, floored
+    once at the end, so both engines emit identical longs instead of
+    accumulating floats in engine-specific order. The 8-tap truncation
+    is the standard practical EWMA (weights beyond 8 taps contribute
+    < 0.4%); rows without full history (rn < 8) are omitted rather
+    than emitted with a renormalized partial kernel.
+
+    A lag CHAIN, not a frame aggregate, on one (ts, event_id)-ordered
+    window: Spark evaluates all eight lags in a single Window operator
+    over one sort — ONE shuffle (hash(user_id)), one sort, zero
+    re-scans; per-user partitions keep it embarrassingly parallel at
+    100 TB. Same batch analog of the reference's per-entity gauges as
+    q_ts_anomaly."""
+    e = load(spark, sf_dir, "events").repartition("user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    xc = F.round(F.col("value") * 100).cast("long")
+    l = e.select(
+        "user_id",
+        "event_id",
+        xc.alias("xc"),
+        F.row_number().over(w).alias("_rn"),
+        *[F.lag(xc, k).over(w).alias(f"x{k}") for k in range(1, 8)],
+    )
+    num = (
+        128 * F.col("xc") + 64 * F.col("x1") + 32 * F.col("x2")
+        + 16 * F.col("x3") + 8 * F.col("x4") + 4 * F.col("x5")
+        + 2 * F.col("x6") + F.col("x7")
+    )
+    return (
+        l.filter(F.col("_rn") >= 8)
+        .select(
+            "user_id",
+            "event_id",
+            "xc",
+            num.alias("_num"),
+        )
+        .withColumn("ewma_cents", F.expr("_num div 255"))
+        .drop("_num")
+    )

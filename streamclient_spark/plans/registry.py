@@ -134,6 +134,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-3 additions (never attested; head of the round-4 window)
     "q_dedup_substring", "q_dedup_containment", "q_mixture_temperature",
     "q_events_attribution",
+    "q_islands", "q_ts_anomaly", "q_ts_ewma", "q_dq_referential",
+    "q_graph_cc", "q_graph_pagerank",
 )
 
 

@@ -391,3 +391,25 @@ def test_compact_parquet_reduces_files_and_preserves_rows(
     import os
     assert not os.path.exists(p + ".old")
     assert not os.path.exists(p + ".compact_tmp")
+
+
+def test_graph_cc_converges_within_oracle_unroll(spark, sf_oracle):
+    # q_graph_cc's oracle unrolls _CC_ROUNDS star rounds; the engine's
+    # converged fixpoint equals that state only if convergence happens
+    # within the unroll. Pin it with margin (measured: 5 at sf0.01).
+    from streamclient_spark.operators.relational import (
+        _CC_ROUNDS,
+        _copurchase_support,
+    )
+    from streamclient_spark.scale import connected_components_star
+
+    e = (
+        _copurchase_support(spark, sf_oracle)
+        .filter("s_pair >= 2")
+        .select("u", "v")
+    )
+    _labels, rounds = connected_components_star(e, src="u", dst="v")
+    assert rounds <= _CC_ROUNDS, (
+        f"star CC took {rounds} rounds; q_graph_cc's SQL oracle only "
+        f"unrolls {_CC_ROUNDS} — raise _CC_ROUNDS"
+    )
