@@ -1098,3 +1098,214 @@ def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_ivfpq — IVF-partitioned, PQ-compressed ANN search (ADC scoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sim_ivfpq",
+    oracle=f"""
+    WITH c AS MATERIALIZED ({{centroids}}),
+    a AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {{cos_ec}} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN c)
+      WHERE rn = 1
+    ),
+    sub AS MATERIALIZED (
+      SELECT gs.s, e.vec_id,
+             list_slice(CAST(e.embedding AS DOUBLE[]), gs.s*8+1, gs.s*8+8)
+               AS xs
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(8)) AS s) gs
+    ),
+    codes AS MATERIALIZED (
+      SELECT s, vec_id, cs FROM (
+        SELECT sub.s, sub.vec_id,
+               list_slice(c.ce, sub.s*8+1, sub.s*8+8) AS cs,
+               row_number() OVER (
+                 PARTITION BY sub.vec_id, sub.s
+                 ORDER BY list_distance(
+                            sub.xs, list_slice(c.ce, sub.s*8+1, sub.s*8+8)),
+                          c.cid) AS rn
+        FROM sub CROSS JOIN c)
+      WHERE rn = 1
+    ),
+    p AS MATERIALIZED (
+      SELECT query_id, qe, cell FROM (
+        SELECT e.vec_id AS query_id,
+               CAST(e.embedding AS DOUBLE[]) AS qe, c.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {{cos_ec}} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+        WHERE e.vec_id < {{nq}})
+      WHERE rn <= {{nprobe}}
+    ),
+    adc AS MATERIALIZED (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.cell,
+             list_sum(list(
+               list_distance(list_slice(p.qe, k.s*8+1, k.s*8+8), k.cs) ** 2
+               ORDER BY k.s)) AS adc_l2sq
+      FROM p JOIN a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN codes k ON k.vec_id = a.vec_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT query_id, neighbor_id, cell,
+           round(adc_l2sq, 6) AS adc_l2sq, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_l2sq ASC, neighbor_id) AS rank
+      FROM adc
+    )
+    WHERE rank <= {{k}}
+    """.format(
+        centroids=_sql_centroids(),
+        cos_ec=_SQL_COS.format(a="e.embedding", b="c.ce"),
+        nq=N_QUERIES,
+        nprobe=NPROBE,
+        k=TOP_K,
+    ),
+)
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-L3 scale path 3: IVF-PQ with asymmetric distance computation
+    (ADC) — the memory-bound configuration every billion-vector ANN
+    deployment runs (FAISS IVFx,PQ8): vectors live only as 8-byte PQ
+    codes inside coarse IVF cells, and each query scans its NPROBE
+    probe cells summing PRECOMPUTED query-to-codeword subdistances
+    (the 8×16 distance table) instead of touching any float vector —
+    32× less memory traffic than q_sim_ivf's exact rescoring, the
+    difference between disk-bound and RAM-resident at 100 TB.
+
+    Same fused one-pass shape as q_sim_ivf: the coarse codebook, PQ
+    sub-codebooks, and per-query distance tables (tiny: queries×8×16)
+    ride in the ``mapInPandas`` closure; each partition assigns cells
+    (GEMM), PQ-codes its rows (8 argmin GEMMs, identical first-min
+    tie rule to the oracle's (dist, cid) order), gathers ADC sums by
+    table lookup, masks to probe cells, and emits a tie-safe local
+    top-k; the global window ranks partitions×k rows. Determinism
+    across engines: same-code rows produce EQUAL ADC values within
+    each engine, so the (adc, neighbor_id) order resolves those tie
+    groups identically on both sides, and distinct-code gaps (≳1e-3
+    in the fixture) dwarf GEMM-vs-fold drift (~1e-15) — the same
+    doctrine as q_embed_pq's argmin. Both engines sum the 8 subspace
+    terms in s-order (np sequential reduce / list_sum over an
+    s-ordered list)."""
+    import numpy as np
+    import pandas as pd
+
+    from streamclient_spark.functions.embeddings import (
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+    )
+
+    centroids = _centroid_literals(spark, sf_dir)
+    cids = np.array([c[0] for c in centroids], dtype=np.int64)
+    C = np.stack(
+        [np.asarray(vec, dtype=np.float64) for _, vec, _ in centroids]
+    )
+    Cn = np.stack(
+        [np.asarray(vec, dtype=np.float64) / cnrm for _, vec, cnrm in centroids]
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
+    Qn = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+    qcos = Qn @ Cn.T
+    probe_cells = []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((cids, -qcos[qi]))[:NPROBE]
+        probe_cells.append(set(cids[order].tolist()))
+    # ADC distance tables: T[q, s, j] = ||q_s − c_{s,j}||²
+    T = np.empty((len(q_ids), PQ_SUBSPACES, len(cids)))
+    for s in range(PQ_SUBSPACES):
+        sl = slice(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM)
+        Qs, Cs = Q[:, sl], C[:, sl]
+        T[:, s, :] = (
+            (Qs * Qs).sum(axis=1)[:, None]
+            - 2.0 * (Qs @ Cs.T)
+            + (Cs * Cs).sum(axis=1)[None, :]
+        )
+
+    def search(batches):
+        s_idx = np.arange(PQ_SUBSPACES)
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(E)
+            nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
+            cell = cids[np.argmax((E / nrm[:, None]) @ Cn.T, axis=1)]
+            codes = np.empty((n, PQ_SUBSPACES), dtype=np.int64)
+            for s in range(PQ_SUBSPACES):
+                sl = slice(s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM)
+                X, Cs = E[:, sl], C[:, sl]
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * (X @ Cs.T)
+                    + (Cs * Cs).sum(axis=1)[None, :]
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_cell, out_d = [], [], [], []
+            for qi in range(len(q_ids)):
+                # gather per-row ADC = Σ_s T[qi, s, code_s] in s order
+                adc = T[qi][s_idx[None, :], codes].sum(axis=1)
+                mask = (ids != q_ids[qi]) & np.isin(
+                    cell, list(probe_cells[qi])
+                )
+                cid_, dd, ccell = ids[mask], adc[mask], cell[mask]
+                k = min(TOP_K, len(cid_))
+                if k == 0:
+                    continue
+                kth = np.partition(dd, k - 1)[k - 1]
+                cand = np.nonzero(dd <= kth)[0]
+                order = np.lexsort((cid_[cand], dd[cand]))[:k]
+                sel = cand[order]
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_n.extend(cid_[sel])
+                out_cell.extend(ccell[sel])
+                out_d.extend(dd[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "cell": np.array(out_cell, dtype=np.int64),
+                    "adc_l2sq": np.array(out_d, dtype=np.float64),
+                }
+            )
+
+    scored = (
+        e.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            search,
+            "query_id bigint, neighbor_id bigint, cell bigint, "
+            "adc_l2sq double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_l2sq"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            F.round("adc_l2sq", 6).alias("adc_l2sq"),
+            "rank",
+        )
+    )

@@ -1122,3 +1122,129 @@ def q_text_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_collocations — PMI-scored bigram collocations
+# ---------------------------------------------------------------------------
+
+#: minimum corpus bigram count for a collocation candidate
+_COLLOC_MIN_N = 5
+#: reported collocations (top by lift, exact-integer ordered)
+_COLLOC_TOP = 100
+
+
+@register(
+    "q_text_collocations",
+    oracle=f"""
+    WITH bi AS MATERIALIZED (
+      SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n FROM (
+        SELECT unnest(CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)),
+                                     i -> struct_pack(w1 := toks[i],
+                                                      w2 := toks[i+1]))
+                 ELSE [] END) AS b
+        FROM (SELECT {SQL_TOKENS.format(col="text")} AS toks
+              FROM documents)
+      )
+      GROUP BY 1, 2
+    ),
+    l AS MATERIALIZED (SELECT w1, CAST(sum(n) AS BIGINT) AS c1
+                       FROM bi GROUP BY w1),
+    r AS MATERIALIZED (SELECT w2, CAST(sum(n) AS BIGINT) AS c2
+                       FROM bi GROUP BY w2),
+    tot AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS nn FROM bi)
+    SELECT w1, w2, n, c1, c2, lift_ppm,
+           round(ln((CAST(n AS DOUBLE) * nn) /
+                    (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi6
+    FROM (
+      SELECT bi.w1, bi.w2, bi.n, l.c1, r.c2, tot.nn,
+             CAST((CAST(bi.n AS HUGEINT) * tot.nn * 1000000)
+                  // (CAST(l.c1 AS HUGEINT) * r.c2) AS BIGINT)
+               AS lift_ppm
+      FROM bi JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+      WHERE bi.n >= {_COLLOC_MIN_N}
+    )
+    ORDER BY lift_ppm DESC, w1, w2 LIMIT {_COLLOC_TOP}
+    """,
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored bigram collocations: the corpus's most-associated
+    adjacent word pairs (pointwise mutual information — the phrase
+    detector behind word2vec-style phrase merging and collocation
+    lexica). Margins are the standard bigram-table marginals (c1 =
+    bigrams starting with w1, c2 = bigrams ending with w2, N = total
+    bigrams), so the WHOLE statistic derives from one bigram count
+    table and two tiny re-aggregates of it — the corpus is scanned
+    once and never joined back.
+
+    Ranking floats would flap across engines, so candidates are
+    ORDERED BY AN EXACT INTEGER: lift_ppm = floor(n·N·10⁶ / (c1·c2))
+    (the PMI argument in parts-per-million; n·N·10⁶ overflows int64
+    beyond ~sf1, so the quotient runs 128-bit — Spark decimal(38,0)
+    ``div``, DuckDB HUGEINT ``//``; DuckDB's DECIMAL ``//`` detours
+    through a double and was measured off-by-one at ~1.3e6), with
+    (w1, w2) as the total tie-break; the float ln ships rounded to
+    1e-6 for the report but never orders anything. Bigram extraction is the same fused Arrow
+    pre-counting pass as q_text_ngram_top (measured 56 s vs 0.8 s for
+    the Catalyst HOF formulation at sf1), behind the same
+    split-recovery repartition; the final top-100 is a
+    TakeOrderedAndProject over the n ≥ 5 survivors — at 100 TB the
+    exchange carries |distinct surviving bigrams| rows, never tokens."""
+    import re
+    from collections import Counter
+
+    ws = re.compile(r"\s+")
+
+    def count_bigrams(batches):
+        for pdf in batches:
+            acc: Counter = Counter()
+            for text in pdf["text"]:
+                toks = [t for t in ws.split(text) if t]
+                acc.update(zip(toks, toks[1:]))
+            if acc:
+                yield pd.DataFrame(
+                    {
+                        "w1": [k[0] for k in acc],
+                        "w2": [k[1] for k in acc],
+                        "n": list(acc.values()),
+                    }
+                )
+
+    d = load(spark, sf_dir, "documents").select("text")
+    partials = d.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(count_bigrams, "w1 string, w2 string, n long")
+    bi = partials.groupBy("w1", "w2").agg(F.sum("n").alias("n"))
+    from streamclient_spark.cacheutil import managed_persist
+
+    bi = managed_persist(bi, key=f"colloc_bigrams:{sf_dir}")
+    left = bi.groupBy("w1").agg(F.sum("n").alias("c1"))
+    right = bi.groupBy("w2").agg(F.sum("n").alias("c2"))
+    tot = bi.agg(F.sum("n").alias("nn"))
+    dec = "decimal(38,0)"
+    cand = (
+        bi.filter(F.col("n") >= _COLLOC_MIN_N)
+        .join(left, "w1")
+        .join(right, "w2")
+        .join(F.broadcast(tot))  # 1-row scalar
+    )
+    lift = F.expr(
+        f"CAST((CAST(n AS {dec}) * nn * 1000000) div "
+        f"(CAST(c1 AS {dec}) * c2) AS BIGINT)"
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n").cast("double") * F.col("nn"))
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        cand.select(
+            "w1", "w2", "n", "c1", "c2",
+            lift.alias("lift_ppm"), pmi.alias("pmi6"),
+        )
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(_COLLOC_TOP)
+    )

@@ -135,7 +135,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_substring", "q_dedup_containment", "q_mixture_temperature",
     "q_events_attribution",
     "q_islands", "q_ts_anomaly", "q_ts_ewma", "q_dq_referential",
-    "q_graph_cc", "q_graph_pagerank",
+    "q_graph_cc", "q_graph_pagerank", "q_text_collocations", "q_sim_ivfpq",
 )
 
 

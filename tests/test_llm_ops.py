@@ -531,3 +531,61 @@ def test_approx_percentile_rank_error_bound(spark, sf_oracle):
             assert lo - err_bound <= target <= hi + err_bound, (
                 r["l_returnflag"], col, lo, hi, target,
             )
+
+
+def test_sim_ivfpq_adc_approximates_ivf(spark, sf_oracle):
+    """IVF-PQ invariants: (a) neighbors come only from the query's
+    probe cells (same coarse path as q_sim_ivf); (b) ADC distances are
+    non-negative and ranked ascending; (c) scanning codes instead of
+    floats still recovers a useful share of q_sim_ivf's (exact-rescore)
+    top-10 — PQ adds quantization loss ON TOP of the IVF candidate cut,
+    so the bar is overlap with the IVF result, not the global exact
+    top-k."""
+    from streamclient_spark.functions.similarity import (
+        q_sim_ivf,
+        q_sim_ivfpq,
+    )
+
+    rows = q_sim_ivfpq(spark, sf_oracle).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["adc_l2sq"] >= 0.0
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        dists = [r["adc_l2sq"] for r in rs]
+        assert dists == sorted(dists)
+
+    import numpy as np
+
+    from streamclient_spark.functions.similarity import (
+        CENTROID_MIN_ID,
+        K_CENTROIDS,
+        NPROBE,
+    )
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype="float64")
+        for r in load(spark, sf_oracle, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cids = list(range(CENTROID_MIN_ID, CENTROID_MIN_ID + K_CENTROIDS))
+    C = np.stack([emb[c] / np.linalg.norm(emb[c]) for c in cids])
+    for q, rs in by_q.items():
+        cos = C @ (emb[q] / np.linalg.norm(emb[q]))
+        order = np.lexsort((cids, -cos))
+        probe = {cids[i] for i in order[:NPROBE]}
+        assert {r["cell"] for r in rs} <= probe
+
+    ivf = {}
+    for r in q_sim_ivf(spark, sf_oracle).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {q: {r["neighbor_id"] for r in rs} for q, rs in by_q.items()}
+    overlap = sum(len(ivf[q] & got.get(q, set())) for q in ivf) / sum(
+        len(v) for v in ivf.values()
+    )
+    # measured 0.25 at sf0.01 — 16-codeword PQ over 64 dims is lossy by
+    # design; the floor guards against a broken ADC, not a tight recall
+    assert overlap >= 0.15, overlap
