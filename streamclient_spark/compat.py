@@ -113,3 +113,54 @@ def sql_dec_avg(expr: str, count_expr: str | None = None) -> str:
     """DuckDB-side twin of :func:`dec_avg`."""
     cnt = count_expr or f"COUNT({expr})"
     return f"{sql_dec_sum(expr)} / {cnt}"
+
+
+def sql_star_cc(edges_cte: str, rounds: int, labels_name: str = "star_labels") -> str:
+    """CTE-chain fragment computing connected components by the same
+    alternating large-star/small-star half-steps as
+    ``scale.connected_components_star``, unrolled ``rounds`` times.
+
+    ``edges_cte`` must be the NAME of an earlier CTE with columns
+    ``(u, v)`` (any orientation, self-loops tolerated). Emits CTEs
+    ``e1..e{rounds+1}`` plus ``{labels_name}(node, component)`` where
+    component = the component's minimum node id (isolated nodes — no
+    edges — are absent, exactly like the engine kernel). Every CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs per reference, which makes
+    an unrolled recurrence exponential (measured: fd exhaustion at 8
+    rounds). A converged edge set is a fixpoint of both half-steps, so
+    any ``rounds`` ≥ the engine's convergence round yields the
+    identical labeling."""
+    parts = [
+        f", e1 AS MATERIALIZED (SELECT greatest(u, v) AS a,"
+        f" least(u, v) AS b FROM {edges_cte} WHERE u <> v)"
+    ]
+    prev = "e1"
+    for i in range(2, rounds + 2):
+        parts.append(f"""
+    , sym{i} AS MATERIALIZED (SELECT a AS u, b AS v FROM {prev}
+                 UNION ALL SELECT b, a FROM {prev})
+    , ls{i} AS MATERIALIZED (
+        SELECT DISTINCT s.v AS a, m.m AS b
+        FROM sym{i} s
+        JOIN (SELECT u, least(min(v), u) AS m FROM sym{i} GROUP BY u) m
+          USING (u)
+        WHERE s.v > s.u
+    )
+    , bm{i} AS MATERIALIZED (SELECT a, min(b) AS m FROM ls{i} GROUP BY a)
+    , e{i} AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+          SELECT l.a, bm.m AS b FROM ls{i} l JOIN bm{i} bm USING (a)
+          UNION ALL
+          SELECT l.b AS a, bm.m AS b FROM ls{i} l JOIN bm{i} bm USING (a)
+          WHERE l.b <> bm.m
+        )
+    )""")
+        prev = f"e{i}"
+    parts.append(f"""
+    , {labels_name} AS MATERIALIZED (
+        SELECT a AS node, b AS component FROM {prev}
+        UNION ALL
+        SELECT b, b FROM (SELECT DISTINCT b FROM {prev}
+                          WHERE b NOT IN (SELECT DISTINCT a FROM {prev}))
+    )""")
+    return "".join(parts)

@@ -1333,3 +1333,90 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         F.col("containment_permille") >= CONTAIN_MIN_PERMILLE
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_semantic — SemDeDup: cluster-local keep/drop decision over
+# embedding near-dup components
+# ---------------------------------------------------------------------------
+
+
+def _sql_semantic_oracle() -> str:
+    from streamclient_spark.compat import sql_star_cc
+
+    return (
+        f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id, label, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_PLANT_OFFSET}, label, embedding FROM embeddings
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM corpus a JOIN corpus b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))
+            >= {_EMBED_THRESHOLD}
+    )"""
+        + sql_star_cc("pairs", 6)
+        + """
+    SELECT c.vec_id,
+           coalesce(l.component, c.vec_id) AS keep_id,
+           coalesce(l.component, c.vec_id) <> c.vec_id AS is_dup
+    FROM corpus c LEFT JOIN star_labels l ON l.node = c.vec_id
+    """
+    )
+
+
+@register("q_dedup_semantic", oracle=_sql_semantic_oracle())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication in
+    embedding space — cluster the corpus coarsely, connect items whose
+    cosine exceeds the dedup threshold WITHIN each cluster, and keep
+    exactly one representative (the minimum id) per connected
+    component. This is the embedding-space analog of
+    q_dedup_canonical's detect→cluster→keep decision, and the step a
+    training pipeline runs between q_dedup_embed (pair detection) and
+    the sampler: its output is a per-row verdict, not a pair list.
+    Corpus = the planted-copy table of q_dedup_embed, so the positive
+    class is non-empty and the components are known cliques.
+
+    Composition of the repo's own kernels, all already scale-proven:
+    per-cell chunked GEMM pair detection (cosine_pairs_blocked — a hot
+    cell costs tasks, never memory), large-star/small-star components
+    (O(log n) rounds; these near-dup cliques are diameter ≤ 2), and a
+    left join back onto the corpus so never-paired rows keep
+    themselves. The oracle replays the SAME star rounds in SQL via
+    compat.sql_star_cc — a converged edge set is a fixpoint, so the
+    6-round unroll equals the engine's fixpoint labels."""
+    from streamclient_spark.scale import connected_components_star
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    corpus = e.unionByName(
+        e.select(
+            (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+            "label",
+            "embedding",
+        )
+    )
+    pairs = cosine_pairs_blocked(
+        corpus, cell_col="label", threshold=_EMBED_THRESHOLD
+    ).select("a_id", "b_id")
+    labels, _rounds = connected_components_star(
+        pairs, src="a_id", dst="b_id"
+    )
+    return (
+        corpus.select("vec_id")
+        .join(labels, corpus["vec_id"] == labels["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("label"), F.col("vec_id")).alias("keep_id"),
+            (
+                F.coalesce(F.col("label"), F.col("vec_id"))
+                != F.col("vec_id")
+            ).alias("is_dup"),
+        )
+    )

@@ -4279,42 +4279,19 @@ _CC_ROUNDS = 8
 
 
 def _sql_cc_oracle() -> str:
-    """Mirror connected_components_star's two half-steps round by round:
-    large-star (every neighbor above u re-attaches to min(N(u) ∪ u)),
-    small-star (each larger endpoint and its smaller neighbors attach to
-    the per-endpoint min), both under the a > b invariant."""
-    parts = [f"WITH {_SQL_COPURCHASE_E0}",
-             ", e1 AS MATERIALIZED (SELECT greatest(a0, b0) AS a, least(a0, b0) AS b"
-             "  FROM e0 WHERE a0 <> b0)"]
-    prev = "e1"
-    for i in range(2, _CC_ROUNDS + 2):
-        parts.append(f"""
-    , sym{i} AS MATERIALIZED (SELECT a AS u, b AS v FROM {prev}
-                 UNION ALL SELECT b, a FROM {prev})
-    , ls{i} AS MATERIALIZED (
-        SELECT DISTINCT s.v AS a, m.m AS b
-        FROM sym{i} s
-        JOIN (SELECT u, least(min(v), u) AS m FROM sym{i} GROUP BY u) m
-          USING (u)
-        WHERE s.v > s.u
+    """Mirror connected_components_star's two half-steps round by round
+    (large-star: every neighbor above u re-attaches to min(N(u) ∪ u);
+    small-star: each larger endpoint and its smaller neighbors attach
+    to the per-endpoint min) via the shared compat.sql_star_cc
+    generator, over the co-purchase edge CTE."""
+    from streamclient_spark.compat import sql_star_cc
+
+    return (
+        f"WITH {_SQL_COPURCHASE_E0}"
+        ", ein AS (SELECT a0 AS u, b0 AS v FROM e0)"
+        + sql_star_cc("ein", _CC_ROUNDS)
+        + " SELECT node, component FROM star_labels"
     )
-    , bm{i} AS MATERIALIZED (SELECT a, min(b) AS m FROM ls{i} GROUP BY a)
-    , e{i} AS MATERIALIZED (
-        SELECT DISTINCT a, b FROM (
-          SELECT l.a, bm.m AS b FROM ls{i} l JOIN bm{i} bm USING (a)
-          UNION ALL
-          SELECT l.b AS a, bm.m AS b FROM ls{i} l JOIN bm{i} bm USING (a)
-          WHERE l.b <> bm.m
-        )
-    )""")
-        prev = f"e{i}"
-    parts.append(f"""
-    SELECT a AS node, b AS component FROM {prev}
-    UNION ALL
-    SELECT b, b FROM (SELECT DISTINCT b FROM {prev}
-                      WHERE b NOT IN (SELECT DISTINCT a FROM {prev}))
-    """)
-    return "".join(parts)
 
 
 @register("q_graph_cc", oracle=_sql_cc_oracle())
@@ -4410,3 +4387,83 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     return pagerank(sym, src="u", dst="v", n_iters=_PR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# round-3 addition: per-group OLS regression aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_regr",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS DECIMAL(38,0)) AS n,
+             SUM(CAST(hour(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(CAST(round(value * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(hour(CAST(ts AS TIMESTAMP))
+                 * hour(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(hour(CAST(ts AS TIMESTAMP))
+                 * CAST(round(value * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)
+                 AS DECIMAL(38,0))) AS syy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents,
+           round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS icept_cents,
+           round((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS r2
+    FROM s
+    """,
+)
+def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression aggregates — slope, intercept, and r²
+    of event value against hour-of-day, per event type (the hour-of-day
+    effect size every ops dashboard fits; SQL's REGR_SLOPE/
+    REGR_INTERCEPT/REGR_R2 family) — under the exact-moments doctrine
+    of q_agg_stats: six integer sums (n, Σx, Σy, Σx², Σxy, Σy² over
+    hour ∈ [0,23] and exact cents), then closed forms whose numerators
+    are EXACT (decimal(38,0)) and whose one double division is
+    textually identical on both engines — never the engines' built-in
+    regr_* (double accumulation in partition order). Magnitudes: x ≤
+    23 keeps Σxy ≤ n·23·5.7e4 — int64-safe into the 1e8-row range and
+    decimal(38,0)-safe forever; Σy² is the q_agg_stats limb candidate
+    at larger scales. ONE partial+final hash aggregate over a 6-long
+    accumulator row per group; at 100 TB this is a single map-combined
+    scan, no second pass, no Welford order sensitivity."""
+    e = load(spark, sf_dir, "events")
+    x = F.hour("ts").cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    dec = "decimal(38,0)"
+    n = F.col("n").cast(dec)
+    sx, sy = F.col("sx").cast(dec), F.col("sy").cast(dec)
+    sxx, sxy = F.col("sxx").cast(dec), F.col("sxy").cast(dec)
+    syy = F.col("syy").cast(dec)
+    num_s = (n * sxy - sx * sy).cast("double")
+    num_i = (sy * sxx - sx * sxy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    den_y = (n * syy - sy * sy).cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(num_s / den, 6).alias("slope_cents"),
+        F.round(num_i / den, 6).alias("icept_cents"),
+        F.round((num_s * num_s) / (den * den_y), 9).alias("r2"),
+    )

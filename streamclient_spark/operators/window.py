@@ -1229,3 +1229,58 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ewma_cents", F.expr("_num div 255"))
         .drop("_num")
     )
+
+
+@register(
+    "q_ts_seasonality",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             isodow(CAST(ts AS TIMESTAMP)) AS dow,
+             hour(CAST(ts AS TIMESTAMP)) AS hod,
+             count(*) AS n,
+             SUM(CAST(value AS DECIMAL(27,4))) AS sv
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, hod, n,
+           CAST(sv AS DOUBLE) AS sum_value,
+           (n * 1000) // CAST(sum(n) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS share_permille
+    FROM g
+    """,
+)
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: the (ISO weekday × hour-of-day)
+    load heatmap per event type, each cell carrying its event count,
+    exact value sum, and integer-permille share of the type's total —
+    the capacity-planning / anomaly-baseline view every ops stack
+    derives from its event stream. The share divides exact integers
+    (floored permille), so no float ratio can flap; the value sum uses
+    the standard decimal money convention. ISO weekday (Mon=1) is the
+    cross-engine-stable day numbering: Spark's ``weekday()+1`` equals
+    DuckDB's ``isodow`` for every timestamp, unlike the Sunday-origin
+    ``dayofweek`` whose origin differs.
+
+    Plan: ONE map-side-combined aggregate over the scan (the group key
+    is derived, bounded at |types|·168 cells) plus a window over that
+    TINY aggregate for the per-type total — the 100 TB cost is the
+    scan, the shuffle moves ≤ 168 rows per type."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type",
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sv"),
+    )
+    w = Window.partitionBy("event_type")
+    return g.select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        F.col("sv").cast("double").alias("sum_value"),
+        F.expr("(n * 1000) div sum(n) OVER (PARTITION BY event_type)")
+        .alias("share_permille"),
+    )
