@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "q_graph_triangles",  # 1-row triangle/wedge/edge scalars
     "q_market_basket",    # 1-row corpus-size scalar (lift)
     "q_text_bm25",        # 1-row corpus stats scalar (N, avgdl)
+    "q_text_collocations",  # 1-row total-bigram scalar (PMI N)
 }
 
 
