@@ -1284,3 +1284,230 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n * 1000) div sum(n) OVER (PARTITION BY event_type)")
         .alias("share_permille"),
     )
+
+
+@register(
+    "q_events_dau_mau",
+    oracle="""
+    WITH du AS MATERIALIZED (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ),
+    days AS MATERIALIZED (SELECT DISTINCT day FROM du),
+    ex AS (
+      SELECT du.user_id, du.day + CAST(o.off AS INTEGER) AS sday, o.off
+      FROM du CROSS JOIN (SELECT unnest(range(28)) AS off) o
+    ),
+    lvl1 AS (
+      SELECT sday, user_id, min(off) AS mo FROM ex GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT sday, count(*) AS mau,
+             count(*) FILTER (WHERE mo = 0) AS dau
+      FROM lvl1 GROUP BY 1
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day, dau, mau,
+           (dau * 1000) // mau AS stickiness_permille
+    FROM agg JOIN days d ON agg.sday = d.day
+    """,
+)
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU engagement: for every calendar day with activity, the
+    count of users active that day (DAU), active in the trailing 28
+    days (MAU), and the floored-permille stickiness ratio — the
+    product-health metric every event pipeline reports. A user-day
+    contributes to 28 as-of days, so the plan EXPLODES user-days by a
+    28-row offset dimension and aggregates twice: level 1 collapses
+    (as-of day, user) to min(offset) — a user's DAU membership is just
+    min(offset)=0 — and level 2 counts rows. TWO hash aggregates,
+    ZERO count-distincts: a single-agg formulation with two
+    countDistinct columns would plan an Expand that doubles every
+    exploded row (the q_dq_profile lesson). Days ship as ISO strings
+    (the q_islands DATE-canonicalization rule); the ×28 row expansion
+    is the algorithm's cost everywhere (Spark, DuckDB, BigQuery) and
+    shrinks to |user-days|·28 — distinct user-days, not raw events —
+    before it ever shuffles; the trailing 27-day tail past the corpus
+    end is pruned by the broadcast-joined active-day dimension."""
+    e = load(spark, sf_dir, "events")
+    du = (
+        e.repartition("user_id")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    ex = du.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("off"),
+    ).select(
+        "user_id",
+        F.expr("date_add(day, off)").alias("sday"),
+        "off",
+    )
+    lvl1 = ex.groupBy("sday", "user_id").agg(F.min("off").alias("mo"))
+    agg = lvl1.groupBy("sday").agg(
+        F.count(F.lit(1)).alias("mau"),
+        F.sum(F.when(F.col("mo") == 0, 1).otherwise(0)).alias("dau"),
+    )
+    return agg.join(
+        F.broadcast(days), agg["sday"] == days["day"]
+    ).select(
+        F.col("day").cast("string").alias("day"),
+        "dau",
+        "mau",
+        F.expr("(dau * 1000) div mau").alias("stickiness_permille"),
+    )
+
+
+@register(
+    "q_ts_changepoint",
+    oracle="""
+    WITH x AS MATERIALIZED (
+      SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events
+    ),
+    tot AS MATERIALIZED (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xc) AS BIGINT) AS s
+      FROM x GROUP BY 1
+    ),
+    c AS (
+      SELECT x.event_type, x.event_id, x.ts,
+             CAST(sum(CAST(x.xc AS DECIMAL(38,0)) * t.n - t.s)
+                  OVER (PARTITION BY x.event_type
+                        ORDER BY x.ts, x.event_id) AS DECIMAL(38,0))
+               AS cusum
+      FROM x JOIN tot t USING (event_type)
+    ),
+    r AS (
+      SELECT event_type, event_id, ts, cusum,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, ts, event_id) AS rk
+      FROM c
+    )
+    SELECT event_type, event_id, ts,
+           CAST(cusum AS VARCHAR) AS cusum_cleared
+    FROM r WHERE rk = 1
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection: per event type, the event where
+    the cumulative deviation from the series mean peaks — the standard
+    estimator of a single mean shift (where the running Σ(xᵢ − μ)
+    attains max |·|). Denominators are CLEARED so every quantity is an
+    exact integer: the running sum accumulates xᵢ·N − S (each term =
+    N·(xᵢ − μ) exactly), so there is no float mean, no float running
+    sum, and both engines agree to the digit — the reported statistic
+    ships as a decimal string (it exceeds int64 beyond ~sf10 but
+    decimal(38,0) holds it to ~1e38). Ties in |cusum| break on
+    (ts, event_id).
+
+    Plan: one tiny per-type aggregate (N, S) broadcast back onto the
+    scan, ONE hash(event_type) shuffle carrying a running-frame window
+    Spark evaluates incrementally, and a WindowGroupLimit-style rk=1
+    filter. At 100 TB: per-type partitions are independent; the
+    running sum never re-scans its frame. Mirrors the reference's
+    per-type monitoring loop as a batch diagnostic."""
+    e = load(spark, sf_dir, "events")
+    xc = F.round(F.col("value") * 100).cast("long")
+    x = e.select(
+        "event_type", "event_id", "ts", xc.alias("xc")
+    ).repartition("event_type")
+    tot = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xc").alias("s")
+    )
+    dec = "decimal(38,0)"
+    j = x.join(F.broadcast(tot), "event_type")
+    run = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    c = j.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.sum(
+            F.col("xc").cast(dec) * F.col("n") - F.col("s")
+        )
+        .over(run)
+        .cast(dec)
+        .alias("cusum"),
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "ts", "event_id"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.col("cusum").cast("string").alias("cusum_cleared"),
+        )
+    )
+
+
+@register(
+    "q_events_inter_arrival",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY event_type, user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           count(gap_us) AS n_gaps,
+           min(gap_us) AS min_us,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+                AS BIGINT) AS p50_us,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)
+                AS BIGINT) AS p90_us,
+           max(gap_us) AS max_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution: per event type, the min / p50 /
+    p90 / max of the microsecond gaps between a user's consecutive
+    events of that type — the latency/cadence profile that sizes
+    session timeouts, watermark delays (streaming/windows.py), and
+    TTL retention (A13). Gaps are exact integer microseconds from a
+    lag over the per-(type, user) timeline; percentiles are DISCRETE
+    (an actual observed gap, percentile_disc semantics match exactly
+    across engines on integers — interpolating percentile_cont floats
+    would flap). Total order inside a timeline is (ts, event_id).
+
+    ONE shuffle on hash(event_type, user_id) for the lag window, then
+    a per-type aggregate the subset-key rule cannot serve (type ⊄
+    (type, user)) — but that second exchange carries gaps only, no
+    payload. At 100 TB the lag partitions are per-user-timeline
+    (skew-free) and the percentile aggregate is the only global step."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros("ts")
+    g = e.select(
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    g.createOrReplaceTempView("_ia_gaps")
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(gap_us) AS n_gaps,
+               MIN(gap_us) AS min_us,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)
+                 AS BIGINT) AS p50_us,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)
+                 AS BIGINT) AS p90_us,
+               MAX(gap_us) AS max_us
+        FROM _ia_gaps GROUP BY event_type
+        """
+    )
