@@ -4467,3 +4467,174 @@ def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num_i / den, 6).alias("icept_cents"),
         F.round((num_s * num_s) / (den * den_y), 9).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: lead-time distribution + declarative constraint audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lead_time",
+    oracle="""
+    WITH lt AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS TIMESTAMP),
+                       CAST(l.l_shipdate AS TIMESTAMP)) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n,
+           min(days) AS min_days,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY days)
+                AS BIGINT) AS p50_days,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY days)
+                AS BIGINT) AS p90_days,
+           max(days) AS max_days
+    FROM lt GROUP BY o_orderpriority
+    """,
+)
+def q_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time distribution per order priority — the
+    fulfillment-SLA metric (how long after ordering do lines ship, and
+    does priority actually buy speed): min / p50 / p90 / max of the
+    day gap between o_orderdate and each line's l_shipdate. Gaps are
+    exact integer day differences; percentiles are DISCRETE (an
+    observed gap, identical rank semantics across engines — the
+    q_events_inter_arrival convention).
+
+    Plan: one orderkey shuffle join (sort-merge at fact×fact scale —
+    only orderdate+priority cross the exchange on the orders side,
+    column pruning does the rest) and one small per-priority
+    percentile aggregate over integer gaps. At 100 TB: the join is the
+    cost and it is the canonical co-partitioned fact join (bucket both
+    sides on orderkey — C-26 — and it collapses to zero-Exchange)."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lt = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+    )
+    lt.createOrReplaceTempView("_lead_time_gaps")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               MIN(days) AS min_days,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY days)
+                    AS BIGINT) AS p50_days,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY days)
+                    AS BIGINT) AS p90_days,
+               MAX(days) AS max_days
+        FROM _lead_time_gaps GROUP BY o_orderpriority
+        """
+    )
+
+
+#: declarative row-level constraints audited by q_dq_constraints:
+#: (rule name, table, violation predicate SQL — TRUE means VIOLATED)
+_DQ_RULES = (
+    ("lineitem.quantity_positive", "lineitem", "l_quantity <= 0"),
+    ("lineitem.discount_in_unit_range", "lineitem",
+     "l_discount < 0 OR l_discount > 1"),
+    ("lineitem.tax_nonnegative", "lineitem", "l_tax < 0"),
+    ("lineitem.extendedprice_positive", "lineitem",
+     "l_extendedprice <= 0"),
+    ("orders.totalprice_positive", "orders", "o_totalprice <= 0"),
+    ("orders.orderdate_present", "orders", "o_orderdate IS NULL"),
+    ("events.value_nonnegative", "events", "value < 0"),
+    ("events.ts_present", "events", "ts IS NULL"),
+)
+
+
+@register(
+    "q_dq_constraints",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{name}' AS rule, count(*) AS n_rows,
+           CAST(coalesce(sum(CASE WHEN {pred} THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_violations
+    FROM {table}"""
+        for name, table, pred in _DQ_RULES
+    )
+    + """
+    UNION ALL
+    SELECT 'lineitem.ships_after_order' AS rule, count(*) AS n_rows,
+           CAST(coalesce(sum(CASE WHEN CAST(l.l_shipdate AS TIMESTAMP)
+                                       < CAST(o.o_orderdate AS TIMESTAMP)
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_violations
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative row-level constraint audit (the dbt-test /
+    Deequ-check shape): every rule reports rows checked and rows
+    violating — range checks, presence checks, and one cross-table
+    temporal rule (a line cannot ship before its order). The
+    referential complement lives in q_dq_referential; together they
+    are the audit pass a lakehouse runs where it cannot declare
+    constraints.
+
+    Each table is scanned ONCE for all of its rules (the per-rule
+    SUM(CASE) columns share one map-combined aggregate; the UNION of
+    1-row results is free), and the single cross-table rule rides one
+    orderkey join that moves only two date columns. Violation
+    predicates are integer/date comparisons — nothing floats. At
+    100 TB: rules-per-scan is the difference between one pass and
+    |rules| passes; Spark's common-subexpression reuse does not span
+    UNION branches, so the fan-in is explicit in the plan
+    construction."""
+    parts = []
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for name, table, pred in _DQ_RULES:
+        by_table.setdefault(table, []).append((name, pred))
+    for table, rules in by_table.items():
+        t = load(spark, sf_dir, table)
+        agg = t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.expr(pred), 1).otherwise(0)), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"_v{i}")
+                for i, (_name, pred) in enumerate(rules)
+            ],
+        )
+        for i, (name, _pred) in enumerate(rules):
+            parts.append(
+                agg.select(
+                    F.lit(name).alias("rule"),
+                    "n_rows",
+                    F.col(f"_v{i}").alias("n_violations"),
+                )
+            )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    parts.append(
+        j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("l_shipdate") < F.col("o_orderdate"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_violations"),
+        ).select(
+            F.lit("lineitem.ships_after_order").alias("rule"),
+            "n_rows",
+            "n_violations",
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

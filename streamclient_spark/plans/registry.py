@@ -138,6 +138,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_graph_cc", "q_graph_pagerank", "q_text_collocations", "q_sim_ivfpq",
     "q_agg_regr", "q_ts_seasonality", "q_dedup_semantic",
     "q_events_dau_mau", "q_ts_changepoint", "q_events_inter_arrival",
+    "q_lead_time", "q_dq_constraints",
 )
 
 
