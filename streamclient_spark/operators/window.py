@@ -1511,3 +1511,137 @@ def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _ia_gaps GROUP BY event_type
         """
     )
+
+
+#: journey prefix length and report size for q_events_path_prefix
+_PATH_LEN = 3
+_PATH_TOP = 20
+
+
+@register(
+    "q_events_path_prefix",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {_PATH_LEN}
+      GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT {_PATH_TOP}
+    """,
+)
+def q_events_path_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the most common first-{_PATH_LEN}-event
+    paths ("click>view>purchase") across all users — the free-form
+    path-mining view between q_events_markov (single transitions) and
+    q_funnel/q_seq_pattern (one fixed pattern): here the data names
+    the patterns. Users with fewer events contribute their shorter
+    prefix.
+
+    Determinism: the path string is an ORDERED aggregation, so the
+    engine collects (rn, type) structs and array_sorts before joining
+    (the q_agg_listagg rule — an unordered listagg is arrival-order
+    nondeterministic in every engine); rn comes from the (ts,
+    event_id) total order. ONE hash(user_id) shuffle serves both the
+    row_number window and the per-user path aggregate (subset-key
+    rule); path counting shuffles |users| tiny strings, and the
+    top-20 is a TakeOrderedAndProject with (count, path) total order.
+    Per-user payload is bounded at {_PATH_LEN} structs by the rn
+    filter ON the windowed stream — the collect never sees a user's
+    full history."""
+    e = load(spark, sf_dir, "events").repartition("user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= _PATH_LEN)
+    paths = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(_PATH_TOP)
+    )
+
+
+@register(
+    "q_win_rolling_median",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(round(value * 100) AS BIGINT) AS xc
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, xc,
+             list(xc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+               AS frame
+      FROM x
+    )
+    SELECT user_id, event_id, xc,
+           CAST(len(frame) AS BIGINT) AS n_frame,
+           list_sort(frame)[(len(frame) + 1) // 2] AS med_cents
+    FROM f
+    """,
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median: the lower median of each user's trailing
+    11 event values — the robust-baseline smoother (median filters
+    shrug off the outliers that wreck a rolling mean, which is why
+    monitoring stacks pair q_ts_anomaly's z-score with a median
+    baseline). Spark has no median window function, so the engine
+    materializes the BOUNDED frame as an array (``collect_list`` over
+    ROWS -10..0 — at most 11 longs), sorts it, and indexes the lower
+    middle: exact integer cents in, exact integer out, no
+    interpolation to flap across engines; DuckDB mirrors it with
+    ``list() OVER`` + list_sort. The (len+1)//2 lower-median rule is
+    the discrete percentile convention (q_agg_percentile_disc).
+
+    ONE hash(user_id) shuffle, one sort, one bounded frame; per-row
+    cost is sorting ≤11 elements. The frame bound is the contract: an
+    UNBOUNDED collect-over-window is the memory anti-pattern this
+    repo's collect_* rule forbids (q_agg_listagg docstring)."""
+    e = load(spark, sf_dir, "events").repartition("user_id")
+    xc = F.round(F.col("value") * 100).cast("long")
+    fw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, 0)
+    )
+    f = e.select(
+        "user_id",
+        "event_id",
+        xc.alias("xc"),
+        F.collect_list(xc).over(fw).alias("frame"),
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        "xc",
+        F.size("frame").cast("long").alias("n_frame"),
+        F.element_at(
+            F.array_sort("frame"),
+            ((F.size("frame") + 1) / 2).cast("int"),
+        ).alias("med_cents"),
+    )
