@@ -1645,3 +1645,84 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.size("frame") + 1) / 2).cast("int"),
         ).alias("med_cents"),
     )
+
+
+@register(
+    "q_events_rfm",
+    oracle="""
+    WITH wm AS (SELECT max(CAST(ts AS TIMESTAMP)) AS w FROM events),
+    u AS (
+      SELECT user_id,
+             date_diff('day', max(CAST(ts AS TIMESTAMP)),
+                       (SELECT w FROM wm)) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id, recency_days, frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m
+      FROM u
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents, r, f, m,
+           CASE WHEN r <= 2 AND f <= 2 THEN 'core'
+                WHEN r <= 2 THEN 'recent'
+                WHEN f <= 2 THEN 'lapsing-heavy'
+                ELSE 'tail' END AS segment
+    FROM s
+    """,
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every user scored 1–5 on Recency (days since
+    last event, vs the corpus watermark), Frequency (event count), and
+    Monetary (exact total cents), then bucketed into the classic
+    marketing segments — the standard customer-value view over an
+    event stream. All three quintiles carry a user_id tie-break, so
+    ntile's bucket boundaries are deterministic; recency anchors on
+    the corpus max-timestamp watermark (the q_dq_freshness
+    convention), never wall-clock, so reruns are bit-identical.
+
+    Plan: ONE map-combined per-user aggregate, then three global
+    ntile windows over the |users| aggregate — the windows are
+    single-partition by construction (global quantiles need a total
+    order), which is exactly q_rank_global's noted trade: at 100 TB
+    you swap ntile for the range-partitioned global-rank technique
+    proven there; at the aggregate's |users| cardinality (≪ events)
+    the single sort is the right plan well past 1e8 users."""
+    e = load(spark, sf_dir, "events")
+    wm = e.agg(F.max("ts").alias("w"))
+    u = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    u = u.join(F.broadcast(wm)).select(  # 1-row watermark scalar
+        "user_id",
+        F.datediff("w", "last_ts").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    f = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    m = Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+    s = u.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(r).alias("r"),
+        F.ntile(5).over(f).alias("f"),
+        F.ntile(5).over(m).alias("m"),
+    )
+    seg = (
+        F.when((F.col("r") <= 2) & (F.col("f") <= 2), "core")
+        .when(F.col("r") <= 2, "recent")
+        .when(F.col("f") <= 2, "lapsing-heavy")
+        .otherwise("tail")
+    )
+    return s.withColumn("segment", seg)

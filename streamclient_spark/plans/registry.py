@@ -139,7 +139,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_regr", "q_ts_seasonality", "q_dedup_semantic",
     "q_events_dau_mau", "q_ts_changepoint", "q_events_inter_arrival",
     "q_lead_time", "q_dq_constraints",
-    "q_events_path_prefix", "q_win_rolling_median",
+    "q_events_path_prefix", "q_win_rolling_median", "q_events_rfm",
 )
 
 

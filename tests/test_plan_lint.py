@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "q_market_basket",    # 1-row corpus-size scalar (lift)
     "q_text_bm25",        # 1-row corpus stats scalar (N, avgdl)
     "q_text_collocations",  # 1-row total-bigram scalar (PMI N)
+    "q_events_rfm",       # 1-row corpus-watermark scalar (recency)
 }
 
 
