@@ -1248,3 +1248,89 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "w1", "w2")
         .limit(_COLLOC_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_readability — Flesch reading-ease scoring (round-3 addition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+               AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sents AS DOUBLE))
+                 - 84.6 * (CAST(n_syll AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)), 6) AS flesch,
+           CASE WHEN CAST(n_syll AS HUGEINT) * 1000
+                     >= CAST(n_words AS HUGEINT) * 1700 THEN 'hard'
+                WHEN CAST(n_syll AS HUGEINT) * 1000
+                     >= CAST(n_words AS HUGEINT) * 1400 THEN 'medium'
+                ELSE 'easy' END AS band
+    FROM c WHERE n_words > 0
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per document — the classic
+    readability quality signal (a pretraining-corpus filter alongside
+    C-L4's Gopher rules): words/sentence and syllables/word folded
+    into 206.835 − 1.015·w/s − 84.6·syl/w. Syllables use the standard
+    vowel-group approximation (runs of [aeiouy] — deterministic and
+    dictionary-free, the form every at-scale pipeline ships); sentence
+    count is floored at 1 so fragments don't divide by zero. All three
+    counts are exact integers from ONE regex pass each (identical RE2/
+    Java semantics for these character-class patterns); the score is
+    a textually-identical double expression rounded to 6, and the
+    easy/medium/hard band compares scaled INTEGERS (syl×1000 vs
+    words×1400/1700) so no document flips band from float rounding.
+    Split-recovered (near-unsplittable fixture file); at 100 TB this
+    is an embarrassingly parallel map — no shuffle at all."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n_words = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).cast(
+        "long"
+    )
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    c = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    ).filter(F.col("n_words") > 0)
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syll").cast("double") / F.col("n_words").cast("double")),
+        6,
+    )
+    dec = "decimal(38,0)"
+    syl1000 = F.col("n_syll").cast(dec) * 1000
+    band = (
+        F.when(syl1000 >= F.col("n_words").cast(dec) * 1700, "hard")
+        .when(syl1000 >= F.col("n_words").cast(dec) * 1400, "medium")
+        .otherwise("easy")
+    )
+    return c.select(
+        "doc_id", "n_words", "n_sents", "n_syll",
+        flesch.alias("flesch"), band.alias("band"),
+    )

@@ -4638,3 +4638,321 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: pivot, Pareto/ABC, Gini, Benford, crosstab
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): daily event counts with one column per event
+    type — the inverse of C-87's unpivot and the report shape every BI
+    layer asks for. Uses the DataFrame ``pivot`` operator WITH the
+    explicit value list: Catalyst then compiles it to ONE map-combined
+    aggregate whose 5 columns are count-if expressions — no extra pass
+    to discover values, no second shuffle (an unlisted pivot triggers a
+    distinct-values job first; at 100 TB that discovery scan costs as
+    much as the pivot itself, so the value list is the contract).
+    Missing (day, type) cells surface as NULL from pivot-count and are
+    coalesced to 0 to match SQL's count-FILTER semantics. Day ships as
+    an ISO string (DATE objects hash differently across engines)."""
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        e.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    cols = [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types
+    ]
+    total = sum(
+        (F.coalesce(F.col(t), F.lit(0)) for t in types), F.lit(0)
+    ).cast("long")
+    return wide.select("day", *cols, total.alias("total"))
+
+
+@register(
+    "q_pareto_abc",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT o_custkey, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_cents,
+             CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+      FROM r
+    )
+    SELECT o_custkey, cents, cum_cents,
+           round(CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+                 * 100, 6) AS cum_pct,
+           CASE WHEN CAST(cum_cents AS HUGEINT) * 100
+                     <= CAST(total_cents AS HUGEINT) * 80 THEN 'A'
+                WHEN CAST(cum_cents AS HUGEINT) * 100
+                     <= CAST(total_cents AS HUGEINT) * 95 THEN 'B'
+                ELSE 'C' END AS abc
+    FROM c
+    """,
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: customers ranked by exact revenue cents,
+    cumulative running share, and the classic A (first 80% of revenue)
+    / B (next 15%) / C (tail) classification — the inventory-and-CRM
+    concentration report. The class boundary compares INTEGERS
+    (cum×100 ≤ total×80 in decimal(38,0)) so no customer ever flips
+    class from a float rounding; only the display percentage is a
+    double. Plan: ONE map-combined per-customer aggregate, then a
+    running sum over the |customers| aggregate — single-partition by
+    construction (a cumulative share needs a total order); at 1e8+
+    customers swap in q_rank_global's range-partitioned running-sum
+    technique, same trade as C-172's ntile."""
+    o = load(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = (
+        Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = r.select(
+        "o_custkey",
+        "cents",
+        F.sum("cents").over(w).alias("cum_cents"),
+        F.sum("cents").over(Window.partitionBy()).alias("total_cents"),
+    )
+    dec = "decimal(38,0)"
+    cum100 = F.col("cum_cents").cast(dec) * 100
+    tot = F.col("total_cents").cast(dec)
+    return c.select(
+        "o_custkey",
+        "cents",
+        "cum_cents",
+        F.round(
+            F.col("cum_cents").cast("double")
+            / F.col("total_cents").cast("double")
+            * 100,
+            6,
+        ).alias("cum_pct"),
+        F.when(cum100 <= tot * 80, "A")
+        .when(cum100 <= tot * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+
+
+@register(
+    "q_agg_gini",
+    oracle="""
+    WITH r AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    i AS (
+      SELECT c_mktsegment, cents,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cents, o_custkey) AS rk
+      FROM r
+    ),
+    s AS (
+      SELECT c_mktsegment,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(rk AS HUGEINT) * cents) AS HUGEINT) AS six
+      FROM i GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS total_cents,
+           round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                 / CAST(n * sx AS DOUBLE), 9) AS gini
+    FROM s
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    standard inequality/concentration index (0 = everyone buys the
+    same, →1 = one whale). Uses the rank formulation G = (2·Σi·xᵢ −
+    (n+1)·Σx) / (n·Σx) over ascending-sorted revenues: Σi·xᵢ is
+    order-dependent only across DISTINCT values (equal x's contribute
+    x·Σi whatever their permutation), so the custkey tie-break makes
+    the plan deterministic without changing the statistic. Numerator
+    and denominator accumulate EXACTLY (per-row i·x fits int64; the
+    sums go to decimal(38,0)/HUGEINT); the single double division is
+    textually identical on both engines. Plan: per-customer agg →
+    per-segment rank window (5 segments ≈ 5 fat partitions — at
+    extreme |customers| the rank becomes q_rank_global's
+    range-partitioned variant) → 5-row final agg."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    r = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy("cents", "o_custkey")
+    )
+    dec = "decimal(38,0)"
+    i = r.select("c_mktsegment", "cents", rk.alias("rk"))
+    s = i.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("cents").cast(dec)).alias("sx"),
+        F.sum((F.col("rk") * F.col("cents")).cast(dec)).alias("six"),
+    )
+    n, sx, six = F.col("n"), F.col("sx"), F.col("six")
+    return s.select(
+        "c_mktsegment",
+        n.cast("long").alias("n"),
+        sx.cast("long").alias("total_cents"),
+        F.round(
+            (F.lit(2).cast(dec) * six - (n + 1) * sx).cast("double")
+            / (n * sx).cast("double"),
+            9,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_dq_benford",
+    oracle="""
+    WITH d AS (
+      SELECT substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM g)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_share,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_share,
+           round(abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                 - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS abs_dev
+    FROM t
+    """,
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fraud/synthetic-data smell test: the observed share of each leading
+    digit 1–9 against the log10(1+1/d) expectation. The digit is
+    extracted from the DECIMAL STRING of exact cents (never via
+    floor(log10(x)) powers, whose double rounding misclassifies exact
+    powers of ten); shares are single double divisions and the libm
+    log10 ulp is absorbed by round(·,6) per the repo convention. Plan:
+    one map-combined 9-group aggregate, then a window over the 9-row
+    result for the total — no scalar join, no second scan. At 100 TB
+    this is the cheapest possible shape: a full scan into a 9-row
+    accumulator."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = (
+        o.select(F.substring(cents.cast("string"), 1, 1).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = g.withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+    obs = F.col("n").cast("double") / F.col("total").cast("double")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return t.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_share"),
+        F.round(exp, 6).alias("exp_share"),
+        F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+    )
+
+
+@register(
+    "q_crosstab",
+    oracle="""
+    WITH g AS (
+      SELECT n.n_name, o.o_orderpriority, count(*) AS n
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, o.o_orderpriority
+    ),
+    t AS (
+      SELECT n_name, o_orderpriority, n,
+             CAST(sum(n) OVER (PARTITION BY n_name) AS BIGINT) AS row_n,
+             CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+               AS col_n,
+             CAST(sum(n) OVER () AS BIGINT) AS total_n
+      FROM g
+    )
+    SELECT n_name, o_orderpriority, n, row_n, col_n,
+           CAST(CAST(row_n AS HUGEINT) * col_n * 1000000 // total_n
+                AS BIGINT) AS exp_ppm
+    FROM t
+    """,
+)
+def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table (crosstab) of nation × order priority with
+    expected cell counts under independence — the χ²-test input table,
+    kept exact: expected = row_total × col_total × 1e6 floor-divided
+    by N in 128-bit integers (decimal(38,0) ``div`` here, HUGEINT
+    ``//`` in the oracle — DuckDB's DECIMAL ``//`` detours through a
+    double and goes off-by-one, a repo-documented trap), so the
+    parts-per-million expectation is bit-identical however large the
+    corpus. Plan: the orders→customer shuffle join feeds a
+    map-combined ≤125-group aggregate (nation is a 25-row broadcast);
+    the three marginal totals are windows over the 125-row RESULT —
+    three trivial local sorts, never a second fact scan."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = g.select(
+        "n_name",
+        "o_orderpriority",
+        "n",
+        F.sum("n").over(Window.partitionBy("n_name")).alias("row_n"),
+        F.sum("n").over(Window.partitionBy("o_orderpriority")).alias("col_n"),
+        F.sum("n").over(Window.partitionBy()).alias("total_n"),
+    )
+    return t.select(
+        "n_name",
+        "o_orderpriority",
+        "n",
+        "row_n",
+        "col_n",
+        F.expr(
+            "CAST(CAST(row_n AS DECIMAL(38,0)) * col_n * 1000000"
+            " div total_n AS BIGINT)"
+        ).alias("exp_ppm"),
+    )

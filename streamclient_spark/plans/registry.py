@@ -140,6 +140,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_dau_mau", "q_ts_changepoint", "q_events_inter_arrival",
     "q_lead_time", "q_dq_constraints",
     "q_events_path_prefix", "q_win_rolling_median", "q_events_rfm",
+    "q_pivot", "q_pareto_abc", "q_agg_gini", "q_dq_benford",
+    "q_crosstab", "q_text_readability",
 )
 
 
