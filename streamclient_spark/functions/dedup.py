@@ -1420,3 +1420,59 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_source_matrix — near-dup pair counts by source pair (round 3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_source_matrix",
+    oracle=f"""
+    {_SQL_SHINGLE_SETS}, pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM shingle_sets a JOIN shingle_sets b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s)))
+            >= {_NEAR_THRESHOLD}
+    )
+    SELECT least(da.source, db.source) AS src_a,
+           greatest(da.source, db.source) AS src_b,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON p.a_id = da.doc_id
+    JOIN documents db ON p.b_id = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate source×source matrix — the data-governance view
+    over B-L2's pair detection: which SOURCES copy from each other
+    (cross-source cells) and which are internally redundant (diagonal
+    cells). This is the report that decides licensing questions and
+    per-source dedup budgets in a pretraining corpus. Reuses
+    q_dedup_near's full MinHash→LSH→exact-verify pipeline (so the
+    matrix inherits its 100%-recall-at-threshold contract), then maps
+    doc ids to sources with two shuffle joins on doc_id and collapses
+    to a ≤|sources|² cell count; the unordered pair is normalized with
+    least/greatest so (a,b) and (b,a) land in one cell. At 100 TB the
+    added cost over pair detection is two joins against a projected
+    2-column dim — negligible beside the banding step."""
+    pairs = q_dedup_near(spark, sf_dir).select("a_id", "b_id")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    da = src.select(
+        F.col("doc_id").alias("a_id"), F.col("source").alias("sa")
+    )
+    db = src.select(
+        F.col("doc_id").alias("b_id"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(da, "a_id")
+        .join(db, "b_id")
+        .groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1726,3 +1726,95 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
     )
     return s.withColumn("segment", seg)
+
+
+@register(
+    "q_events_new_returning",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT user_id, day, n_events,
+             min(day) OVER (PARTITION BY user_id) AS first_day
+      FROM ud
+    )
+    SELECT day,
+           count(*) AS n_active,
+           count(*) FILTER (WHERE day = first_day) AS n_new,
+           count(*) FILTER (WHERE day <> first_day) AS n_returning,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM f GROUP BY day
+    """,
+)
+def q_events_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily active users — the growth-accounting
+    split every product dashboard leads with: of today's active users,
+    how many are seen for the first time ever. A user is "new" on the
+    day equal to their min-over-history day (computed as a window over
+    the per-(user, day) aggregate, NOT the raw stream — the fact table
+    collapses ~events/user/day-fold before any window sorts it). Days
+    compare as ISO strings (lexicographic == chronological, and string
+    days dodge the cross-engine DATE hashing trap). Plan: one
+    (user_id, day) map-combined aggregate, a user_id-partitioned
+    min window over that much smaller table, then a day aggregate —
+    the user_id shuffle is the only fact-scaled exchange and the
+    window rides it (subset-partitioning rule)."""
+    e = load(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    first = F.min("day").over(Window.partitionBy("user_id"))
+    f = ud.withColumn("first_day", first)
+    return f.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(
+            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+        ).cast("long").alias("n_new"),
+        F.sum(
+            F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)
+        ).cast("long").alias("n_returning"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+@register(
+    "q_events_freq_hist",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT CAST(length(bin(n)) - 1 AS INT) AS log2_bin,
+           count(*) AS n_users,
+           min(n) AS min_events,
+           max(n) AS max_events,
+           CAST(sum(n) AS BIGINT) AS sum_events
+    FROM u GROUP BY 1
+    """,
+)
+def q_events_freq_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve: the frequency-of-frequencies histogram of
+    events per user in power-of-two bins — the one-glance view of
+    engagement skew (and the input you read before choosing a salting
+    factor; C-105's skew profile is its join-key sibling). The bin
+    index floor(log₂ n) is computed as length(bin(n)) − 1 — the
+    binary-string length is EXACT integer arithmetic on both engines,
+    where floor(log2(n)) trusts libm at power-of-two boundaries and
+    misbins 2^k on the unlucky ulp. Plan: one map-combined per-user
+    aggregate, then a ~32-group aggregate over it; nothing else
+    shuffles."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    log2_bin = (F.length(F.bin("n")) - 1).cast("int")
+    return u.groupBy(log2_bin.alias("log2_bin")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("n").alias("min_events"),
+        F.max("n").alias("max_events"),
+        F.sum("n").alias("sum_events"),
+    )

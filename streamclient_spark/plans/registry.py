@@ -142,6 +142,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_path_prefix", "q_win_rolling_median", "q_events_rfm",
     "q_pivot", "q_pareto_abc", "q_agg_gini", "q_dq_benford",
     "q_crosstab", "q_text_readability",
+    "q_dedup_source_matrix", "q_events_new_returning",
+    "q_events_freq_hist",
 )
 
 
