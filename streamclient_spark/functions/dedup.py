@@ -1341,6 +1341,14 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Star-CC rounds the q_dedup_semantic oracle unrolls. The engine runs to
+# the converged fixpoint, so engine==oracle only if convergence happens
+# within this unroll — tests/test_scale.py::
+# test_dedup_semantic_converges_within_oracle_unroll pins it with margin
+# on the planted-copy corpus (the q_graph_cc lesson, ADVICE r3).
+_SEMANTIC_CC_ROUNDS = 6
+
+
 def _sql_semantic_oracle() -> str:
     from streamclient_spark.compat import sql_star_cc
 
@@ -1359,7 +1367,7 @@ def _sql_semantic_oracle() -> str:
                                    CAST(b.embedding AS DOUBLE[]))
             >= {_EMBED_THRESHOLD}
     )"""
-        + sql_star_cc("pairs", 6)
+        + sql_star_cc("pairs", _SEMANTIC_CC_ROUNDS)
         + """
     SELECT c.vec_id,
            coalesce(l.component, c.vec_id) AS keep_id,

@@ -1241,7 +1241,6 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def search(batches):
-        s_idx = np.arange(PQ_SUBSPACES)
         for pdf in batches:
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             n = len(E)
@@ -1260,8 +1259,15 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy()
             out_q, out_n, out_cell, out_d = [], [], [], []
             for qi in range(len(q_ids)):
-                # gather per-row ADC = Σ_s T[qi, s, code_s] in s order
-                adc = T[qi][s_idx[None, :], codes].sum(axis=1)
+                # gather per-row ADC = Σ_s T[qi, s, code_s], accumulated
+                # by EXPLICIT successive adds in s order so the float
+                # rounding sequence is identical to DuckDB's s-ordered
+                # list_sum (np .sum() uses pairwise accumulation, which
+                # could drift by an ulp and flip a round(.,6) digit —
+                # ADVICE r3).
+                adc = np.zeros(n, dtype=np.float64)
+                for s in range(PQ_SUBSPACES):
+                    adc = adc + T[qi][s, codes[:, s]]
                 mask = (ids != q_ids[qi]) & np.isin(
                     cell, list(probe_cells[qi])
                 )

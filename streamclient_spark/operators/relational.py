@@ -2656,6 +2656,16 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong). At 100 TB: one pass, two tiny shuffles, no Expand — the
     plan test pins Expand's absence."""
     o = load(spark, sf_dir, "orders")
+    # PRECONDITION (bitmap path): every column routed through v_num must
+    # be STRICTLY POSITIVE — bitmap_bucket_number/bitmap_bit_position are
+    # defined on 1-based positive longs, and bucket 0 is reserved below
+    # for the string/null rows; a zero or negative numeric value would
+    # collide with that pinned bucket and silently corrupt n_distinct.
+    # o_orderkey and o_custkey are ≥ 1 by TPC-H construction. To profile
+    # a column that can be ≤ 0, either offset it (v_num - min + 1, one
+    # extra agg for the min) or route it through the v_str string path,
+    # which is exact for any value at the cost of shuffling one row per
+    # distinct value.
     long_form = o.selectExpr(
         "stack(4, "
         "'o_orderkey', CAST(o_orderkey AS STRING), "

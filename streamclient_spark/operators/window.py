@@ -1274,7 +1274,6 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dec_sum("value").alias("sv"),
     )
-    w = Window.partitionBy("event_type")
     return g.select(
         "event_type",
         "dow",

@@ -413,3 +413,40 @@ def test_graph_cc_converges_within_oracle_unroll(spark, sf_oracle):
         f"star CC took {rounds} rounds; q_graph_cc's SQL oracle only "
         f"unrolls {_CC_ROUNDS} — raise _CC_ROUNDS"
     )
+
+
+def test_dedup_semantic_converges_within_oracle_unroll(spark, sf_oracle):
+    # q_dedup_semantic's oracle unrolls _SEMANTIC_CC_ROUNDS star rounds;
+    # a denser fixture or larger sf could otherwise silently desync the
+    # engine's converged fixpoint from the oracle's truncated unroll
+    # (ADVICE r3). Pin convergence-with-margin on the planted corpus.
+    import pyspark.sql.functions as F
+
+    from streamclient_spark.functions.dedup import (
+        _EMBED_THRESHOLD,
+        _PLANT_OFFSET,
+        _SEMANTIC_CC_ROUNDS,
+        cosine_pairs_blocked,
+    )
+    from streamclient_spark.scale import connected_components_star
+
+    e = load(spark, sf_oracle, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    corpus = e.unionByName(
+        e.select(
+            (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+            "label",
+            "embedding",
+        )
+    )
+    pairs = cosine_pairs_blocked(
+        corpus, cell_col="label", threshold=_EMBED_THRESHOLD
+    ).select("a_id", "b_id")
+    _labels, rounds = connected_components_star(
+        pairs, src="a_id", dst="b_id"
+    )
+    assert rounds <= _SEMANTIC_CC_ROUNDS, (
+        f"semantic-dedup star CC took {rounds} rounds; the SQL oracle "
+        f"only unrolls {_SEMANTIC_CC_ROUNDS} — raise _SEMANTIC_CC_ROUNDS"
+    )
