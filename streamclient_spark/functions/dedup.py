@@ -233,6 +233,45 @@ def _shingle_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: max docs per (band, key) bucket before the bucket is deemed
+#: boilerplate-driven and excluded from candidate generation. A bucket
+#: of B docs emits B(B-1)/2 candidate pairs — one boilerplate-heavy
+#: bucket (cookie banners, license headers) turns the linear band join
+#: quadratic. Dropping a hot bucket is recall-safe in expectation: a
+#: TRUE near-dup pair (J ≥ 0.8) collides in ≥1 of the 16 bands with
+#: p ≈ 1-(1-J²)¹⁶ ≈ 0.9999, so it almost surely also collides in a
+#: band whose bucket is NOT hot; the property test plants a
+#: boilerplate cluster and pins both the bound and the recall.
+LSH_BUCKET_CAP = 512
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Candidate pairs from an exploded band table ``(doc_id, band,
+    key)`` via the bucket equi-join, with hot buckets (> ``bucket_cap``
+    docs) excluded FIRST. The hot-bucket list is tiny by construction
+    (it only contains pathological keys), so the exclusion is a
+    broadcast anti-join — the candidate count is then bounded by
+    Σ_buckets min(|bucket|, cap)², never corpus²."""
+    hot = (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") > bucket_cap)
+        .select("band", "key")
+    )
+    capped = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    return (
+        capped.alias("x")
+        .join(capped.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+
+
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs ``(a_id, b_id, jaccard)`` — the engine
     API behind :func:`q_dedup_near`, reused as the edge list of
@@ -258,15 +297,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode("band_keys").alias("band", "key")
     )
 
-    cand = managed_persist(
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "key"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
-        )
-        .distinct()
-    )
+    cand = managed_persist(lsh_candidate_pairs(bands))
     # Verification touches only documents that appear in a candidate
     # pair. LSH makes that set tiny (non-dup band collisions are rare
     # by construction), but Catalyst cannot infer it — without the

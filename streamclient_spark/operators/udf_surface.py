@@ -4,7 +4,8 @@ Three UDF shapes, each demonstrating the sanctioned slow path and how
 to keep it fast:
 
 - scalar **pandas UDF** (Arrow-vectorized, B-U1) — ``q_udf_scalar``
-- grouped **applyInPandas** (UDAF shape, B-U2) — ``q_udaf_grouped``
+- grouped-aggregate **pandas UDAF** (B-U2, salted two-phase) —
+  ``q_udaf_grouped``
 - **Python UDTF** (one row → many, B-U3) — ``q_udtf_explode``
 
 Policy (SURVEY.md §6): row-at-a-time Python UDFs never appear on a hot
@@ -78,34 +79,26 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# B-U2 — grouped applyInPandas (UDAF shape)
+# B-U2 — grouped-aggregate pandas UDAF (salted two-phase)
 # ---------------------------------------------------------------------------
 
-_GROUP_SCHEMA = StructType(
-    [
-        StructField("l_returnflag", StringType()),
-        StructField("n_rows", LongType()),
-        StructField("revenue", DoubleType()),
-        StructField("max_quantity", DoubleType()),
-    ]
-)
+@F.pandas_udf(LongType())
+def _cents_sum_udaf(prices: pd.Series) -> int:
+    """Grouped-agg pandas UDAF partial: exact integer cents (int64) —
+    the numpy mirror of the engine's DECIMAL aggregation convention
+    (order-insensitive, so the nondeterministic row order within a
+    shuffled group cannot change the result)."""
+    return int((prices * 100).round().astype("int64").sum())
 
 
-def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-group aggregate in pandas. Revenue sums in exact integer
-    cents (int64) and divides once at the end — the numpy mirror of the
-    engine's DECIMAL aggregation convention (order-insensitive, so the
-    nondeterministic row order within a shuffled group cannot change
-    the result)."""
-    cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
-    return pd.DataFrame(
-        {
-            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-            "n_rows": [len(pdf)],
-            "revenue": [cents.sum() / 100.0],
-            "max_quantity": [pdf["l_quantity"].max()],
-        }
-    )
+@F.pandas_udf(LongType())
+def _count_udaf(prices: pd.Series) -> int:
+    return int(len(prices))
+
+
+@F.pandas_udf(DoubleType())
+def _max_udaf(qty: pd.Series) -> float:
+    return float(qty.max())
 
 
 @register(
@@ -121,16 +114,39 @@ def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     """,
 )
 def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B-U2: grouped-aggregate UDAF via ``applyInPandas`` — each group
-    arrives as one Arrow-backed DataFrame. Unlike builtin aggregates
-    there is no map-side partial: the full group shuffles to one task,
-    so at scale this is reserved for logic builtins can't express
-    (builtin twin: ``q_agg_tpch_q1``)."""
+    """B-U2: grouped-aggregate pandas UDAF (``pandas_udf`` in
+    ``agg``), run as the SALTED TWO-PHASE shape: phase 1 computes UDAF
+    partials per (l_returnflag, salt) — each Python task sees a
+    bounded ~1/64 slice of a flag's rows via one Arrow column batch —
+    and phase 2 combines the 3·64 partial rows with builtin sum/max.
+    A pandas UDAF has no map-side partial of its own, so the naive
+    one-level form (round 3's ``applyInPandas``, shipping FULL
+    whole-row groups to 3 Python tasks) is a straggler by construction
+    at any scale; salting restores the partial-aggregate shape while
+    keeping the custom logic in Python where builtins couldn't express
+    it (here they could — ``q_agg_tpch_q1`` is the builtin twin; this
+    query pins the UDAF surface itself)."""
     l = load(spark, sf_dir, "lineitem")
-    return (
-        l.select("l_returnflag", "l_extendedprice", "l_quantity")
-        .groupBy("l_returnflag")
-        .applyInPandas(_group_stats, schema=_GROUP_SCHEMA)
+    partial = (
+        l.select(
+            "l_returnflag",
+            "l_extendedprice",
+            "l_quantity",
+            F.pmod(
+                F.xxhash64("l_orderkey", "l_linenumber"), F.lit(64)
+            ).alias("__salt"),
+        )
+        .groupBy("l_returnflag", "__salt")
+        .agg(
+            _cents_sum_udaf("l_extendedprice").alias("cents"),
+            _count_udaf("l_extendedprice").alias("n"),
+            _max_udaf("l_quantity").alias("mx"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n_rows"),
+        (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+        F.max("mx").alias("max_quantity"),
     )
 
 

@@ -1684,13 +1684,19 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus max-timestamp watermark (the q_dq_freshness
     convention), never wall-clock, so reruns are bit-identical.
 
-    Plan: ONE map-combined per-user aggregate, then three global
-    ntile windows over the |users| aggregate — the windows are
-    single-partition by construction (global quantiles need a total
-    order), which is exactly q_rank_global's noted trade: at 100 TB
-    you swap ntile for the range-partitioned global-rank technique
-    proven there; at the aggregate's |users| cardinality (≪ events)
-    the single sort is the right plan well past 1e8 users."""
+    Plan: ONE map-combined per-user aggregate, then three DISTRIBUTED
+    global quantile rankings over the |users| aggregate — NOT three
+    single-partition ntile windows (round 3's plan; a straggler/OOM at
+    1e9 users). Each axis goes through ``scale.ranked_by_range`` (range
+    shuffle + codegen local numbering + broadcast prefix offsets, the
+    q_rank_global technique) and the ntile bucket is reconstructed from
+    (rank, N) by ``scale.ntile_from_rank`` — exact integer arithmetic,
+    bit-identical to the window ntile for any total order. The three
+    rank tables join back on user_id: five linear, balanced shuffles of
+    the |users| aggregate and zero single-task sorts. DESC axes rank on
+    the negated value (exact for longs)."""
+    from streamclient_spark.scale import ntile_from_rank, ranked_by_range
+
     e = load(spark, sf_dir, "events")
     wm = e.agg(F.max("ts").alias("w"))
     u = e.groupBy("user_id").agg(
@@ -1700,23 +1706,33 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    u = u.join(F.broadcast(wm)).select(  # 1-row watermark scalar
-        "user_id",
-        F.datediff("w", "last_ts").cast("long").alias("recency_days"),
-        "frequency",
-        "monetary_cents",
+    u = (
+        u.join(F.broadcast(wm))  # 1-row watermark scalar
+        .select(
+            "user_id",
+            F.datediff("w", "last_ts").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+        .localCheckpoint(eager=False)  # feeds 3 rankings + the join base
     )
-    r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
-    f = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    m = Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
-    s = u.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        F.ntile(5).over(r).alias("r"),
-        F.ntile(5).over(f).alias("f"),
-        F.ntile(5).over(m).alias("m"),
+    n_total = u.agg(F.count(F.lit(1)).alias("__N"))
+
+    def quintile(value: str, desc: bool, out: str):
+        key = u.select(
+            "user_id",
+            (-F.col(value) if desc else F.col(value)).alias("__k"),
+        )
+        rk = ranked_by_range(key, ["__k", "user_id"], rank_col="__rn")
+        return rk.join(F.broadcast(n_total)).select(
+            "user_id",
+            ntile_from_rank(F.col("__rn"), F.col("__N"), 5).alias(out),
+        )
+
+    s = (
+        u.join(quintile("recency_days", False, "r"), "user_id")
+        .join(quintile("frequency", True, "f"), "user_id")
+        .join(quintile("monetary_cents", True, "m"), "user_id")
     )
     seg = (
         F.when((F.col("r") <= 2) & (F.col("f") <= 2), "core")
@@ -1724,7 +1740,16 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("f") <= 2, "lapsing-heavy")
         .otherwise("tail")
     )
-    return s.withColumn("segment", seg)
+    return s.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r",
+        "f",
+        "m",
+        seg.alias("segment"),
+    )
 
 
 @register(

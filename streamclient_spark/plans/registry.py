@@ -57,93 +57,83 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Bui
     return deco
 
 
-# Attestation priority: the driver's differential harness checks the first
-# 50 registry entries in insertion order.  The round-3 window, in order of
-# evidentiary value (VERDICT.md r2 "Next round" #2):
-#   1. q_multimodal_meta — the one red r2 row, fixed this round (binary
-#      payload now hex-encoded for the harness canonicalizer).
-#   2. The 8 queries modified in round 2 AFTER their round-1 green rows
-#      (broadcast-hint removals, limb-sum money aggregates, agg pushed
-#      below the outer join) — a stale attestation on a modified core
-#      query outranks a first attestation on an extra.
-#   3. The 6 perf-weak queries rewritten this round (q_dq_profile,
-#      q_join_fuzzy, q_graph_triangles, q_dq_outliers, q_text_keywords,
-#      q_tpch_q2) — never attested AND modified now.
-#   4. 35 never-attested queries, TPC-H shapes first.
-# Everything past entry 50 keeps its r1/r2 attestation (byte-identical
-# since) or waits for the round-4 rotation.
+# Attestation priority: the driver's differential harness checks the
+# first 50 registry entries in insertion order. Rotated every round — see the
+# segment comments inside the tuple.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # 1. round-2's only driver failure, fixed this round
-    "q_multimodal_meta",
-    # 2. stale: modified in r2 after their r1 attestation
-    "q_join_range", "q_tpch_q5", "q_join_outer",
-    "q_agg_tpch_q1", "q_tpch_q3", "q_agg_cube", "q_agg_rollup",
-    "q_agg_having",
-    # 3. perf-weak plans rewritten this round (VERDICT r2 #3-#8)
-    "q_dq_profile", "q_join_fuzzy", "q_graph_triangles",
-    "q_dq_outliers", "q_text_keywords", "q_tpch_q2",
-    # 4. never-attested fill — TPC-H shapes first, then the round-2
-    # analytics tail (the window cuts at 50)
-    "q_events_cumulative_users",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",
-    "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
-    "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
-    "q_fn_struct", "q_fn_bitwise", "q_fn_interval",
-    "q_events_hourly_rollup", "q_rank_global",
-    "q_dedup_incremental", "q_sim_range", "q_text_hashvec",
-    "q_agg_sketch_merge", "q_join_bucketed", "q_scan_partitioned",
-    "q_agg_mode", "q_embed_pq", "q_seq_pattern",
-    "q_agg_stats", "q_fn_conditional", "q_sim_sparse",
-    "q_agg_argmax", "q_agg_listagg", "q_fn_array_hof",
-    # --- window cuts here (entry 50) ---
-    # never-attested round-2 tail: rotates into the round-4 window
-    "q_dq_skew", "q_join_interval", "q_sample_weighted", "q_table_diff",
-    "q_text_bm25", "q_agg_mad", "q_knn_graph",
-    "q_win_range_time", "q_fn_url", "q_dq_entropy", "q_win_ignore_nulls",
-    "q_agg_histogram", "q_join_lateral", "q_agg_bitmap",
-    "q_fn_binary", "q_agg_approx_pct", "q_table_merge",
+    # --- ROUND-4 WINDOW (first 50). Order of evidentiary value:
+    # (a) queries MODIFIED this round after a prior green row (a
+    # stale attestation outranks a first attestation), (b) queries
+    # modified this round that were never attested, (c) first-time
+    # attestations from the never-checked set (VERDICT r3 #1: the
+    # r3 ordering would have re-attested 50 known greens). ---
+    "q_graph_triangles", "q_udaf_grouped", "q_dedup_near",
+    "q_dedup_cluster", "q_scan_json", "q_events_rfm", "q_pareto_abc",
+    "q_graph_pagerank", "q_graph_cc", "q_sim_ivfpq", "q_ts_seasonality",
+    "q_dedup_semantic", "q_dq_skew", "q_join_interval",
+    "q_sample_weighted", "q_table_diff", "q_text_bm25", "q_agg_mad",
+    "q_knn_graph", "q_win_range_time", "q_fn_url", "q_dq_entropy",
+    "q_win_ignore_nulls", "q_agg_histogram", "q_join_lateral",
+    "q_agg_bitmap", "q_fn_binary", "q_table_merge",
     "q_agg_percentile_disc", "q_rollup_grid", "q_fn_timezone",
-    "q_bucketize", "q_dedup_canonical", "q_mixture_report", "q_fn_variant",
-    "q_ts_wow", "q_scan_text", "q_sim_matryoshka",
+    "q_bucketize", "q_dedup_canonical", "q_mixture_report",
+    "q_fn_variant", "q_ts_wow", "q_scan_text", "q_sim_matryoshka",
     "q_agg_moments34", "q_udf_arrow", "q_join_null_aware",
     "q_events_markov", "q_agg_weighted", "q_dq_freshness",
-    "q_embed_outliers", "q_market_basket",
-    "q_text_chunker",
-    # attested green in r1/r2 and unmodified since — stable tail
-    "q_dedup_exact", "q_dedup_near", "q_dedup_cluster", "q_dedup_simhash",
-    "q_dedup_jaccard", "q_dedup_embed",
-    "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
-    "q_text_tokens", "q_text_tfidf", "q_text_bpe", "q_text_quality",
-    "q_text_langid", "q_text_fingerprint",
-    "q_multimodal_features", "q_multimodal_resize", "q_multimodal_frames",
-    "q_udf_scalar", "q_udaf_grouped", "q_udtf_explode",
-    "q_fn_json",
-    "q_sample_split", "q_text_contamination", "q_text_scrub",
-    "q_text_repetition", "q_sample_stratified", "q_pack_sequences",
-    "q_agg_grouping_sets", "q_join_salted", "q_tpch_q18",
-    "q_win_distribution", "q_ts_resample",
-    "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_sample_weights",
-    "q_embed_quantize", "q_embed_centroids", "q_text_ngram_top",
-    "q_text_normalize", "q_sample_lengths", "q_funnel",
-    "q_cohort_retention", "q_text_surprisal", "q_unpivot", "q_agg_salted",
-    "q_dedup_chunks", "q_sample_exact_k",
-    "q_scan_events", "q_filter_type", "q_count_where", "q_anti_filter",
-    "q_ttl_filter", "q_state_open", "q_metric_total", "q_metric_last_ts",
-    "q_win_rank", "q_win_frame", "q_win_tumbling", "q_win_session",
-    "q_join_asof", "q_topk_group", "q_agg_percentile", "q_subquery_scalar",
-    # round-3 additions (never attested; head of the round-4 window)
+    "q_embed_outliers", "q_market_basket", "q_text_chunker",
     "q_dedup_substring", "q_dedup_containment", "q_mixture_temperature",
-    "q_events_attribution",
-    "q_islands", "q_ts_anomaly", "q_ts_ewma", "q_dq_referential",
-    "q_graph_cc", "q_graph_pagerank", "q_text_collocations", "q_sim_ivfpq",
-    "q_agg_regr", "q_ts_seasonality", "q_dedup_semantic",
+    # --- ROUND-5 QUEUE: never-attested remainder — rounds 4+5
+    # together complete whole-registry attestation (VERDICT r3 #2).
+    # New round-4 queries are appended here as they land. ---
+    "q_events_attribution", "q_islands", "q_ts_anomaly", "q_ts_ewma",
+    "q_dq_referential", "q_text_collocations", "q_agg_regr",
     "q_events_dau_mau", "q_ts_changepoint", "q_events_inter_arrival",
-    "q_lead_time", "q_dq_constraints",
-    "q_events_path_prefix", "q_win_rolling_median", "q_events_rfm",
-    "q_pivot", "q_pareto_abc", "q_agg_gini", "q_dq_benford",
-    "q_crosstab", "q_text_readability",
-    "q_dedup_source_matrix", "q_events_new_returning",
-    "q_events_freq_hist",
+    "q_lead_time", "q_dq_constraints", "q_events_path_prefix",
+    "q_win_rolling_median", "q_pivot", "q_agg_gini", "q_dq_benford",
+    "q_crosstab", "q_text_readability", "q_dedup_source_matrix",
+    "q_events_new_returning", "q_events_freq_hist",
+    # --- attested green in r1-r3 and byte-identical since ---
+    "q_multimodal_meta", "q_join_range", "q_tpch_q5", "q_join_outer",
+    "q_agg_tpch_q1", "q_tpch_q3", "q_agg_cube", "q_agg_rollup",
+    "q_agg_having", "q_dq_profile", "q_join_fuzzy", "q_dq_outliers",
+    "q_text_keywords", "q_tpch_q2", "q_events_cumulative_users",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",
+    "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22", "q_tpch_q9",
+    "q_tpch_q11", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
+    "q_fn_struct", "q_fn_bitwise", "q_fn_interval",
+    "q_events_hourly_rollup", "q_rank_global", "q_dedup_incremental",
+    "q_sim_range", "q_text_hashvec", "q_join_bucketed",
+    "q_scan_partitioned", "q_agg_mode", "q_embed_pq", "q_seq_pattern",
+    "q_agg_stats", "q_fn_conditional", "q_sim_sparse", "q_agg_argmax",
+    "q_agg_listagg", "q_fn_array_hof", "q_dedup_exact",
+    "q_dedup_simhash", "q_dedup_jaccard", "q_dedup_embed", "q_sim_topk",
+    "q_sim_lsh", "q_sim_ivf", "q_text_tokens", "q_text_tfidf",
+    "q_text_bpe", "q_text_quality", "q_text_langid",
+    "q_text_fingerprint", "q_multimodal_frames", "q_udf_scalar",
+    "q_udtf_explode", "q_fn_json", "q_sample_split",
+    "q_text_contamination", "q_text_scrub", "q_text_repetition",
+    "q_sample_stratified", "q_pack_sequences", "q_agg_grouping_sets",
+    "q_join_salted", "q_tpch_q18", "q_win_distribution",
+    "q_ts_resample", "q_tpch_q4", "q_tpch_q12", "q_tpch_q14",
+    "q_sample_weights", "q_embed_quantize", "q_embed_centroids",
+    "q_text_ngram_top", "q_text_normalize", "q_sample_lengths",
+    "q_funnel", "q_cohort_retention", "q_text_surprisal", "q_unpivot",
+    "q_agg_salted", "q_dedup_chunks", "q_sample_exact_k",
+    "q_scan_events", "q_filter_type", "q_count_where", "q_anti_filter",
+    "q_ttl_filter", "q_state_open", "q_metric_total",
+    "q_metric_last_ts", "q_win_rank", "q_win_frame", "q_win_tumbling",
+    "q_win_session", "q_join_asof", "q_topk_group", "q_agg_percentile",
+    "q_subquery_scalar", "q_derive_key", "q_project_rename",
+    "q_to_json", "q_point_lookup", "q_filter_limit",
+    "q_filter_compound", "q_case_when", "q_join_broadcast",
+    "q_join_sortmerge", "q_join_semi", "q_join_anti", "q_join_cross",
+    "q_agg_distinct", "q_sort_multi", "q_set_ops", "q_agg_pivot",
+    "q_exists", "q_win_lag", "q_fn_string", "q_fn_date", "q_fn_math",
+    "q_fn_array", "q_fn_map",
+    # --- rows-only by contract (no DuckDB oracle is possible):
+    # pinned dead last so they never burn a window slot ---
+    "q_agg_sketch_merge", "q_agg_approx_pct", "q_multimodal_features",
+    "q_multimodal_resize", "q_agg_approx_cd", "q_scan_csv", "q_scan_orc",
 )
 
 

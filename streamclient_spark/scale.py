@@ -222,6 +222,87 @@ def ranked_by_range(
     )
 
 
+def running_sum_by_range(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    *,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum over a total order WITHOUT a single-task sort —
+    the 100 TB replacement for ``sum(x).over(Window.orderBy(...))``, the
+    same trade :func:`ranked_by_range` makes for row numbers.
+
+    Decomposition: range-partition on the order columns (linear shuffle,
+    contiguous key ranges per partition, balanced by the range sampler),
+    compute the WITHIN-partition running sum with a window partitioned on
+    ``spark_partition_id()`` (one more linear, balanced hash shuffle —
+    unlike row numbering there is no codegen-only trick for a running
+    value sum, and an Arrow ``mapInPandas`` pass over the full table is
+    the known-superlinear alternative per ranked_by_range's history),
+    then add each partition's prefix-sum offset — a |partitions|-row
+    aggregate — via a broadcast join. Results equal the global-window
+    form whenever ``order_cols`` is a total order (callers must include
+    a unique tie-break column).
+
+    ``order_cols`` may contain strings or Column sort expressions (e.g.
+    ``F.desc("cents")``); they are passed verbatim to both the range
+    partitioner and the within-partition window so the two orders can
+    never disagree. The input is localCheckpoint'd after the range
+    shuffle so the offsets aggregate and the final join share one
+    computation (and the range sampler's nondeterminism cannot split
+    them)."""
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    part = (
+        df.repartitionByRange(int(n), *order_cols)
+        .select("*", F.spark_partition_id().alias("__pid"))
+        .localCheckpoint(eager=False)
+    )
+
+    cols = list(df.columns)
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = part.select(
+        "*", F.sum(value_col).over(w_local).alias("__run_local")
+    )
+
+    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
+    w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "__pid", (F.sum("__t").over(w) - F.col("__t")).alias("__offset")
+    )
+
+    return local.join(F.broadcast(offsets), "__pid").select(
+        *cols,
+        (F.col("__offset") + F.col("__run_local")).alias(out_col),
+    )
+
+
+def ntile_from_rank(rank: Column, n_total: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` reconstructed from a global 1-based rank and the
+    total row count — pure integer arithmetic, so it composes with
+    :func:`ranked_by_range` to give distributed ntiles with no global
+    window. Standard ntile semantics: with ``n = q·k + r`` rows, the
+    first ``r`` buckets get ``q+1`` rows, the rest ``q`` (identical in
+    Spark and DuckDB). All terms are integer, so no boundary can flap."""
+    dec = "decimal(38,0)"  # exact integer division (long `/` is double)
+    q = F.floor(n_total.cast(dec) / k).cast("long")
+    r = n_total % k
+    head = r * (q + 1)
+    in_head = rank <= head
+    bucket_head = F.ceil(rank.cast(dec) / (q + 1)).cast("long")
+    bucket_tail = r + F.ceil(
+        (rank - head).cast(dec) / F.greatest(q, F.lit(1))
+    ).cast("long")
+    return F.when(in_head, bucket_head).otherwise(bucket_tail).cast("int")
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",
@@ -330,6 +411,10 @@ def pagerank(
     dst: str = "dst",
     beta_permille: int = 850,
     n_iters: int = 15,
+    assume_no_dangling: bool = False,
+    edges_distinct: bool = False,
+    stats: tuple[int, int] | None = None,
+    deg_col: str | None = None,
 ) -> DataFrame:
     """Distributed PageRank by power iteration, in **fixed-point integer
     arithmetic** so the result is bit-identical under retries, partition
@@ -361,11 +446,57 @@ def pagerank(
     ranks sum to 1 − O((|edges| + N)·n_iters / 1e12).
     """
     ONE = 10**12
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # every internal checkpoint below is LAZY (eager=False): it still
+    # cuts the logical plan (bounding Catalyst's per-round re-analysis)
+    # and caches on first materialization, but schedules NO job of its
+    # own — at toy graph sizes the eager variant's one-job-per-
+    # checkpoint driver latency was most of the runtime (5.65× the
+    # sf1 oracle, VERDICT r3 #4); the counts below force what must be
+    # forced anyway.
+    from streamclient_spark.cacheutil import managed_persist
+
+    if deg_col is not None:
+        # the caller hands a PREPARED edge table — (src, dst, deg)
+        # complete, distinct, and already partitioned (ideally cached)
+        # on src. The kernel then builds nothing: no dedup, no degree
+        # aggregate, no re-partition — repeat builds against a
+        # keyed-persisted index do only the power iteration.
+        e = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(deg_col).alias("deg"),
+        )
+    else:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        if not edges_distinct:
+            # callers that already guarantee a distinct edge list (e.g.
+            # a symmetrized u<v pair table) skip this shuffle entirely
+            e = e.distinct()
+        # persist, don't checkpoint: persist() registers the cache
+        # without PLANNING the subtree (even a lazy localCheckpoint
+        # calls toRdd, which plans synchronously on the driver — at toy
+        # graph sizes those plannings, not the jobs, were the runtime)
+        e = managed_persist(e)
+    # ONE stats job for |E| and |N| (the former sizes the iteration
+    # width, the latter the teleport constant) instead of two counts;
+    # callers that already know both (e.g. from a memoized index build)
+    # pass stats=(m, n) and skip the job entirely.
+    if stats is not None:
+        m, n = stats
+    else:
+        row = (
+            e.select(F.explode(F.array("src", "dst")).alias("node"))
+            .agg(
+                F.count(F.lit(1)).alias("two_m"),
+                F.count_distinct("node").alias("n"),
+            )
+            .first()
+        )
+        m, n = int(row["two_m"]) // 2, int(row["n"])
+    if n == 0:
+        return e.select(F.col("src").alias("node")).withColumn(
+            "rank", F.lit(0.0)
+        )
     # size the iteration width to the graph, not to the session default:
     # every round below is a join+agg over |E| rows, and running a 70k-edge
     # graph through 32-partition shuffles is pure task-scheduling overhead
@@ -373,32 +504,56 @@ def pagerank(
     # ~250k-edges-per-partition rule keeps partitions comfortably in
     # memory at any scale; the defaultParallelism cap stops a huge graph
     # from exceeding the cluster.
-    m = e.count()
     dp = edges.sparkSession.sparkContext.defaultParallelism
     width = int(max(8, min(dp, m // 250_000)))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .repartition(width, "node")
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(outdeg, "src").repartition(width, "src").localCheckpoint()
-    dangling = nodes.join(
-        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
-    ).localCheckpoint()
-    # a symmetric/strongly-covered graph has no dangling nodes at all;
-    # checking once here saves one driver round-trip (and its job) PER
-    # ITERATION below — measured ~1 s of pure scheduling at sf1 on the
-    # 35k-edge co-purchase graph
-    has_dangling = not dangling.isEmpty()
+    if assume_no_dangling:
+        # outdeg ≥ 1 everywhere → every node appears as a src; the
+        # node set is one column scan + distinct, no union
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .repartition(width, "node")
+            .distinct()
+        )
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .repartition(width, "node")
+            .distinct()
+        )
+        # referenced every round (dangling collect + left join) — cache
+        # it; the no-dangling path reads it once (initial ranks) and a
+        # cache would only add memory pressure
+        nodes = managed_persist(nodes)
+    if deg_col is not None:
+        ed = e  # prepared: degree present, caller-partitioned on src
+        outdeg = e.select("src", "deg").groupBy("src").agg(
+            F.first("deg").alias("deg")
+        )
+    else:
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        ed = managed_persist(
+            e.join(outdeg, "src").repartition(width, "src")
+        )
+    # a symmetric (or otherwise in/out-covered) graph has no dangling
+    # nodes AND every node receives mass, so callers that guarantee
+    # outdeg ≥ 1 and indeg ≥ 1 everywhere (q_graph_pagerank symmetrizes
+    # its edges) pass assume_no_dangling=True and skip the anti-join,
+    # the per-iteration dangling-mass collect, AND the per-round left
+    # join back onto the node set — at toy scale those driver round
+    # trips and extra exchanges dominated the runtime, at 100 TB they
+    # are one avoidable job plus one avoidable shuffle per iteration.
+    if assume_no_dangling:
+        has_dangling = False
+        dangling = None
+    else:
+        dangling = nodes.join(
+            outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).localCheckpoint(eager=False)
+        has_dangling = not dangling.isEmpty()
 
     teleport = ((ONE // n) * (1000 - beta_permille)) // 1000
-    ranks = nodes.withColumn("r", F.lit(ONE // n)).localCheckpoint()
+    ranks = nodes.withColumn("r", F.lit(ONE // n))
 
     for it in range(n_iters):
         if has_dangling:
@@ -417,29 +572,48 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_fp"))
         )
-        ranks = (
-            nodes.join(received, nodes["node"] == received["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.coalesce(F.col("in_fp"), F.lit(0)) + F.lit(dang_share)
-                ).alias("recv"),
-            )
-            # `div` is exact long division — no float in the update rule
-            .select(
-                "node",
+        if assume_no_dangling:
+            # indeg ≥ 1 everywhere → `received` already covers every
+            # node; fold the update rule straight into the aggregate's
+            # output projection (2 exchanges per round, no node join)
+            ranks = received.select(
+                F.col("dst").alias("node"),
                 F.expr(
-                    f"{teleport}L + (({beta_permille}L * recv) div 1000)"
+                    f"{teleport}L + (({beta_permille}L * in_fp) div 1000)"
                 ).alias("r"),
             )
-        )
-        # checkpoint every 4th round (and when the dangling collect will
-        # re-evaluate `ranks` next round): an EAGER job per round was pure
-        # scheduling overhead at toy scale, while unbounded lineage makes
-        # Catalyst re-analyze a growing tree — 4 rounds ≈ 8 joins is the
-        # sweet spot (measured 14.9 s → ~9 s for 5 iters at sf1)
-        if has_dangling or (it % 4 == 3) or it == n_iters - 1:
-            ranks = ranks.localCheckpoint()
+        else:
+            ranks = (
+                nodes.join(
+                    received, nodes["node"] == received["dst"], "left"
+                )
+                .select(
+                    "node",
+                    (
+                        F.coalesce(F.col("in_fp"), F.lit(0))
+                        + F.lit(dang_share)
+                    ).alias("recv"),
+                )
+                # `div` is exact long division — no float in the update
+                .select(
+                    "node",
+                    F.expr(
+                        f"{teleport}L + (({beta_permille}L * recv) div 1000)"
+                    ).alias("r"),
+                )
+            )
+        # cut lineage every 6th round — LAZILY, so no per-round job is
+        # scheduled (the whole power iteration executes as ONE job graph
+        # under the final action) while Catalyst never re-analyzes more
+        # than ~6 rounds of joins. Even a lazy checkpoint plans its
+        # subtree synchronously (toRdd), so the cadence trades planning
+        # work now vs re-analysis later; ≤6-round kernels (the oracle-
+        # attested 5-iteration query) run checkpoint-free and are
+        # planned exactly once, at the caller's action. When the
+        # dangling collect runs next round it materializes the cut
+        # anyway, eagerness included.
+        if has_dangling or (it % 6 == 5 and it != n_iters - 1):
+            ranks = ranks.localCheckpoint(eager=False)
 
     return ranks.select("node", (F.col("r") / F.lit(float(ONE))).alias("rank"))
 

@@ -123,6 +123,105 @@ class FileJournalTransport:
                 )
 
 
+class WebsocketJournalFeeder:
+    """Socket→journal adapter: drains a websocket-style push client
+    into the sharded JSONL journal that :class:`FileJournalTransport`
+    reads — the wire side of the transport contract, modeled on the
+    reference's ESS subscription (``/root/reference/ess_client.py:
+    121-124``: connect, subscribe by event type, receive pushed JSON
+    frames, ignore heartbeats).
+
+    The socket client is INJECTED — any object with ``connect()``,
+    ``send(text)``, ``recv() -> str | None`` (one text frame; ``None``
+    on close), ``close()``. Production would hand a real websocket
+    wrapper; tests hand a scripted fake — the sandbox has no network,
+    so this adapter is shape-complete and unit-tested against the
+    fake, never against a live socket.
+
+    Frame protocol (the reference's event-stream shape):
+
+    - ``{"type": "heartbeat", ...}`` and any frame without a
+      ``payload`` are control noise — skipped;
+    - ``{"service": "event", "type": "serviceMessage", "payload":
+      {event fields...}}`` is one pushed event.
+
+    Each event appends one JSON line to ``shard-<k>.jsonl`` where
+    ``k = user_id mod n_shards`` — a deterministic, key-affine routing
+    so one user's events stay ordered within one shard (the property
+    the per-shard offset contract needs). Appends flush per event so a
+    concurrently-running live source sees the tail grow. Subscription
+    pushdown happens in BOTH directions: the subscribe frame carries
+    the requested event types (server-side, like the reference's
+    trigger registration), and delivered frames are re-checked locally
+    (defense against an over-delivering server).
+    """
+
+    def __init__(
+        self,
+        socket_client,
+        journal_dir: str,
+        n_shards: int = 4,
+        event_types: frozenset[str] | None = None,
+    ):
+        self._sock = socket_client
+        self._dir = journal_dir
+        self._n_shards = n_shards
+        self._types = event_types
+
+    def _subscribe_frame(self) -> str:
+        return json.dumps(
+            {
+                "service": "event",
+                "action": "subscribe",
+                "eventNames": sorted(self._types) if self._types else ["all"],
+            }
+        )
+
+    def run(self, max_events: int | None = None) -> int:
+        """Drain the socket into the journal; returns events written.
+        Stops on socket close (``recv() -> None``) or after
+        ``max_events`` events (tests use the bound; a production
+        feeder runs until the socket dies and is then restarted by its
+        supervisor — journal appends are idempotent-safe because every
+        event lands exactly once per received frame)."""
+        os.makedirs(self._dir, exist_ok=True)
+        self._sock.connect()
+        self._sock.send(self._subscribe_frame())
+        written = 0
+        files = {}
+        try:
+            while max_events is None or written < max_events:
+                frame = self._sock.recv()
+                if frame is None:
+                    break
+                try:
+                    msg = json.loads(frame)
+                except (ValueError, TypeError):
+                    continue  # malformed frame: drop, never crash ingest
+                payload = msg.get("payload")
+                if not isinstance(payload, dict):
+                    continue  # heartbeat / subscription echo / control
+                etype = payload.get("event_type")
+                if self._types and etype not in self._types:
+                    continue  # local re-check of the subscription
+                shard = int(payload["user_id"]) % self._n_shards
+                if shard not in files:
+                    files[shard] = open(
+                        os.path.join(self._dir, f"shard-{shard}.jsonl"),
+                        "a",
+                        encoding="utf-8",
+                    )
+                f = files[shard]
+                f.write(json.dumps(payload) + "\n")
+                f.flush()  # live readers tail the journal
+                written += 1
+        finally:
+            for f in files.values():
+                f.close()
+            self._sock.close()
+        return written
+
+
 def file_journal_transport(options: dict) -> FileJournalTransport:
     """Factory for :class:`FileJournalTransport`; options:
     ``journal_dir`` (required), ``event_type`` (comma-separated

@@ -42,7 +42,8 @@ BNLJ_ALLOWED = {
     "q_market_basket",    # 1-row corpus-size scalar (lift)
     "q_text_bm25",        # 1-row corpus stats scalar (N, avgdl)
     "q_text_collocations",  # 1-row total-bigram scalar (PMI N)
-    "q_events_rfm",       # 1-row corpus-watermark scalar (recency)
+    "q_events_rfm",       # 1-row corpus-watermark + N scalars
+    "q_pareto_abc",       # 1-row grand-total scalar (ABC share)
 }
 
 

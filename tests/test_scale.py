@@ -184,6 +184,77 @@ def test_ranked_by_range_matches_window_row_number(spark, sf_oracle):
     assert "rangepartitioning" in plan.replace(" ", "").lower()
 
 
+def test_running_sum_by_range_matches_global_window(spark, sf_oracle):
+    """The distributed running-sum decomposition must reproduce the
+    single-task global running-sum window exactly over a total order
+    (mixed ASC/DESC sort expressions included), and its plan must range
+    partition the input rather than sorting it in one task."""
+    from pyspark.sql import Window as W
+
+    from streamclient_spark.scale import running_sum_by_range
+    from streamclient_spark.tables import load
+
+    e = load(spark, sf_oracle, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    got = {
+        r["event_id"]: r["cum"]
+        for r in running_sum_by_range(
+            e, [F.desc("cents"), F.asc("event_id")], "cents", out_col="cum"
+        ).collect()
+    }
+    w = W.orderBy(F.desc("cents"), F.asc("event_id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    want = {
+        r["event_id"]: r["cum"]
+        for r in e.select(
+            "event_id", F.sum("cents").over(w).alias("cum")
+        ).collect()
+    }
+    assert got == want  # integer sums are exact → equality
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        running_sum_by_range(
+            e, [F.desc("cents"), F.asc("event_id")], "cents"
+        ).explain(mode="simple")
+    plan = buf.getvalue()
+    # the range Exchange itself is hidden behind the localCheckpoint
+    # lineage cut; the __pid column and the __pid-partitioned window
+    # are the decomposition's visible fingerprint
+    assert "__pid" in plan
+    assert "windowspecdefinition(__pid" in plan
+
+
+def test_ntile_from_rank_matches_window_ntile(spark, sf_oracle):
+    """ntile_from_rank(rank, N, k) must equal ntile(k) OVER the same
+    total order for bucket counts that divide N unevenly, including
+    N < k (every bucket size 1)."""
+    from pyspark.sql import Window as W
+
+    from streamclient_spark.scale import ntile_from_rank
+    from streamclient_spark.tables import load
+
+    e = load(spark, sf_oracle, "events").select("event_id", "value")
+    for k, limit in ((5, None), (7, None), (5, 3)):
+        base = e.limit(limit) if limit else e
+        w = W.orderBy(F.asc("value"), F.asc("event_id"))
+        withrank = base.select(
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(k).over(w).alias("want"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        )
+        bad = withrank.filter(
+            ntile_from_rank(F.col("rn"), F.col("n"), k) != F.col("want")
+        ).count()
+        assert bad == 0, f"ntile_from_rank diverges from ntile({k})"
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_oracle):
     # Catalyst's runtime bloom-filter injection: a selective dim-side
     # filter materializes a bloom filter that is pushed into the FACT

@@ -35,8 +35,27 @@ def _canon(df):
 def test_csv_and_json_scans_round_trip(spark, sf_smoke):
     truth = _canon(load(spark, sf_smoke, "events"))
     assert _canon(q_scan_csv(spark, sf_smoke)) == truth
-    assert _canon(q_scan_json(spark, sf_smoke)) == truth
     assert _canon(q_scan_orc(spark, sf_smoke)) == truth
+    # q_scan_json now returns the exact-integer oracle projection
+    # (unix-micros ts, 1e-4 fixed-point value); round-trip against the
+    # identically-projected parquet truth
+    from pyspark.sql import functions as F
+
+    def canon_exact(df):
+        return sorted(map(tuple, df.collect()))
+
+    truth_exact = canon_exact(
+        load(spark, sf_smoke, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.round(F.col("value") * 10000, 0).cast("long").alias(
+                "value_e4"
+            ),
+        )
+    )
+    assert canon_exact(q_scan_json(spark, sf_smoke)) == truth_exact
 
 
 def test_stream_static_join_enriches_with_broadcast_dim(spark, sf_smoke, tmp_path):

@@ -391,6 +391,107 @@ def test_live_source_end_to_end_through_pipeline(spark, tmp_path):
     assert got == {"11", "12"}
 
 
+class _FakeSocket:
+    """Scripted websocket stand-in: connect/send are recorded, recv
+    replays the frame script, None-terminated."""
+
+    def __init__(self, frames):
+        self.frames = list(frames)
+        self.sent = []
+        self.connected = False
+        self.closed = False
+
+    def connect(self):
+        self.connected = True
+
+    def send(self, text):
+        self.sent.append(text)
+
+    def recv(self):
+        return self.frames.pop(0) if self.frames else None
+
+    def close(self):
+        self.closed = True
+
+
+def test_websocket_feeder_drives_live_source_end_to_end(spark, tmp_path):
+    """VERDICT r3 #7: the socket→journal adapter. A scripted fake
+    socket pushes ESS-style frames (subscription echo, heartbeats,
+    malformed junk, service messages); the feeder must write exactly
+    the subscribed events into the sharded journal, and the live
+    source must then read them through the standard transport —
+    fake socket to Spark rows, end to end, no network."""
+    import json as _json
+
+    from streamclient_spark.sources.transport import (
+        FileJournalTransport,
+        WebsocketJournalFeeder,
+    )
+
+    def service_msg(event_id, user, etype, minute):
+        return _json.dumps(
+            {
+                "service": "event",
+                "type": "serviceMessage",
+                "payload": _json.loads(
+                    _journal_event(event_id, user, etype, minute)
+                ),
+            }
+        )
+
+    frames = [
+        _json.dumps({"type": "subscriptionEcho"}),   # control: skipped
+        service_msg(1, 10, "signup", 0),
+        _json.dumps({"type": "heartbeat", "online": True}),
+        service_msg(2, 11, "signup", 1),
+        "{not json",                                  # malformed: skipped
+        service_msg(3, 12, "view", 2),                # unsubscribed type
+        service_msg(4, 13, "signup", 3),
+    ]
+    sock = _FakeSocket(frames)
+    journal = tmp_path / "journal"
+    feeder = WebsocketJournalFeeder(
+        sock,
+        str(journal),
+        n_shards=2,
+        event_types=frozenset({"signup"}),
+    )
+    n = feeder.run()
+    assert n == 3 and sock.connected and sock.closed
+    # the subscribe frame carried the requested types (server-side
+    # pushdown, the reference's typed trigger registration)
+    sub = _json.loads(sock.sent[0])
+    assert sub["action"] == "subscribe" and sub["eventNames"] == ["signup"]
+    # shard routing is user_id mod n_shards → user 10 even; 11, 13 odd
+    t = FileJournalTransport(str(journal), None)
+    assert t.latest() == {0: 1, 1: 2}
+
+    # and the live source reads the feeder-written journal end to end
+    spark.dataSource.register(EventReplayDataSource)
+    stream = (
+        spark.readStream.format("event_replay")
+        .option("mode", "live")
+        .option("transport", TRANSPORT)
+        .option("journal_dir", str(journal))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ws_fed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    _drain(
+        q,
+        lambda: spark.sql("SELECT count(*) c FROM ws_fed").collect()[0]["c"]
+        >= 3,
+    )
+    rows = spark.sql("SELECT event_id, event_type FROM ws_fed").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 4]
+    assert {r["event_type"] for r in rows} == {"signup"}
+
+
 def test_live_source_subscription_filter_pushdown(spark, tmp_path):
     """The subscribe-by-type option filters inside the transport (the
     reference's server-side typed subscription), not in Spark."""
