@@ -839,3 +839,72 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w, 6).alias("p_temp"),
         F.floor(w * MIXTURE_BUDGET_DOCS).cast("long").alias("budget_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_cut — per-source quality-quantile pruning (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_quality_cut",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                  * 1000 // n_chars AS BIGINT) AS alpha_permille
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, alpha_permille,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY alpha_permille DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM scored
+    )
+    SELECT doc_id, source, alpha_permille
+    FROM ranked WHERE rn * 2 <= n_src
+    """,
+)
+def q_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-quantile pruning: keep each source's top
+    half of documents by quality score — the stratified quality cut
+    every pre-training mixture applies (prune WITHIN each domain, so a
+    uniformly-noisy domain isn't wiped out by a global threshold and a
+    clean domain isn't kept wholesale). The score is the alphanumeric
+    character share in EXACT integer permille (alnum·1000 div n_chars
+    — a single regex count, no float), and the cut is decided by
+    integer rank arithmetic (rn·2 ≤ n_source with a doc_id tie-break)
+    rather than percent_rank's float — no boundary document can flap.
+
+    Plan: one codegen regex projection over the corpus, then a window
+    partitioned BY SOURCE — shuffles once on the stratum key, never a
+    global sort (the per-source sort is the operator's semantics; a
+    pathologically dominant source falls back to the ranked_by_range
+    decomposition per stratum, same trade as q_rank_global)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "length(regexp_replace(text, '[^a-zA-Z0-9]', '')) * 1000 "
+            "div n_chars"
+        )
+        .cast("long")
+        .alias("alpha_permille"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("alpha_permille"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "alpha_permille",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("n_src"),
+    )
+    return ranked.filter(F.col("rn") * 2 <= F.col("n_src")).select(
+        "doc_id", "source", "alpha_permille"
+    )

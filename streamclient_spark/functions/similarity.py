@@ -47,7 +47,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from streamclient_spark.functions.vectors import dot_fold
+from streamclient_spark.functions.vectors import cosine, dot_fold
 from streamclient_spark.plans.registry import register
 from streamclient_spark.tables import load
 
@@ -1314,4 +1314,65 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("adc_l2sq", 6).alias("adc_l2sq"),
             "rank",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_sim_hist — embedding-space similarity histogram (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embed_sim_hist",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT round({_SQL_COS.format(a="a.embedding", b="b.embedding")}, 6)
+               AS c6
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT CAST(floor(c6 * 20) AS BIGINT) AS sim_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(c6), 6) AS min_cos,
+           round(max(c6), 6) AS max_cos
+    FROM pairs GROUP BY 1
+    """,
+)
+def q_embed_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster pairwise-cosine histogram (0.05-wide bins) — the
+    embedding-space health check run before any similarity threshold
+    is chosen: a healthy space shows a tight high-cosine mode per
+    cluster; a collapsed or noisy embedding smears across bins. Pairs
+    are blocked BY LABEL (the same cell-blocking as SemDeDup — never
+    corpus²; a cell's pair count is bounded by its own size), cosines
+    are strictly-sequential Catalyst folds (bit-identical to DuckDB's
+    list fold), and the bin index floors the ALREADY-rounded cosine —
+    both engines floor the same double, so no boundary flap. At 100 TB
+    the blocking column is the partitioner; everything after the
+    within-cell join is histogram-sized."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    a = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+    )
+    c6 = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(c6.alias("c6"))
+    )
+    return pairs.groupBy(
+        F.floor(F.col("c6") * 20).cast("long").alias("sim_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.min("c6"), 6).alias("min_cos"),
+        F.round(F.max("c6"), 6).alias("max_cos"),
     )

@@ -1334,3 +1334,81 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "n_sents", "n_syll",
         flesch.alias("flesch"), band.alias("band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_zipf — Zipf decay profile of the corpus vocabulary (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_zipf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({SQL_TOKENS.format(col="text")}) AS token
+      FROM documents
+    ),
+    freq AS (
+      SELECT token, count(*) AS f FROM tok GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, f,
+             row_number() OVER (ORDER BY f DESC, token) AS r
+      FROM freq
+    ),
+    binned AS (
+      SELECT CAST(length(bin(r)) - 1 AS INT) AS rank_bin,
+             count(*) AS n_tokens,
+             CAST(sum(f) AS BIGINT) AS freq_sum,
+             CAST(max(f) AS BIGINT) AS max_freq
+      FROM ranked GROUP BY 1
+    )
+    SELECT rank_bin, n_tokens, freq_sum, max_freq,
+           CAST(freq_sum * 1000 // lead(freq_sum)
+                OVER (ORDER BY rank_bin) AS BIGINT) AS decay_permille
+    FROM binned
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf decay profile: corpus token frequencies bucketed into
+    power-of-two RANK bins (ranks 1, 2-3, 4-7, …), with the bin-over-
+    bin mass decay — the one-glance check that a corpus has a natural
+    long-tail vocabulary (a Zipf-α≈1 corpus decays ≈ constant
+    permille per doubling; scraped boilerplate or synthetic spam shows
+    up as a flat or cliffed profile — a standard pre-training corpus
+    health signal). EVERYTHING is exact integer arithmetic: bin =
+    length(bin(rank))−1 (the q_events_freq_hist device), masses are
+    long sums, decay is floored integer permille via lead — no libm
+    log ever enters a sum, so no float-ordering hazard exists.
+
+    Plan: the shared persisted tf table (one tokenize pass), a |vocab|
+    aggregate, a global rank over the |vocab| aggregate (bounded —
+    vocabulary, not corpus; at web scale swap in scale.ranked_by_range
+    exactly as q_rank_global does), then a ≤32-row bin rollup and a
+    window over ≤32 rows."""
+    from streamclient_spark.cacheutil import release_managed
+
+    release_managed()
+    tf = _tf_table(spark, sf_dir)
+    freq = tf.groupBy("token").agg(F.sum("tf").alias("f"))
+    w = Window.orderBy(F.desc("f"), F.asc("token"))
+    ranked = freq.select("f", F.row_number().over(w).alias("r"))
+    binned = ranked.groupBy(
+        (F.length(F.bin("r")) - 1).cast("int").alias("rank_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("f").alias("freq_sum"),
+        F.max("f").alias("max_freq"),
+    )
+    return binned.select(
+        "rank_bin",
+        "n_tokens",
+        "freq_sum",
+        "max_freq",
+        F.expr(
+            "(freq_sum * 1000) div "
+            "lead(freq_sum) OVER (ORDER BY rank_bin)"
+        )
+        .cast("long")
+        .alias("decay_permille"),
+    )

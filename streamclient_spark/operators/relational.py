@@ -5032,3 +5032,440 @@ def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div total_n AS BIGINT)"
         ).alias("exp_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 graph additions: degree distribution, link prediction, k-core
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_degree_dist",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               count(DISTINCT a.l_orderkey) AS support
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+      ) WHERE support >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    )
+    SELECT CAST(length(bin(d)) - 1 AS INT) AS log2_bin,
+           count(*) AS n_nodes,
+           min(d) AS min_deg,
+           max(d) AS max_deg,
+           CAST(sum(d) AS BIGINT) AS sum_deg
+    FROM deg GROUP BY 1
+    """,
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph in power-of-two
+    bins — the first diagnostic you run on any production graph (a
+    heavy tail here is what motivates the degree-oriented triangle
+    orientation and the salted joins). Bin = length(bin(d))−1, exact
+    integer arithmetic on both engines (the q_events_freq_hist device;
+    floor(log2) trusts libm at 2^k boundaries). Plan: the keyed edge
+    index, one map-combined degree aggregate, a ≤64-group rollup."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    log2_bin = (F.length(F.bin("d")) - 1).cast("int")
+    return deg.groupBy(log2_bin.alias("log2_bin")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").alias("min_deg"),
+        F.max("d").alias("max_deg"),
+        F.sum("d").alias("sum_deg"),
+    )
+
+
+@register(
+    "q_graph_jaccard",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               count(DISTINCT a.l_orderkey) AS support
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+      ) WHERE support >= 2
+    ),
+    adj AS MATERIALIZED (
+      SELECT u AS node, v AS nbr FROM e
+      UNION ALL SELECT v, u FROM e
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM adj GROUP BY node
+    ),
+    common AS (
+      SELECT a.nbr AS x, b.nbr AS y, count(*) AS cn
+      FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    nonedge AS (
+      SELECT c.x, c.y, c.cn FROM common c
+      LEFT JOIN e ON e.u = c.x AND e.v = c.y
+      WHERE e.u IS NULL
+    )
+    SELECT x AS a, y AS b, CAST(cn AS BIGINT) AS common_nbrs,
+           CAST(cn * 1000 // (da.d + db.d - cn) AS BIGINT)
+             AS jaccard_permille
+    FROM nonedge
+    JOIN deg da ON da.node = x
+    JOIN deg db ON db.node = y
+    ORDER BY jaccard_permille DESC, a, b
+    LIMIT 100
+    """,
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard — score NON-adjacent
+    node pairs by |N(a)∩N(b)| / |N(a)∪N(b)|, top-100 (the classic
+    common-neighbors recommender over the co-purchase graph: parts
+    bought alongside the same parts, never together). The score is
+    floored integer permille (cn·1000 div (dₐ+d_b−cn)) so no ratio can
+    flap, with the (a, b) tie-break making the LIMIT deterministic.
+
+    Plan: wedges from the keyed edge index (adjacency self-join on the
+    shared endpoint — the same shape as the triangle closure, with the
+    cn ≥ 2 support floor bounding the pair fan-out), an anti-join
+    against the edge list to keep non-edges, two joins onto the tiny
+    degree table, and a global top-100 (rank-k over a pre-pruned pair
+    set). At 100 TB the wedge join is the cost and it is bounded by
+    Σ d² over the SUPPORTED graph — the same arboricity argument as
+    q_graph_triangles. On a corpus with genuine super-hubs (degree ≫
+    10³) the wedge CENTER role additionally takes a degree cap — drop
+    centers above it before the self-join, the LSH_BUCKET_CAP analog:
+    a part co-bought with everything carries no affinity signal, and
+    one hub center is d²/2 wedges. The fixture graph's max degree is
+    13, so the cap is documented, not wired. Everything downstream of
+    the wedge join is pair-sized."""
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    common = (
+        adj.alias("a")
+        .join(adj.alias("b"), "node")
+        .filter(F.col("a.nbr") < F.col("b.nbr"))
+        .groupBy(
+            F.col("a.nbr").alias("x"), F.col("b.nbr").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    nonedge = common.join(
+        e,
+        (F.col("u") == F.col("x")) & (F.col("v") == F.col("y")),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    scored = (
+        nonedge.join(da, "x")
+        .join(db, "y")
+        .select(
+            F.col("x").alias("a"),
+            F.col("y").alias("b"),
+            F.col("cn").cast("long").alias("common_nbrs"),
+            F.expr("cn * 1000 div (dx + dy - cn)")
+            .cast("long")
+            .alias("jaccard_permille"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard_permille"), F.asc("a"), F.asc("b")
+    ).limit(100)
+
+
+#: peeling rounds the q_graph_kcore oracle unrolls; the engine peels to
+#: fixpoint, so engine==oracle only if convergence lands inside the
+#: unroll — tests/test_scale.py::test_kcore_converges_within_oracle_
+#: unroll pins it with margin (the q_graph_cc / q_dedup_semantic rule).
+#: Measured rounds: 11 at sf0.01 (sparse graph peels slowly), 3 at
+#: sf0.1 and sf1 — 15 covers the observed max with margin.
+_KCORE_K = 3
+_KCORE_ROUNDS = 15
+
+
+def _sql_kcore_oracle() -> str:
+    """Replay the engine's peeling rounds in SQL: per round, survivors
+    are nodes with degree ≥ k in the CURRENT edge set, and the edge set
+    shrinks to edges with both endpoints surviving. A converged edge
+    set is a fixpoint (degrees stop changing), so an unroll at or past
+    convergence equals the engine's fixpoint exactly."""
+    sql = [f"WITH {_SQL_COPURCHASE_E0}",
+           """
+    , e0s AS MATERIALIZED (SELECT a0 AS u, b0 AS v FROM e0
+              UNION ALL SELECT b0, a0 FROM e0)
+    """]
+    prev = "e0s"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        sql.append(f"""
+    , k{i} AS MATERIALIZED (
+        SELECT u AS node FROM {prev} GROUP BY u
+        HAVING count(*) >= {_KCORE_K}
+    ), e{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM {prev} e
+        JOIN k{i} a ON e.u = a.node
+        JOIN k{i} b ON e.v = b.node
+    )""")
+        prev = f"e{i}"
+    sql.append(f"""
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM {prev} GROUP BY u
+    """)
+    return "".join(sql)
+
+
+@register("q_graph_kcore", oracle=_sql_kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph: iteratively peel nodes with
+    degree < 3 until stable; output the surviving nodes with their
+    within-core degree — the dense-subgraph extractor (spam rings,
+    community cores; the graph analog of the dedup support floors).
+    The scale.kcore kernel peels to the checksum-detected fixpoint;
+    the oracle replays the SAME rounds unrolled in SQL (a fixpoint is
+    stable under extra rounds, so the margin unroll is safe — the
+    q_graph_cc device, convergence pinned by test). Per round: one
+    map-combined degree aggregate + two semi-joins of the edge list,
+    lineage cut per round; the keyed edge index feeds round 0."""
+    from streamclient_spark.scale import kcore
+
+    e = _copurchase_edges(spark, sf_dir)
+    nodes, _rounds = kcore(e, _KCORE_K, src="u", dst="v")
+    return nodes
+
+
+# ---------------------------------------------------------------------------
+# q_join_spatial — grid-bucketed 2D neighbor join (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_spatial",
+    oracle="""
+    WITH pts AS MATERIALIZED (
+      SELECT event_id,
+             ((event_id * 2654435761) % 100003) % 1000 AS x,
+             ((user_id * 2246822519 + event_id * 97) % 99991) % 1000 AS y
+      FROM events WHERE event_id % 13 = 0
+    )
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           CAST(abs(a.x - b.x) AS BIGINT) AS dx,
+           CAST(abs(a.y - b.y) AS BIGINT) AS dy
+    FROM pts a JOIN pts b
+      ON a.event_id < b.event_id
+     AND abs(a.x - b.x) <= 10
+     AND abs(a.y - b.y) <= 10
+    """,
+)
+def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor join: all point pairs within Chebyshev distance
+    10 on a 1000×1000 integer grid (points derived from event ids by
+    exact Knuth-hash arithmetic — identical on both engines, unlike
+    seeded hash builtins). The ENGINE never compares all pairs: each
+    point maps to a 20×20 grid cell, the right side replicates into its
+    3×3 cell neighborhood (a 9-row inline explode — cell edge ≥ the
+    radius guarantees coverage), and candidates come from a cell
+    EQUI-join, verified by the exact distance predicate. Each true pair
+    is generated exactly once (the left point's own cell appears once
+    in the right point's replicated neighborhood), so no dedup pass.
+    The oracle is the brute-force θ-join ground truth — quadratic by
+    construction, which is the point: at 100 TB the cell join shuffles
+    ~9·|points| rows on a uniform key while the θ-join is unrunnable.
+    The a<b id filter keeps the pair set canonical and the result
+    deterministic."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_id") % 13 == 0
+    )
+    # double-mod through a prime field: a single `mod 1000` of an
+    # arithmetic id progression is a lattice (all pairwise distances
+    # share a stride, and a 1/k sample can have NO close pairs at all);
+    # reducing through a prime first makes the projection effectively
+    # uniform while staying exact integer arithmetic on both engines
+    pts = e.select(
+        "event_id",
+        (((F.col("event_id") * 2654435761) % 100003) % 1000).alias("x"),
+        (
+            ((F.col("user_id") * 2246822519 + F.col("event_id") * 97) % 99991)
+            % 1000
+        ).alias("y"),
+    )
+    a = pts.select(
+        F.col("event_id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.floor(F.col("x") / 11) * 128 + F.floor(F.col("y") / 11)).alias(
+            "cell"
+        ),
+    )
+    b = (
+        pts.select(
+            F.col("event_id").alias("b_id"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            (F.floor(F.col("x") / 11) * 128 + F.floor(F.col("y") / 11)).alias(
+                "bcell"
+            ),
+            F.explode(
+                F.array(
+                    *[
+                        F.lit(dx * 128 + dy)
+                        for dx in (-1, 0, 1)
+                        for dy in (-1, 0, 1)
+                    ]
+                )
+            ).alias("off"),
+        )
+        .select("b_id", "bx", "by", (F.col("bcell") + F.col("off")).alias("cell"))
+    )
+    return (
+        a.join(b, "cell")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("ax") - F.col("bx")) <= 10)
+            & (F.abs(F.col("ay") - F.col("by")) <= 10)
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.abs(F.col("ax") - F.col("bx")).cast("long").alias("dx"),
+            F.abs(F.col("ay") - F.col("by")).cast("long").alias("dy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: correlation matrix, boolean aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_corr_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s_q,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS s_p,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                  AS HUGEINT) AS s_d,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s_qq,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS s_pp,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT))
+                  AS HUGEINT) AS s_dd,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS s_qp,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT))
+                  AS HUGEINT) AS s_qd,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT))
+                  AS HUGEINT) AS s_pd
+      FROM lineitem
+    )
+    SELECT p.x, p.y,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+    FROM s, LATERAL (
+      VALUES ('quantity', 'price_cents', s_q, s_p, s_qq, s_pp, s_qp),
+             ('quantity', 'discount_pct', s_q, s_d, s_qq, s_dd, s_qd),
+             ('price_cents', 'discount_pct', s_p, s_d, s_pp, s_dd, s_pd)
+    ) AS p(x, y, sx, sy, sxx, syy, sxy)
+    """,
+)
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    measures (quantity, price, discount) — the standard EDA matrix, in
+    the engine's exact-arithmetic convention: every moment is a sum of
+    EXACT integers (quantities are integral; money/percent scale to
+    cents) accumulated in decimal(38,0) — order-insensitive, no float
+    accumulates — and the Pearson formula runs once per pair on the
+    1-row moment table in deterministic double (sqrt is IEEE-exact),
+    rounded to 6. Plan: ONE map-side-combined aggregate over the scan
+    computes all 10 moments; the 3-pair matrix is a literal unpivot of
+    the single row — at 100 TB the cost is the scan, full stop."""
+    l = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d = F.round(F.col("l_discount") * 100).cast("long")
+    dec = "decimal(38,0)"
+    s = l.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(q.cast(dec)).alias("s_q"),
+        F.sum(p.cast(dec)).alias("s_p"),
+        F.sum(d.cast(dec)).alias("s_d"),
+        F.sum((q * q).cast(dec)).alias("s_qq"),
+        F.sum((p * p).cast(dec)).alias("s_pp"),
+        F.sum((d * d).cast(dec)).alias("s_dd"),
+        F.sum((q * p).cast(dec)).alias("s_qp"),
+        F.sum((q * d).cast(dec)).alias("s_qd"),
+        F.sum((p * d).cast(dec)).alias("s_pd"),
+    )
+    pairs = s.selectExpr(
+        "stack(3, "
+        "'quantity', 'price_cents', s_q, s_p, s_qq, s_pp, s_qp, "
+        "'quantity', 'discount_pct', s_q, s_d, s_qq, s_dd, s_qd, "
+        "'price_cents', 'discount_pct', s_p, s_d, s_pp, s_dd, s_pd"
+        ") AS (x, y, sx, sy, sxx, syy, sxy)",
+        "n",
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return pairs.select("x", "y", F.round(num / den, 6).alias("corr"))
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE value > 500) AS BIGINT)
+             AS n_big,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 990) AS any_huge,
+           CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+             AS n_even_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate surface — count_if, bool_and
+    (``every``), bool_or (``any``) per group: the predicates-as-
+    aggregates family SQL dashboards lean on. All four reduce
+    map-side; the value comparisons are against integers, so no float
+    boundary exists. ONE map-combined aggregate over the scan."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 500).alias("n_big"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 990).alias("any_huge"),
+        F.count_if(F.col("user_id") % 2 == 0).alias("n_even_user"),
+    )

@@ -679,3 +679,51 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("missing"),
     )
     return out.filter(F.col("k") % 3 == 0)
+
+
+# ---------------------------------------------------------------------------
+# q_fn_regex — regular-expression function surface (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT)
+             AS n_vowel_runs,
+           regexp_extract(text, '([a-z]{8,})', 1) AS first_long_word,
+           CAST(length(regexp_replace(text, '[aeiou]+', '#', 'g'))
+                AS BIGINT) AS squeezed_len,
+           CAST(CASE WHEN regexp_matches(text, 'ing ') THEN 1 ELSE 0 END
+                AS BIGINT) AS has_ing
+    FROM documents
+    WHERE doc_id < 2000
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function surface — count (regexp_count), extract
+    (regexp_extract), global replace (regexp_replace), and boolean
+    match (rlike), the four regex verbs every log/text pipeline uses.
+    Patterns are chosen engine-portable: character classes and greedy
+    quantifiers behave identically under Java regex and RE2, and the
+    extract falls back to '' on no-match on both engines (the
+    q_text_normalize portability rule). One codegen projection —
+    regexes never leave whole-stage codegen, no UDF."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[aeiou]{2,}"))
+        .cast("long")
+        .alias("n_vowel_runs"),
+        F.regexp_extract("text", "([a-z]{8,})", 1).alias(
+            "first_long_word"
+        ),
+        F.length(F.regexp_replace("text", "[aeiou]+", "#"))
+        .cast("long")
+        .alias("squeezed_len"),
+        F.when(F.col("text").rlike("ing "), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("has_ing"),
+    )

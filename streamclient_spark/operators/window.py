@@ -1842,3 +1842,231 @@ def q_events_freq_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_events"),
         F.sum("n").alias("sum_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_acf — autocorrelation of the daily event-count series (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_acf",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(date_diff('day',
+               (SELECT min(CAST(ts AS TIMESTAMP)::DATE) FROM events),
+               CAST(ts AS TIMESTAMP)::DATE) AS BIGINT) AS t,
+             count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sx,
+             CAST(sum(c * c) AS BIGINT) AS sxx
+      FROM daily
+    ),
+    lagged AS (
+      SELECT l.k, count(*) AS n_pairs,
+             CAST(sum(a.c * b.c) AS BIGINT) AS s_ab,
+             CAST(sum(a.c) AS BIGINT) AS s_a,
+             CAST(sum(b.c) AS BIGINT) AS s_b
+      FROM daily a
+      CROSS JOIN (SELECT unnest(range(1, 8)) AS k) l
+      JOIN daily b ON b.t = a.t + l.k
+      GROUP BY l.k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_days,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           round((s_ab
+                  - (CAST(sx AS DOUBLE) / n) * (s_a + s_b)
+                  + n_pairs * (CAST(sx AS DOUBLE) / n)
+                           * (CAST(sx AS DOUBLE) / n))
+                 / (sxx - n * (CAST(sx AS DOUBLE) / n)
+                            * (CAST(sx AS DOUBLE) / n)), 6) AS acf
+    FROM lagged CROSS JOIN stats
+    """,
+)
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1-7 — the seasonality detector behind every capacity forecast
+    (a weekly cycle shows as a peak at lag 7). Sample-ACF convention:
+    lag-k products are centered on the FULL-series mean and normalized
+    by the full-series centered sum of squares, expanded algebraically
+    so every aggregate is an EXACT integer (Σxᵗxᵗ⁺ᵏ, Σx, Σx², pair
+    counts) and the mean enters once, in deterministic double
+    arithmetic rounded to 6 — no per-row float accumulates. Days are
+    calendar-indexed (t = days since the corpus min), so a gap day
+    simply contributes no pair.
+
+    Plan: ONE map-combined daily aggregate (|days| rows), the 7 lags
+    EXPLODED inline (7·|days| rows — no join against a lag table), one
+    self-join on the tiny daily series, two 1-row broadcast scalars.
+    At 100 TB the only data-sized work is the first aggregate; the ACF
+    algebra runs on |days| ≈ thousands of rows."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mn = daily.agg(F.min("day").alias("d0"))
+    d = daily.join(F.broadcast(mn)).select(
+        F.datediff("day", "d0").cast("long").alias("t"), "c"
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+    )
+    a = d.select(
+        "t",
+        F.col("c").alias("ca"),
+        F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("k"),
+    )
+    lagged = (
+        a.join(
+            d.select(F.col("t").alias("tb"), F.col("c").alias("cb")),
+            F.col("tb") == F.col("t") + F.col("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("ca") * F.col("cb")).alias("s_ab"),
+            F.sum("ca").alias("s_a"),
+            F.sum("cb").alias("s_b"),
+        )
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    return lagged.join(F.broadcast(stats)).select(
+        F.col("k").cast("long").alias("lag_days"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(
+            (F.col("s_ab") - mu * (F.col("s_a") + F.col("s_b"))
+             + F.col("n_pairs") * mu * mu)
+            / (F.col("sxx") - F.col("n") * mu * mu),
+            6,
+        ).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_cross_corr — lagged cross-correlation between two event series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_cross_corr",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             CAST(date_diff('day',
+               (SELECT min(CAST(ts AS TIMESTAMP)::DATE) FROM events),
+               CAST(ts AS TIMESTAMP)::DATE) AS BIGINT) AS t,
+             count(*) AS c
+      FROM events
+      WHERE event_type IN ('purchase', 'view')
+      GROUP BY 1, 2
+    ),
+    p AS (SELECT t, c FROM daily WHERE event_type = 'purchase'),
+    v AS (SELECT t, c FROM daily WHERE event_type = 'view'),
+    sp AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS BIGINT) AS s,
+                  CAST(sum(c * c) AS BIGINT) AS ss FROM p),
+    sv AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS BIGINT) AS s,
+                  CAST(sum(c * c) AS BIGINT) AS ss FROM v),
+    lagged AS (
+      SELECT l.k, count(*) AS n_pairs,
+             CAST(sum(p.c * v.c) AS BIGINT) AS s_pv,
+             CAST(sum(p.c) AS BIGINT) AS s_p,
+             CAST(sum(v.c) AS BIGINT) AS s_v
+      FROM p
+      CROSS JOIN (SELECT unnest(range(-3, 4)) AS k) l
+      JOIN v ON v.t = p.t + l.k
+      GROUP BY l.k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_days,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           round((s_pv - (CAST(sv.s AS DOUBLE) / sv.n) * s_p
+                       - (CAST(sp.s AS DOUBLE) / sp.n) * s_v
+                       + n_pairs * (CAST(sp.s AS DOUBLE) / sp.n)
+                                 * (CAST(sv.s AS DOUBLE) / sv.n))
+                 / sqrt((sp.ss - sp.n * (CAST(sp.s AS DOUBLE) / sp.n)
+                                      * (CAST(sp.s AS DOUBLE) / sp.n))
+                      * (sv.ss - sv.n * (CAST(sv.s AS DOUBLE) / sv.n)
+                                      * (CAST(sv.s AS DOUBLE) / sv.n))),
+                 6) AS xcorr
+    FROM lagged CROSS JOIN sp CROSS JOIN sv
+    """,
+)
+def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the purchase and view daily
+    series at lags −3..+3 — the lead/lag detector (do views predict
+    purchases days later?). Same exact-integer expansion as q_ts_acf:
+    every aggregate is an exact long, means and the final normalization
+    enter once in double (``sqrt`` is IEEE-correctly-rounded on both
+    engines, unlike libm logs), rounded to 6. Plan: one map-combined
+    (type, day) aggregate, inline-exploded lags, one tiny self-join,
+    three 1-row broadcasts — nothing data-sized past the first
+    aggregate."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mn = load(spark, sf_dir, "events").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    d = daily.join(F.broadcast(mn)).select(
+        "event_type",
+        F.datediff("day", "d0").cast("long").alias("t"),
+        "c",
+    )
+    p = d.filter(F.col("event_type") == "purchase").select("t", "c")
+    v = d.filter(F.col("event_type") == "view").select(
+        F.col("t").alias("tv"), F.col("c").alias("cv")
+    )
+
+    sp = p.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("c").alias("spv"),
+        F.sum(F.col("c") * F.col("c")).alias("spp"),
+    )
+    sv = v.agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum("cv").alias("svv_s"),
+        F.sum(F.col("cv") * F.col("cv")).alias("svv_ss"),
+    )
+    a = p.select(
+        "t",
+        F.col("c").alias("cp"),
+        F.explode(F.array(*[F.lit(k) for k in range(-3, 4)])).alias("k"),
+    )
+    lagged = (
+        a.join(v, F.col("tv") == F.col("t") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("cp") * F.col("cv")).alias("s_pv"),
+            F.sum("cp").alias("s_p"),
+            F.sum("cv").alias("s_v"),
+        )
+    )
+    mup = F.col("spv").cast("double") / F.col("np")
+    muv = F.col("svv_s").cast("double") / F.col("nv")
+    return (
+        lagged.join(F.broadcast(sp))
+        .join(F.broadcast(sv))
+        .select(
+            F.col("k").cast("long").alias("lag_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(
+                (F.col("s_pv") - muv * F.col("s_p") - mup * F.col("s_v")
+                 + F.col("n_pairs") * mup * muv)
+                / F.sqrt(
+                    (F.col("spp") - F.col("np") * mup * mup)
+                    * (F.col("svv_ss") - F.col("nv") * muv * muv)
+                ),
+                6,
+            ).alias("xcorr"),
+        )
+    )

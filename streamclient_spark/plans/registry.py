@@ -85,6 +85,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- ROUND-5 QUEUE: never-attested remainder — rounds 4+5
     # together complete whole-registry attestation (VERDICT r3 #2).
     # New round-4 queries are appended here as they land. ---
+    "q_ts_acf", "q_ts_cross_corr", "q_graph_degree_dist",
+    "q_graph_jaccard", "q_graph_kcore", "q_join_spatial", "q_text_zipf",
+    "q_quality_cut", "q_agg_corr_matrix", "q_agg_bool", "q_fn_regex",
+    "q_embed_sim_hist",
     "q_events_attribution", "q_islands", "q_ts_anomaly", "q_ts_ewma",
     "q_dq_referential", "q_text_collocations", "q_agg_regr",
     "q_events_dau_mau", "q_ts_changepoint", "q_events_inter_arrival",

@@ -44,6 +44,8 @@ BNLJ_ALLOWED = {
     "q_text_collocations",  # 1-row total-bigram scalar (PMI N)
     "q_events_rfm",       # 1-row corpus-watermark + N scalars
     "q_pareto_abc",       # 1-row grand-total scalar (ABC share)
+    "q_ts_acf",           # 1-row min-day + series-stats scalars
+    "q_ts_cross_corr",    # 1-row min-day + two series-stats scalars
 }
 
 

@@ -521,3 +521,40 @@ def test_dedup_semantic_converges_within_oracle_unroll(spark, sf_oracle):
         f"semantic-dedup star CC took {rounds} rounds; the SQL oracle "
         f"only unrolls {_SEMANTIC_CC_ROUNDS} — raise _SEMANTIC_CC_ROUNDS"
     )
+
+
+def test_kcore_converges_within_oracle_unroll(spark, sf_oracle):
+    # q_graph_kcore's oracle unrolls _KCORE_ROUNDS peeling rounds; the
+    # engine peels to fixpoint (measured 11 rounds at sf0.01, 3 at
+    # sf0.1/sf1). Pin convergence-with-margin so a denser fixture can't
+    # silently desync the two.
+    from streamclient_spark.operators.relational import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _copurchase_edges,
+    )
+    from streamclient_spark.scale import kcore
+
+    _nodes, rounds = kcore(
+        _copurchase_edges(spark, sf_oracle), _KCORE_K, src="u", dst="v"
+    )
+    assert rounds <= _KCORE_ROUNDS, (
+        f"k-core peel took {rounds} rounds; the SQL oracle only "
+        f"unrolls {_KCORE_ROUNDS} — raise _KCORE_ROUNDS"
+    )
+
+
+def test_kcore_every_member_has_core_degree_k(spark, sf_oracle):
+    # the defining k-core property: every surviving node keeps degree
+    # ≥ k WITHIN the surviving subgraph
+    from streamclient_spark.operators.relational import (
+        _KCORE_K,
+        _copurchase_edges,
+    )
+    from streamclient_spark.scale import kcore
+
+    nodes, _rounds = kcore(
+        _copurchase_edges(spark, sf_oracle), _KCORE_K, src="u", dst="v"
+    )
+    bad = nodes.filter(F.col("core_deg") < _KCORE_K).count()
+    assert bad == 0

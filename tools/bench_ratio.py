@@ -38,6 +38,7 @@ BRUTE_FORCE_ORACLES = {
     "q_dedup_jaccard",
     "q_dedup_embed",
     "q_dedup_incremental",  # new×corpus brute-force ground truth (218 s at sf1)
+    "q_join_spatial",  # brute-force θ-join ground truth (~1e11 pairs at sf1)
     "q_dedup_canonical",  # all-pairs Jaccard + recursive closure oracle
     "q_sim_topk",  # exact rank over all pairs — linear×queries, keep
 }
