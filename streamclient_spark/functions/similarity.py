@@ -1325,10 +1325,14 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_embed_sim_hist",
     oracle=f"""
-    WITH pairs AS (
+    WITH sample AS MATERIALIZED (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id < 1000 OR vec_id % 101 = 0
+    ),
+    pairs AS (
       SELECT round({_SQL_COS.format(a="a.embedding", b="b.embedding")}, 6)
                AS c6
-      FROM embeddings a JOIN embeddings b
+      FROM sample a JOIN sample b
         ON a.label = b.label AND a.vec_id < b.vec_id
     )
     SELECT CAST(floor(c6 * 20) AS BIGINT) AS sim_bin,
@@ -1343,15 +1347,22 @@ def q_embed_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-space health check run before any similarity threshold
     is chosen: a healthy space shows a tight high-cosine mode per
     cluster; a collapsed or noisy embedding smears across bins. Pairs
-    are blocked BY LABEL (the same cell-blocking as SemDeDup — never
-    corpus²; a cell's pair count is bounded by its own size), cosines
+    come from a bounded deterministic sample, blocked BY LABEL (the
+    SemDeDup cell-blocking), cosines
     are strictly-sequential Catalyst folds (bit-identical to DuckDB's
     list fold), and the bin index floors the ALREADY-rounded cosine —
     both engines floor the same double, so no boundary flap. At 100 TB
     the blocking column is the partitioner; everything after the
     within-cell join is histogram-sized."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding"
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        # deterministic pilot sample: the first 1000 ids plus a 1/101
+        # tail — a histogram is a statistical health check, so it runs
+        # on a bounded sample by design (an unsampled within-label pair
+        # join is quadratic in cluster size: 2.5e8 pairs already at
+        # sf1). Both engines apply the identical arithmetic filter.
+        .filter((F.col("vec_id") < 1000) | (F.col("vec_id") % 101 == 0))
     )
     a = e.select(
         F.col("label"),

@@ -1412,3 +1412,74 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decay_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_novelty — per-document shingle novelty vs the corpus (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_novelty",
+    oracle=f"""
+    WITH sh0 AS MATERIALIZED (
+      SELECT doc_id,
+             unnest({sql_shingles(SQL_TOKENS.format(col="text"))}) AS s0
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s0), 1, 8)) AS BIGINT) AS s
+      FROM sh0
+    ),
+    df AS (
+      SELECT s, count(*) AS df FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE df.df = 1) AS BIGINT) AS n_unique,
+           CAST(count(*) FILTER (WHERE df.df = 1) * 1000 // count(*)
+                AS BIGINT) AS novelty_permille
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty: the share of a document's
+    distinct 5-gram shingles that appear NOWHERE else in the corpus —
+    the information-contribution signal a dedup-adjacent curation pass
+    ranks by (novelty ≈ 0 means the document is assembled from corpus
+    boilerplate even if no single near-duplicate exists; the
+    complement of q_dedup_containment's view). Exact integers end to
+    end: shingle document frequencies, per-doc counts, floored permille.
+
+    Plan: one tokenize+shingle explode (the same codegen transform as
+    the dedup family), a shingle-keyed df aggregate, and one join of
+    the exploded table back onto df riding the SAME shingle hash —
+    then a per-doc aggregate. Two shuffles, both linear in shingle
+    volume; no pairwise anything. At 100 TB this is the same cost
+    class as building the MinHash index."""
+    from streamclient_spark.functions.dedup import hash32
+
+    d = load(spark, sf_dir, "documents")
+    # split recovery (the _tf_table rule: the single-file fixture would
+    # run the CPU-bound tokenize+shingle on 1-3 tasks), then hash each
+    # shingle to a 32-bit int BEFORE anything shuffles — the df agg and
+    # the join move 8-byte keys instead of ~40-byte 5-gram strings
+    # (58 s → seconds at sf1). Hash collisions merge df counts
+    # IDENTICALLY on both engines (same md5 bridge), so parity holds
+    # and the novelty statistic is unaffected beyond ~2⁻³² noise.
+    sh = (
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(shingles(tokens("text"))).alias("s0"))
+        .select("doc_id", hash32("s0").alias("s"))
+    )
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    j = sh.join(df, "s")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count_if(F.col("df") == 1).alias("n_unique"),
+        F.expr("count_if(df = 1) * 1000 div count(1)")
+        .cast("long")
+        .alias("novelty_permille"),
+    )

@@ -5469,3 +5469,78 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 990).alias("any_huge"),
         F.count_if(F.col("user_id") % 2 == 0).alias("n_even_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_user_overlap — audience overlap matrix between event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_user_overlap",
+    oracle="""
+    WITH tu AS MATERIALIZED (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, count(*) AS n FROM tu GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_common
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_common * 1000 // (sa.n + sb.n - n_common) AS BIGINT)
+             AS jaccard_permille
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+)
+def q_events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the
+    exact user-set intersection and Jaccard (floored integer permille)
+    — the segment-overlap report behind every "viewers who also
+    purchase" analysis. The intersection is computed by ONE self-join
+    of the deduplicated (type, user) table ON USER — each user
+    contributes its own type-pair combinations (≤ C(5,2) rows), never
+    a userset×userset comparison — and set sizes join on from a
+    5-row aggregate. Plan: one distinct shuffle on (type, user), one
+    user-keyed self-join riding the same hash, two broadcast-sized
+    size joins. At 100 TB the distinct is the cost; the pair space is
+    |types|², constant."""
+    e = load(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("n_common * 1000 div (n_a + n_b - n_common)")
+            .cast("long")
+            .alias("jaccard_permille"),
+        )
+    )

@@ -2070,3 +2070,78 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xcorr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_theil_sen — robust trend slope of the daily series (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_theil_sen",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(date_diff('day',
+               (SELECT min(CAST(ts AS TIMESTAMP)::DATE) FROM events),
+               CAST(ts AS TIMESTAMP)::DATE) AS BIGINT) AS t,
+             count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST(b.c - a.c AS DOUBLE) / (b.t - a.t) AS slope,
+             a.t AS ti, b.t AS tj
+      FROM daily a JOIN daily b ON b.t > a.t
+    ),
+    ranked AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope, ti, tj) AS rn,
+             count(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT round(slope, 6) AS theil_sen_slope,
+           CAST(n AS BIGINT) AS n_pairs
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over the daily event-count
+    series: the MEDIAN of all pairwise slopes — outlier-immune where
+    OLS (q_agg_regr) is not; the robust drift detector for noisy ops
+    series. Slopes are double divisions of exact integers (identical
+    bits on both engines), and the median is selected by integer rank
+    over the total order (slope, ti, tj) — the discrete lower-median
+    convention of q_agg_percentile_disc, so no interpolation and no
+    tie ambiguity. Pairs are |days|² over the DAILY AGGREGATE (~2k
+    pairs for a two-month corpus): quadratic in days, constant in data
+    — the corpus scan is the only data-sized step at 100 TB, and the
+    day count grows with the calendar, not the corpus."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mn = daily.agg(F.min("day").alias("d0"))
+    d = daily.join(F.broadcast(mn)).select(
+        F.datediff("day", "d0").cast("long").alias("t"), "c"
+    )
+    a = d.select(F.col("t").alias("ti"), F.col("c").alias("ca"))
+    b = d.select(F.col("t").alias("tj"), F.col("c").alias("cb"))
+    slopes = a.join(b, F.col("tj") > F.col("ti")).select(
+        (
+            (F.col("cb") - F.col("ca")).cast("double")
+            / (F.col("tj") - F.col("ti"))
+        ).alias("slope"),
+        "ti",
+        "tj",
+    )
+    w = Window.orderBy("slope", "ti", "tj")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(
+        F.round("slope", 6).alias("theil_sen_slope"),
+        F.col("n").cast("long").alias("n_pairs"),
+    )

@@ -88,7 +88,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_acf", "q_ts_cross_corr", "q_graph_degree_dist",
     "q_graph_jaccard", "q_graph_kcore", "q_join_spatial", "q_text_zipf",
     "q_quality_cut", "q_agg_corr_matrix", "q_agg_bool", "q_fn_regex",
-    "q_embed_sim_hist",
+    "q_embed_sim_hist", "q_ts_theil_sen", "q_events_user_overlap",
+    "q_text_novelty",
     "q_events_attribution", "q_islands", "q_ts_anomaly", "q_ts_ewma",
     "q_dq_referential", "q_text_collocations", "q_agg_regr",
     "q_events_dau_mau", "q_ts_changepoint", "q_events_inter_arrival",

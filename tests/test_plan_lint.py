@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "q_pareto_abc",       # 1-row grand-total scalar (ABC share)
     "q_ts_acf",           # 1-row min-day + series-stats scalars
     "q_ts_cross_corr",    # 1-row min-day + two series-stats scalars
+    "q_ts_theil_sen",     # 1-row min-day scalar
 }
 
 
