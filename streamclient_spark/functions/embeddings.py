@@ -526,3 +526,94 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cos_r < OUTLIER_TAU).cast("int").alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_dim_stats — per-dimension embedding-space health (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embed_dim_stats",
+    oracle="""
+    WITH fx AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                        + 0.5) AS BIGINT) AS fx
+      FROM embeddings
+    ),
+    s AS (
+      SELECT dim, count(*) AS n, SUM(fx) AS s1, SUM(fx * fx) AS s2,
+             min(fx) AS min_fx, max(fx) AS max_fx
+      FROM fx GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(n AS BIGINT) AS n_vecs,
+           round(CAST(s1 AS DOUBLE) / n / 1000000.0, 6) AS mean,
+           round((CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                 / n / 1e12, 6) AS variance,
+           CAST(min_fx AS BIGINT) AS min_micro,
+           CAST(max_fx AS BIGINT) AS max_micro
+    FROM s
+    """,
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — mean, variance, range on
+    the 1e-6 fixed-point grid — the space-health report that catches
+    dead dimensions (variance ≈ 0: wasted capacity), dominant
+    dimensions (one dim carrying the norm: cosine degenerates to that
+    coordinate), and un-centered spaces (|mean| >> 0: anisotropy, the
+    reason mean-centering precedes whitening). Run it before trusting
+    any cosine threshold; q_embed_sim_hist is the pairwise view, this
+    is the marginal one.
+
+    Exactness: elements land on the fixed-point grid (module
+    docstring), per-dim Σfx and Σfx² are exact long sums, and both
+    engines then apply the IDENTICAL double expression — one cast per
+    sum, same division order — so the rounded outputs are
+    bit-identical. Σfx² fits int64 to ~9e6 vectors/dim at unit scale;
+    the decimal-limb device is the named escape beyond.
+
+    Plan: posexplode multiplies rows by 64 BEFORE the shuffle but the
+    partial aggregate collapses each task to 64 rows (the
+    q_embed_centroids shape) — the explode never hits the wire. One
+    map-combined aggregate; 64 output rows; scan-bound at 100 TB."""
+    e = load(spark, sf_dir, "embeddings")
+    fx = e.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "dim",
+        F.floor(
+            F.col("val").cast("double") * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("fx"),
+    )
+    s = fx.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("fx").alias("s1"),
+        F.sum(F.col("fx") * F.col("fx")).alias("s2"),
+        F.min("fx").alias("min_fx"),
+        F.max("fx").alias("max_fx"),
+    )
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n_vecs"),
+        F.round(
+            F.col("s1").cast("double") / F.col("n") / F.lit(1000000.0), 6
+        ).alias("mean"),
+        F.round(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n")
+            )
+            / F.col("n")
+            / F.lit(1e12),
+            6,
+        ).alias("variance"),
+        F.col("min_fx").cast("long").alias("min_micro"),
+        F.col("max_fx").cast("long").alias("max_micro"),
+    )

@@ -307,3 +307,80 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         _sample_frames, schema=_FRAME_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_dedup — exact asset dedup by payload digest (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             ['png', 'jpeg', 'wav'][CAST(doc_id % 3 AS INT) + 1]
+               AS format,
+             md5(text) AS digest,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    g AS (
+      SELECT format, digest, count(*) AS n_copies,
+             any_value(n_bytes) AS n_bytes
+      FROM m GROUP BY format, digest
+    )
+    SELECT format,
+           CAST(SUM(n_copies) AS BIGINT) AS n_assets,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(count(*) FILTER (WHERE n_copies > 1) AS BIGINT)
+             AS n_dup_groups,
+           CAST(SUM(n_copies) - count(*) AS BIGINT) AS n_redundant,
+           CAST(coalesce(SUM((n_copies - 1) * n_bytes), 0) AS BIGINT)
+             AS reclaimable_bytes
+    FROM g GROUP BY format
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by payload digest — the asset-store
+    dedup/reclaim report (same bytes uploaded twice → one stored
+    copy): per format, distinct payloads, duplicate groups, redundant
+    copies, and reclaimable bytes. The binary analog of
+    q_dedup_exact's text hash-groupBy — the FIRST pass of any
+    multimodal curation pipeline, run before perceptual/near-dup
+    passes because it is free (one shuffle on a 16-byte digest) and
+    typically removes the bulk.
+
+    Plan: digest computed in the scan projection (payload bytes never
+    shuffle — only the digest and length move), one map-combined
+    group on (format, digest), then a 3-row format rollup. Linear,
+    shuffle payload is O(distinct assets)·32 bytes at 100 TB. Digest
+    collisions (~2⁻¹²⁸) merge groups identically on both engines."""
+    m = media_table(spark, sf_dir)
+    g = (
+        m.select(
+            F.col("meta.format").alias("format"),
+            F.md5("payload").alias("digest"),
+            F.octet_length("payload").alias("n_bytes"),
+        )
+        .groupBy("format", "digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.any_value(F.col("n_bytes")).alias("n_bytes"),
+        )
+    )
+    return g.groupBy("format").agg(
+        F.sum("n_copies").cast("long").alias("n_assets"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.count_if(F.col("n_copies") > 1)
+        .cast("long")
+        .alias("n_dup_groups"),
+        (F.sum("n_copies") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_redundant"),
+        F.coalesce(
+            F.sum((F.col("n_copies") - 1) * F.col("n_bytes")), F.lit(0)
+        )
+        .cast("long")
+        .alias("reclaimable_bytes"),
+    )

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamclient_spark.functions.dedup import hash32, sql_hash32
-from streamclient_spark.functions.text import sql_shingles, tokens
+from streamclient_spark.functions.text import SQL_TOKENS, sql_shingles, tokens
 from streamclient_spark.plans.registry import register
 from streamclient_spark.tables import load
 
@@ -907,4 +907,75 @@ def q_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.filter(F.col("rn") * 2 <= F.col("n_src")).select(
         "doc_id", "source", "alpha_permille"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mixture_epochs — token-budget allocation with epoch caps (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mixture_epochs",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             SUM(len({SQL_TOKENS.format(col="text")})) AS tokens
+      FROM documents GROUP BY source
+    ),
+    g AS (
+      SELECT SUM(tokens) // 5 AS budget, count(*) AS n_sources FROM t
+    )
+    SELECT source,
+           CAST(tokens AS BIGINT) AS tokens,
+           CAST(budget // n_sources AS BIGINT) AS quota,
+           CAST(least(budget // n_sources, 4 * tokens) AS BIGINT)
+             AS alloc_tokens,
+           CAST(least(budget // n_sources, 4 * tokens) * 1000
+                // tokens AS BIGINT) AS epochs_permille,
+           CAST(greatest(budget // n_sources - 4 * tokens, 0)
+                AS BIGINT) AS shortfall
+    FROM t CROSS JOIN g
+    """,
+)
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware mixture planning (the Muennighoff et al. 2023
+    "Scaling Data-Constrained Language Models" bookkeeping): given a
+    training token budget (here 20% of corpus tokens — a deterministic
+    scalar) split into equal per-source quotas, how many epochs of
+    each source does its quota imply, capped at 4 epochs (the point
+    past which repeated data stops helping), and how much quota goes
+    UNFILLED for sources too small to repeat into it. epochs_permille
+    > 1000 means the source repeats; shortfall > 0 is the gap the
+    curator must re-allocate or accept. Exact integer arithmetic
+    throughout (truncating division on both engines).
+
+    Plan: one tokenize scan + per-source aggregate (the data-sized
+    step), a 1-row global scalar broadcast onto |sources| rows, and a
+    pure projection. At 100 TB this is token counting plus a
+    broadcast — the planning report is free next to the pipeline it
+    plans."""
+    d = load(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).alias("tokens")
+    )
+    g = t.agg(
+        F.expr("sum(tokens) div 5").alias("budget"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return t.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.col("tokens").cast("long").alias("tokens"),
+        F.expr("budget div n_sources").cast("long").alias("quota"),
+        F.expr("least(budget div n_sources, 4 * tokens)")
+        .cast("long")
+        .alias("alloc_tokens"),
+        F.expr(
+            "least(budget div n_sources, 4 * tokens) * 1000 div tokens"
+        )
+        .cast("long")
+        .alias("epochs_permille"),
+        F.expr("greatest(budget div n_sources - 4 * tokens, 0)")
+        .cast("long")
+        .alias("shortfall"),
     )

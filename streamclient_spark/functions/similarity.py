@@ -1387,3 +1387,113 @@ def q_embed_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("c6"), 6).alias("min_cos"),
         F.round(F.max("c6"), 6).alias("max_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_knn_classify — leave-one-out kNN label prediction accuracy (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_knn_classify",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+      FROM embeddings WHERE vec_id < 100
+    ),
+    scored AS (
+      SELECT q.query_id, q.true_label, e.label,
+             round({_SQL_COS.format(a="q.qe", b="e.embedding")}, 6)
+               AS c6,
+             e.vec_id
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    top5 AS (
+      SELECT query_id, true_label, label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY c6 DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, label, count(*) AS nv
+      FROM top5 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, true_label, label AS pred_label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY nv DESC, label) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(*) FILTER (WHERE pred_label = true_label)
+                AS BIGINT) AS n_correct,
+           CAST(count(*) FILTER (WHERE pred_label = true_label)
+                * 1000 // count(*) AS BIGINT) AS accuracy_permille
+    FROM pred GROUP BY true_label
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN classification accuracy (k = 5, majority
+    vote, ties to the smaller label): predict each pilot query's label
+    from its five nearest neighbors and report per-class accuracy —
+    the standard embedding-quality eval (is the space linearly usable
+    for the labels it claims to encode?) run before any ANN index is
+    trusted. The query set is a bounded deterministic pilot
+    (vec_id < 100, the q_sim_topk device), so the scored pair count is
+    100·|corpus| — linear in the corpus at every sf, never corpus².
+
+    Plan: broadcast the 100 queries against the embedding scan, one
+    sequential-fold cosine per pair (bit-identical to DuckDB's list
+    fold), per-query top-5 via window over ≤100 small groups, a
+    (query, label) vote count, and a 10-row accuracy rollup. At 100 TB
+    the corpus scan dominates and is embarrassingly parallel; rank and
+    vote stages touch 100·k rows total."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "label",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias(
+                "c6"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("c6"), F.asc("vec_id")
+    )
+    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+    votes = top5.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("nv"), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("true_label", F.col("label").alias("pred_label"))
+    )
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.count_if(F.col("pred_label") == F.col("true_label")).alias(
+            "n_correct"
+        ),
+        F.expr(
+            "count_if(pred_label = true_label) * 1000 div count(1)"
+        )
+        .cast("long")
+        .alias("accuracy_permille"),
+    )

@@ -1483,3 +1483,187 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("novelty_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_classifier — hashed-feature linear quality model (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest({SQL_TOKENS.format(col="text")}) AS tok
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, any_value(source) AS source,
+             count(*) AS n_tokens,
+             SUM(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                 % 2001 - 1000) AS sum_w
+      FROM tok GROUP BY doc_id
+    ),
+    docscore AS (
+      SELECT source, sum_w // n_tokens AS mean_w FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE mean_w >= 0) AS BIGINT)
+             AS n_kept,
+           CAST(count(*) FILTER (WHERE mean_w >= 0) * 1000 // count(*)
+                AS BIGINT) AS kept_permille,
+           CAST(SUM(mean_w) AS BIGINT) AS sum_mean_w
+    FROM docscore GROUP BY source
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (the DCLM / FineWeb-edu
+    pattern): score every document with a LINEAR MODEL over hashed
+    token features — the hashing trick, so the model is a weight per
+    hash bucket and needs no vocabulary — keep documents scoring ≥ 0,
+    and report the per-source keep rate (the mixture-shift audit run
+    before adopting any learned filter). The weights here are
+    DETERMINISTIC STAND-INS derived from the bucket hash itself
+    (w = h mod 2001 − 1000: a fixed pseudo-random ±1000 table; the
+    container ships no model artifacts) — a real deployment swaps in
+    trained weights via a broadcast map lookup and every other part
+    of the plumbing (hashing, per-doc dot product, truncating mean,
+    threshold, per-source rollup) is exactly what production runs.
+
+    Exact integers end to end: bucket weights, Σw, truncating-div
+    mean (both engines truncate toward zero), floored permille. Plan:
+    one tokenize explode (split-recovery repartition first), per-doc
+    sum riding the doc key, per-source rollup — two linear shuffles,
+    the same cost class as token counting at 100 TB."""
+    from streamclient_spark.functions.dedup import hash32
+
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(tokens("text")).alias("tok"),
+        )
+    )
+    w = hash32("tok") % 2001 - 1000
+    scored = tok.groupBy("doc_id").agg(
+        F.any_value(F.col("source")).alias("source"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(w).alias("sum_w"),
+    )
+    docscore = scored.select(
+        "source", F.expr("sum_w div n_tokens").alias("mean_w")
+    )
+    return docscore.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("mean_w") >= 0).alias("n_kept"),
+        F.expr("count_if(mean_w >= 0) * 1000 div count(1)")
+        .cast("long")
+        .alias("kept_permille"),
+        F.sum("mean_w").cast("long").alias("sum_mean_w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_corpus_report — per-source corpus composition dashboard (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_corpus_report",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             len({SQL_TOKENS.format(col="text")}) AS n_tokens
+      FROM documents
+    ),
+    sl AS (
+      SELECT source, lang, count(*) AS c FROM d GROUP BY source, lang
+    ),
+    ent AS (
+      SELECT source,
+             SUM(CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1000000.0
+                            + 0.5) AS BIGINT)) AS sum_clnc_micro,
+             SUM(c) AS n, count(*) AS n_langs
+      FROM sl GROUP BY source
+    ),
+    base AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_chars) // count(*) AS BIGINT) AS mean_chars,
+             CAST(count(*) FILTER (WHERE lang = 'en') * 1000
+                  // count(*) AS BIGINT) AS en_permille
+      FROM d GROUP BY source
+    )
+    SELECT base.source, n_docs, total_tokens, mean_chars, en_permille,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           round(ln(CAST(n AS DOUBLE))
+                 - CAST(sum_clnc_micro AS DOUBLE) / 1000000.0 / n, 6)
+             AS lang_entropy
+    FROM base JOIN ent ON base.source = ent.source
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition dashboard: document counts, token
+    volume, mean length, English share, language count, and the
+    Shannon entropy of the language mix — the one-page report a data
+    curator reads before setting mixture weights (a source whose
+    entropy collapsed between crawls changed its composition; a
+    source with en_permille ≈ 1000 needs no language filter). Entropy
+    uses H = ln n − (Σ c·ln c)/n with each c·ln c term FLOORED TO
+    EXACT INTEGER MICROS before the sum — the per-term libm value is
+    deterministic, the sum is exact and order-independent, and the
+    single final round(.,6) is the only place float order could have
+    mattered (the q_text_tfidf rule, hardened for a multi-term sum).
+
+    Plan: one scan computing token counts in codegen, two
+    map-combined aggregates (source×lang is ≤ |sources|·|langs| rows,
+    then source), one broadcast-sized join. Scan-bound at 100 TB."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens("text")).alias("n_tokens"),
+    )
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    ent = sl.groupBy("source").agg(
+        F.sum(
+            F.floor(
+                F.col("c")
+                * F.log(F.col("c").cast("double"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("sum_clnc_micro"),
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr("sum(n_chars) div count(1)")
+        .cast("long")
+        .alias("mean_chars"),
+        F.expr("count_if(lang = 'en') * 1000 div count(1)")
+        .cast("long")
+        .alias("en_permille"),
+    )
+    return base.join(ent, "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "total_tokens",
+        "mean_chars",
+        "en_permille",
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.col("sum_clnc_micro").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n"),
+            6,
+        ).alias("lang_entropy"),
+    )

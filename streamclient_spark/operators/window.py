@@ -2145,3 +2145,100 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("theil_sen_slope"),
         F.col("n").cast("long").alias("n_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_holt — Holt double-exponential smoothing + forecast (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_holt",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(ts AS TIMESTAMP)::DATE)
+               AS rn,
+             count(*) AS c
+      FROM events
+      GROUP BY event_type, CAST(ts AS TIMESTAMP)::DATE
+    ),
+    rec AS (
+      WITH RECURSIVE h(event_type, rn, l, b) AS (
+        SELECT event_type, rn, CAST(100 * c AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM daily WHERE rn = 1
+        UNION ALL
+        SELECT d.event_type, d.rn,
+               (100 * d.c + h.l + h.b) // 2,
+               (((100 * d.c + h.l + h.b) // 2) - h.l + h.b) // 2
+        FROM h JOIN daily d
+          ON d.event_type = h.event_type AND d.rn = h.rn + 1
+      )
+      SELECT * FROM h
+    )
+    SELECT event_type,
+           CAST(rn AS BIGINT) AS n_days,
+           CAST(l AS BIGINT) AS level_cents,
+           CAST(b AS BIGINT) AS trend_cents,
+           CAST(l + 7 * b AS BIGINT) AS forecast7_cents
+    FROM rec
+    QUALIFY rn = max(rn) OVER (PARTITION BY event_type)
+    """,
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing of each event
+    type's daily count series, α = β = ½, plus the 7-step-ahead
+    forecast — the trend-aware upgrade of q_ts_ewma (EWMA lags any
+    sustained ramp; Holt's trend term tracks it), i.e. the standard
+    capacity-forecast primitive. The coupled recursions
+
+        l_t = (x_t·100 + l_{t-1} + b_{t-1}) div 2
+        b_t = ((l_t − l_{t-1}) + b_{t-1}) div 2
+
+    run in EXACT integer cents with truncating division — both
+    engines truncate toward zero, so every intermediate state is
+    bit-identical (no dyadic-float precision cliff at long horizons,
+    no libm). A recurrence has no closed window form, so the engine
+    folds each type's (ordered) daily array with ``aggregate`` — the
+    array is CALENDAR-sized (days), never data-sized, which is the
+    scale contract: at 100 TB the daily aggregate is the only
+    data-sized step (map-combined, embarrassingly parallel) and the
+    fold touches |types|·|days| cells. The oracle replays the same
+    recursion as a recursive CTE (sequential by construction)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "c"))
+        ).alias("sd")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          transform(slice(sd, 2, size(sd) - 1), s -> s.c),
+          named_struct('l', CAST(100 * sd[0].c AS BIGINT),
+                       'b', CAST(0 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'l', (100 * x + acc.l + acc.b) div 2,
+            'b', (((100 * x + acc.l + acc.b) div 2) - acc.l + acc.b)
+                 div 2)
+        )
+        """
+    )
+    return series.select(
+        "event_type",
+        F.size("sd").cast("long").alias("n_days"),
+        fold.alias("_hb"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.col("_hb.l").cast("long").alias("level_cents"),
+        F.col("_hb.b").cast("long").alias("trend_cents"),
+        (F.col("_hb.l") + 7 * F.col("_hb.b"))
+        .cast("long")
+        .alias("forecast7_cents"),
+    )

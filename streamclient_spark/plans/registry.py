@@ -97,6 +97,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_win_rolling_median", "q_pivot", "q_agg_gini", "q_dq_benford",
     "q_crosstab", "q_text_readability", "q_dedup_source_matrix",
     "q_events_new_returning", "q_events_freq_hist",
+    "q_dq_reconcile", "q_events_retention_rolling",
+    "q_graph_assortativity", "q_events_window_funnel",
+    "q_join_asof_tolerance", "q_graph_bfs", "q_knn_classify",
+    "q_embed_dim_stats", "q_multimodal_dedup", "q_quality_classifier",
+    "q_corpus_report", "q_mixture_epochs", "q_ts_holt",
     # --- attested green in r1-r3 and byte-identical since ---
     "q_multimodal_meta", "q_join_range", "q_tpch_q5", "q_join_outer",
     "q_agg_tpch_q1", "q_tpch_q3", "q_agg_cube", "q_agg_rollup",

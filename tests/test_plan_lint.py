@@ -47,6 +47,12 @@ BNLJ_ALLOWED = {
     "q_ts_acf",           # 1-row min-day + series-stats scalars
     "q_ts_cross_corr",    # 1-row min-day + two series-stats scalars
     "q_ts_theil_sen",     # 1-row min-day scalar
+    "q_graph_assortativity",  # 1-row node-count scalar
+    "q_mixture_epochs",   # 1-row budget/quota scalar
+    "q_knn_classify",     # bounded 100-row pilot-query broadcast: the
+                          # intended plan is every corpus row scoring
+                          # against the closure-sized query set (the
+                          # q_sim_topk shape, join-form)
 }
 
 

@@ -558,3 +558,45 @@ def test_kcore_every_member_has_core_degree_k(spark, sf_oracle):
     )
     bad = nodes.filter(F.col("core_deg") < _KCORE_K).count()
     assert bad == 0
+
+
+def test_bfs_converges_within_oracle_unroll(spark, sf_oracle):
+    # q_graph_bfs's oracle unrolls _BFS_ROUNDS min-relaxation rounds;
+    # the engine expands layered frontiers to fixpoint (measured 2
+    # rounds at sf0.001, 6 at sf0.01, 5 at sf0.1 — sf0.01 is the
+    # connectivity maximum, as with k-core). Pin convergence-with-
+    # margin so a denser fixture can't silently desync the two.
+    from streamclient_spark.operators.relational import (
+        _BFS_ROUNDS,
+        _bfs_layers,
+    )
+
+    _dist, _adj, rounds = _bfs_layers(spark, sf_oracle)
+    assert rounds <= _BFS_ROUNDS, (
+        f"BFS took {rounds} rounds; the SQL oracle only unrolls "
+        f"{_BFS_ROUNDS} — raise _BFS_ROUNDS"
+    )
+
+
+def test_bfs_seed_rows_are_distance_zero_and_partition(spark, sf_oracle):
+    # the seed set is exactly the dist=0 layer, and reached + unreached
+    # partition the node set
+    from streamclient_spark.plans.registry import load_all
+
+    reg = load_all()
+    rows = {
+        r["dist"]: r["n_nodes"]
+        for r in reg["q_graph_bfs"].builder(spark, sf_oracle).collect()
+    }
+    assert rows[0] == 32
+    from streamclient_spark.operators.relational import _copurchase_edges
+    import pyspark.sql.functions as F
+
+    e = _copurchase_edges(spark, sf_oracle)
+    n_nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert sum(rows.values()) == n_nodes
