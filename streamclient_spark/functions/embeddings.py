@@ -21,7 +21,7 @@ retries, and cluster sizes, which float sums are not.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamclient_spark.plans.registry import register
@@ -616,4 +616,226 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("variance"),
         F.col("min_fx").cast("long").alias("min_micro"),
         F.col("max_fx").cast("long").alias("max_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_pca_power — dominant principal component by fixed-point
+# power iteration (round 4)
+# ---------------------------------------------------------------------------
+
+#: power-iteration steps for q_embed_pca_power. NOT a convergence
+#: bound: both engines run EXACTLY this many fixed-point steps, so the
+#: reported Rayleigh quotient is a deterministic 8-step statistic —
+#: there is no fixpoint to desync from (unlike the BFS/CC/k-core
+#: unrolls, which must cover engine convergence).
+_PCA_STEPS = 8
+
+
+def _sql_pca_oracle() -> str:
+    """Replay the identical fixed-point power iteration in SQL: exact
+    HUGEINT covariance numerators, permille-grid eigenvector, and
+    truncating renormalization each step."""
+    head = """
+    WITH fx AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                        + 0.5) AS BIGINT) AS fx
+      FROM embeddings
+    ),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    s AS MATERIALIZED (SELECT i, SUM(fx) AS si FROM fx GROUP BY i),
+    g AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, SUM(a.fx * b.fx) AS gij
+      FROM fx a JOIN fx b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    c AS MATERIALIZED (
+      SELECT g.i, g.j,
+             CAST(nn.n AS HUGEINT) * gij
+               - CAST(sa.si AS HUGEINT) * sb.si AS c
+      FROM g CROSS JOIN nn
+      JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j
+    ),
+    v0 AS (SELECT i, CAST(1000 AS HUGEINT) AS v FROM s)
+    """
+    steps = []
+    prev = "v0"
+    for k in range(1, _PCA_STEPS + 1):
+        steps.append(f"""
+    , w{k} AS MATERIALIZED (
+        SELECT c.i, SUM(c.c * {prev}.v) AS w
+        FROM c JOIN {prev} ON c.j = {prev}.i GROUP BY c.i
+    ), v{k} AS MATERIALIZED (
+        SELECT i, (w * 1000) // (SELECT max(abs(w)) FROM w{k}) AS v
+        FROM w{k}
+    )""")
+        prev = f"v{k}"
+    tail = f"""
+    , num AS (
+      SELECT SUM(va.v * c.c * vb.v) AS num
+      FROM c JOIN {prev} va ON c.i = va.i
+             JOIN {prev} vb ON c.j = vb.i
+    ),
+    den AS (SELECT SUM(v * v) AS den FROM {prev}),
+    tr AS (SELECT SUM(c) AS tr FROM c WHERE i = j),
+    top AS (
+      SELECT i AS top_dim, CAST(v AS BIGINT) AS top_loading_permille
+      FROM {prev} ORDER BY abs(v) DESC, i LIMIT 1
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_vecs,
+           CAST(top.top_dim AS INT) AS top_dim,
+           top.top_loading_permille,
+           round(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+                 / nn.n / nn.n / 1e12, 6) AS lambda_variance,
+           round(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+                 / CAST(tr.tr AS DOUBLE), 6) AS variance_share
+    FROM nn CROSS JOIN num CROSS JOIN den CROSS JOIN tr CROSS JOIN top
+    """
+    return head + "".join(steps) + tail
+
+
+@register("q_embed_pca_power", oracle=_sql_pca_oracle())
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding space by
+    FIXED-POINT power iteration — the anisotropy / collapse detector
+    (a healthy space spreads variance across components;
+    variance_share → 1 means every cosine is really measuring one
+    axis, the classic "embedding collapse" failure that breaks both
+    ANN recall and SemDeDup thresholds). Reports the 8-step Rayleigh
+    quotient (as per-element variance), its share of total variance,
+    and the dominant dimension with its permille loading —
+    q_embed_dim_stats' marginal view upgraded to the spectral one.
+
+    Determinism is by construction, not convergence: the covariance
+    numerators C = n·G − s·sᵀ are EXACT integers (grid elements →
+    long Gram sums → decimal/HUGEINT products), the eigenvector
+    lives on an integer permille grid, each renormalization is a
+    truncating integer division, and BOTH engines run exactly
+    _PCA_STEPS steps — identical integer state throughout, two final
+    IEEE divisions, one round. No libm in any iterate.
+
+    Plan: the Gram is computed by exploding each row's 64×64
+    fixed-point products INSIDE the stage (nested ``transform`` →
+    one generator; per-task partial aggregate means only
+    64²·|tasks| rows ever shuffle — the corpus never re-partitions;
+    the per-partition Arrow GEMM of :func:`kmeans_fit` is the
+    constant-factor upgrade at extreme width). The 4096-row C is
+    localCheckpoint-ed once (it feeds 10 downstream references —
+    without the cut, Catalyst would re-derive the corpus-sized Gram
+    per reference); each 64-row iterate is a join+agg+window over C
+    with single-reference lineage, so planning stays linear in
+    steps. At 100 TB: one scan, one 4096-row shuffle, then
+    driver-scale arithmetic."""
+    e = load(spark, sf_dir, "embeddings")
+    n_dims = 64
+    pairs = e.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.transform(
+                        "embedding",
+                        lambda y, j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.floor(
+                                    x.cast("double") * 1000000.0 + 0.5
+                                ).cast("long")
+                                * F.floor(
+                                    y.cast("double") * 1000000.0 + 0.5
+                                ).cast("long")
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    g = pairs.groupBy("i", "j").agg(F.sum("p").alias("gij"))
+    fx = e.select(
+        F.posexplode("embedding").alias("i", "val")
+    ).select(
+        "i",
+        F.floor(F.col("val").cast("double") * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("fx"),
+    )
+    s = fx.groupBy("i").agg(F.sum("fx").alias("si"))
+    nn = e.agg(F.count(F.lit(1)).alias("n"))
+    sa = s.select(F.col("i"), F.col("si").alias("sa"))
+    sb = s.select(F.col("i").alias("j"), F.col("si").alias("sb"))
+    c = (
+        g.join(sa, "i")
+        .join(sb, "j")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n").cast("decimal(38,0)")
+                * F.col("gij").cast("decimal(38,0)")
+                - F.col("sa").cast("decimal(38,0)")
+                * F.col("sb").cast("decimal(38,0)")
+            ).alias("c"),
+        )
+        .localCheckpoint()  # 64×64 rows; feeds 10+ references below
+    )
+    v = s.select("i", F.lit(1000).cast("long").alias("v"))
+    wm = Window.partitionBy()  # 64-row global window (intended tiny)
+    for _k in range(_PCA_STEPS):
+        vj = v.select(F.col("i").alias("j"), F.col("v"))
+        w = (
+            c.join(vj, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        v = w.withColumn("m", F.max(F.abs("w")).over(wm)).select(
+            "i", F.expr("(w * 1000) div m").cast("long").alias("v")
+        )
+    va = v.select(F.col("i"), F.col("v").alias("va"))
+    vb = v.select(F.col("i").alias("j"), F.col("v").alias("vb"))
+    num = (
+        c.join(va, "i")
+        .join(vb, "j")
+        .agg(F.sum(F.col("va") * F.col("c") * F.col("vb")).alias("num"))
+    )
+    den = v.agg(F.sum(F.col("v") * F.col("v")).alias("den"))
+    tr = c.filter(F.col("i") == F.col("j")).agg(
+        F.sum("c").alias("tr")
+    )
+    top = (
+        v.orderBy(F.abs("v").desc(), F.asc("i"))
+        .limit(1)
+        .select(
+            F.col("i").cast("int").alias("top_dim"),
+            F.col("v").cast("long").alias("top_loading_permille"),
+        )
+    )
+    assert n_dims == 64  # fixture embedding width (docstring contract)
+    return (
+        nn.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").cast("long").alias("n_vecs"),
+            "top_dim",
+            "top_loading_permille",
+            F.round(
+                F.col("num").cast("double")
+                / F.col("den").cast("double")
+                / F.col("n")
+                / F.col("n")
+                / F.lit(1e12),
+                6,
+            ).alias("lambda_variance"),
+            F.round(
+                F.col("num").cast("double")
+                / F.col("den").cast("double")
+                / F.col("tr").cast("double"),
+                6,
+            ).alias("variance_share"),
+        )
     )

@@ -1667,3 +1667,82 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lang_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_bigram_lm — bigram-LM surprisal scoring (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {SQL_TOKENS.format(col="text")} AS ts
+      FROM documents
+    ),
+    bg AS MATERIALIZED (
+      SELECT doc_id, source,
+             unnest(ts[1:len(ts)-1]) AS w1,
+             unnest(ts[2:len(ts)]) AS w2
+      FROM toks
+    ),
+    uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    bic AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM((length(bin(c1)) - 1) - (length(bin(c2)) - 1))
+                AS BIGINT) AS total_bits,
+           CAST(SUM((length(bin(c1)) - 1) - (length(bin(c2)) - 1))
+                AS DOUBLE) / count(*) AS avg_bits
+    FROM bg JOIN uni USING (w1) JOIN bic USING (w1, w2)
+    GROUP BY source
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per source — the conditional upgrade of
+    q_text_surprisal's unigram model (KenLM-style corpus scoring,
+    order 2): each bigram costs ``floor(log2 c(w1)) − floor(log2
+    c(w1,w2))`` whole bits, the corpus itself is the model. INTEGER
+    bit counts, never float ``ln`` (the surprisal doctrine), so sums
+    are exact and order-independent; the single avg division is the
+    only float op and runs identically on both engines.
+
+    Plan: one bigram explode (adjacent-token zip in codegen), the
+    bigram-count and context-count aggregates riding the SAME w1-hash
+    family, then two co-keyed joins back onto the exploded stream and
+    a per-source rollup — the token volume flows through linear
+    shuffles exactly like the tf/BM25 family; the model tables are
+    vocabulary-sized. At 100 TB the model aggregates ARE the cost;
+    everything downstream is vocab- or source-sized."""
+    d = load(spark, sf_dir, "documents")
+    ts = (
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "source", tokens("text").alias("ts"))
+    )
+    bg = ts.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bic = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    bits = (F.length(F.bin("c1")) - 1) - (F.length(F.bin("c2")) - 1)
+    scored = (
+        bg.join(uni, "w1")
+        .join(bic, ["w1", "w2"])
+        .select("source", bits.alias("bits"))
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        (F.sum("bits").cast("double") / F.count(F.lit(1))).alias(
+            "avg_bits"
+        ),
+    )

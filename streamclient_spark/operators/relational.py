@@ -6151,3 +6151,144 @@ def _bfs_layers(spark: SparkSession, sf_dir: str):
         if r > 64:  # safety valve; eccentricity is small-world bounded
             break
     return dist, adj, r - 1
+
+
+# ---------------------------------------------------------------------------
+# q_events_time_to_convert — signup→purchase latency quantiles (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_time_to_convert",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    t0 AS (
+      SELECT user_id, min(us) AS us0, min(ts) AS ts0 FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT t0.user_id, t0.us0, t0.ts0, min(e.us) AS usp
+      FROM t0 LEFT JOIN ev e
+        ON e.user_id = t0.user_id AND e.event_type = 'purchase'
+        AND e.us > t0.us0
+      GROUP BY 1, 2, 3
+    ),
+    gaps AS (
+      SELECT strftime(ts0, '%Y-%m-%d') AS cohort_day, user_id,
+             CASE WHEN usp IS NULL THEN NULL
+                  ELSE (usp - us0) // 3600000000 END AS gap_h
+      FROM conv
+    ),
+    ranked AS (
+      SELECT cohort_day, gap_h,
+             row_number() OVER (PARTITION BY cohort_day
+                                ORDER BY gap_h, user_id) AS rn,
+             count(*) OVER (PARTITION BY cohort_day) AS nc
+      FROM gaps WHERE gap_h IS NOT NULL
+    )
+    SELECT g.cohort_day,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(count(g.gap_h) AS BIGINT) AS n_converted,
+           CAST(count(g.gap_h) * 1000 // count(*) AS BIGINT)
+             AS conv_permille,
+           CAST(any_value(med.gap_h) AS BIGINT) AS median_hours,
+           CAST(any_value(p90.gap_h) AS BIGINT) AS p90_hours
+    FROM gaps g
+    LEFT JOIN ranked med
+      ON med.cohort_day = g.cohort_day AND med.rn = (med.nc + 1) // 2
+    LEFT JOIN ranked p90
+      ON p90.cohort_day = g.cohort_day
+     AND p90.rn = (9 * p90.nc + 9) // 10
+    GROUP BY g.cohort_day
+    """,
+)
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency report: for each signup-day cohort, how many
+    users ever purchase after signing up, and the DISCRETE median and
+    p90 hours from first signup to first purchase — the
+    time-to-value curve growth teams watch next to the funnel
+    (q_events_window_funnel says IF users convert in-window; this
+    says HOW LONG conversion takes, unbounded). Quantiles are
+    discrete lower-rank selections over the total order
+    (gap, user_id) — exact integer ranks, the
+    q_agg_percentile_disc convention, so no interpolation and no tie
+    ambiguity; gaps are exact integer hours (truncating µs division,
+    identical both engines).
+
+    Plan: two user-keyed min-aggregates riding one user hash (the
+    window-funnel shape), then per-cohort ranking windows over
+    day-bounded partitions — ≤|users-per-day| rows each, no global
+    sort — and conditional picks of the two rank rows. Linear
+    shuffles; window partitions are calendar-bounded at 100 TB."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", F.unix_micros("ts").alias("us")
+    )
+    t0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("us0"), F.min("ts").alias("ts0"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("us").alias("usp")
+    )
+    conv = (
+        t0.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("usp") > F.col("us0")),
+            "left",
+        )
+        .groupBy("user_id", "us0", "ts0")
+        .agg(F.min("usp").alias("usp"))
+    )
+    gaps = conv.select(
+        F.date_format("ts0", "yyyy-MM-dd").alias("cohort_day"),
+        "user_id",
+        F.when(
+            F.col("usp").isNotNull(),
+            F.expr("(usp - us0) div 3600000000"),
+        ).alias("gap_h"),
+    )
+    w = Window.partitionBy("cohort_day").orderBy("gap_h", "user_id")
+    ranked = (
+        gaps.filter(F.col("gap_h").isNotNull())
+        .select(
+            "cohort_day",
+            "gap_h",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("cohort_day"))
+            .alias("nc"),
+        )
+    )
+    quant = ranked.groupBy("cohort_day").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(nc + 1) div 2"), F.col("gap_h"))
+        ).alias("median_hours"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(9 * nc + 9) div 10"),
+                F.col("gap_h"),
+            )
+        ).alias("p90_hours"),
+    )
+    base = gaps.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count("gap_h").alias("n_converted"),
+        F.expr("count(gap_h) * 1000 div count(1)")
+        .cast("long")
+        .alias("conv_permille"),
+    )
+    return base.join(quant, "cohort_day", "left").select(
+        "cohort_day",
+        F.col("n_signups").cast("long").alias("n_signups"),
+        F.col("n_converted").cast("long").alias("n_converted"),
+        "conv_permille",
+        F.col("median_hours").cast("long").alias("median_hours"),
+        F.col("p90_hours").cast("long").alias("p90_hours"),
+    )

@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "q_ts_theil_sen",     # 1-row min-day scalar
     "q_graph_assortativity",  # 1-row node-count scalar
     "q_mixture_epochs",   # 1-row budget/quota scalar
+    "q_embed_pca_power",  # 1-row n/num/den/trace/top scalars
     "q_knn_classify",     # bounded 100-row pilot-query broadcast: the
                           # intended plan is every corpus row scoring
                           # against the closure-sized query set (the

@@ -40,6 +40,9 @@ BRUTE_FORCE_ORACLES = {
     "q_dedup_incremental",  # new×corpus brute-force ground truth (218 s at sf1)
     "q_join_spatial",  # brute-force θ-join ground truth (~1e11 pairs at sf1)
     "q_dedup_canonical",  # all-pairs Jaccard + recursive closure oracle
+    "q_dedup_source_matrix",  # all-pairs shingle Jaccard (a.doc_id <
+    #   b.doc_id) — ~1.25B set intersections at sf1; found the hard
+    #   way: the round-4 race spun >1 h inside this one oracle
     "q_sim_topk",  # exact rank over all pairs — linear×queries, keep
 }
 KEEP_ANYWAY = {"q_sim_topk"}  # linear scans race fairly at any sf
