@@ -1403,15 +1403,14 @@ def q_embed_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT q.query_id, q.true_label, e.label,
-             round({_SQL_COS.format(a="q.qe", b="e.embedding")}, 6)
-               AS c6,
+             {_SQL_COS.format(a="q.qe", b="e.embedding")} AS cos_sim,
              e.vec_id
       FROM q JOIN embeddings e ON e.vec_id <> q.query_id
     ),
     top5 AS (
       SELECT query_id, true_label, label FROM (
         SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY c6 DESC, vec_id) AS rn
+          PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
         FROM scored
       ) WHERE rn <= 5
     ),
@@ -1445,32 +1444,91 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id < 100, the q_sim_topk device), so the scored pair count is
     100·|corpus| — linear in the corpus at every sf, never corpus².
 
-    Plan: broadcast the 100 queries against the embedding scan, one
-    sequential-fold cosine per pair (bit-identical to DuckDB's list
-    fold), per-query top-5 via window over ≤100 small groups, a
-    (query, label) vote count, and a 10-row accuracy rollup. At 100 TB
-    the corpus scan dominates and is embarrassingly parallel; rank and
-    vote stages touch 100·k rows total."""
+    Plan: the q_sim_topk shape — the 100-query matrix (with labels)
+    rides in a ``mapInPandas`` closure, each corpus partition scores
+    itself against all queries as ONE GEMM and emits only its local
+    top-5 per query, so the global ranking window sees partitions×5
+    candidates per query, never the corpus. (The first cut broadcast-
+    joined the queries and scored each pair with a Catalyst
+    ``zip_with`` fold: 41 s at sf1 vs 1.5 s for its DuckDB twin —
+    interpreted per-element HOFs vs vectorized GEMM, the exact trap
+    the q_sim_topk docstring documents. Same results, 25× faster.)
+    Selection by (cos DESC, id ASC) commutes with partitioning, and
+    GEMM-vs-sequential-fold drift (~1e-15) sits far below the
+    fixture's rank gaps — the attested q_sim_topk parity argument.
+    At 100 TB the corpus scan dominates and is embarrassingly
+    parallel; rank and vote stages touch 100·k rows total."""
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("label").alias("true_label"),
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < 100)
+        .select("vec_id", "embedding", "label")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_labels = np.array([r.label for r in q_rows], dtype=np.int64)
+    Q = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in q_rows]
+    )
+    Qn = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+
+    def local_top5(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
+            cos = (E / nrm[:, None]) @ Qn.T
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            cols: dict = {
+                "query_id": [],
+                "true_label": [],
+                "label": [],
+                "vec_id": [],
+                "cos_sim": [],
+            }
+            for qi in range(len(q_ids)):
+                col = cos[:, qi]
+                mask = ids != q_ids[qi]
+                cid, cc, cl = ids[mask], col[mask], labels[mask]
+                k = min(5, len(cid))
+                if k == 0:
+                    continue
+                # local top-5 by (cos DESC, id ASC); keep boundary
+                # ties then lexsort (the q_sim_topk tie-safe device)
+                kth = np.partition(-cc, k - 1)[k - 1]
+                cand = np.nonzero(-cc <= kth)[0]
+                order = np.lexsort((cid[cand], -cc[cand]))[:k]
+                sel = cand[order]
+                cols["query_id"].extend([q_ids[qi]] * len(sel))
+                cols["true_label"].extend([q_labels[qi]] * len(sel))
+                cols["label"].extend(cl[sel])
+                cols["vec_id"].extend(cid[sel])
+                cols["cos_sim"].extend(cc[sel])
+            yield pd.DataFrame(
+                {
+                    k: np.array(
+                        v,
+                        dtype=np.float64 if k == "cos_sim" else np.int64,
+                    )
+                    for k, v in cols.items()
+                }
+            )
+
+    # split recovery (near-unsplittable fixture file, CPU-bound GEMM)
     scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "true_label",
-            "label",
-            "vec_id",
-            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias(
-                "c6"
-            ),
+        e.select("vec_id", "embedding", "label")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            local_top5,
+            "query_id bigint, true_label bigint, label bigint,"
+            " vec_id bigint, cos_sim double",
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("c6"), F.asc("vec_id")
+        F.desc("cos_sim"), F.asc("vec_id")
     )
     top5 = scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= 5
