@@ -6292,3 +6292,106 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("median_hours").cast("long").alias("median_hours"),
         F.col("p90_hours").cast("long").alias("p90_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_graph_modularity — attribute modularity of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_modularity",
+    oracle=f"""
+    WITH {_SQL_COPURCHASE_E0},
+    e AS MATERIALIZED (SELECT a0 AS u, b0 AS v FROM e0),
+    lbl AS MATERIALIZED (
+      SELECT p_partkey AS node, p_brand AS brand FROM part
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    m AS (SELECT count(*) AS m FROM e),
+    dc AS (
+      SELECT brand, SUM(d) AS d_c, count(*) AS n_nodes
+      FROM deg JOIN lbl USING (node) GROUP BY brand
+    ),
+    ec AS (
+      SELECT la.brand, count(*) AS e_c
+      FROM e JOIN lbl la ON e.u = la.node
+             JOIN lbl lb ON e.v = lb.node
+      WHERE la.brand = lb.brand
+      GROUP BY la.brand
+    )
+    SELECT dc.brand,
+           CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+           CAST(dc.d_c AS BIGINT) AS degree_sum,
+           CAST(coalesce(ec.e_c, 0) AS BIGINT) AS internal_edges,
+           round(CAST(coalesce(ec.e_c, 0) AS DOUBLE) / m.m
+                 - (CAST(dc.d_c AS DOUBLE) / (2 * m.m))
+                   * (CAST(dc.d_c AS DOUBLE) / (2 * m.m)), 6)
+             AS contribution
+    FROM dc LEFT JOIN ec USING (brand) CROSS JOIN m
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute modularity (Newman 2003 mixing-by-attribute): does
+    the co-purchase graph cluster along part BRANDS? Per brand, the
+    modularity contribution e_c/m − (d_c/2m)² — positive means
+    same-brand parts co-purchase more than degree chance predicts;
+    the sum over brands is the partition's modularity Q. The
+    attribute companion of q_graph_assortativity (degree mixing) and
+    the evaluation half of any community detection: given ANY label
+    column, this query scores it. Exact integer e_c/d_c/m sums; the
+    two divisions and one subtraction run identically on both
+    engines, rounded once.
+
+    Plan: the keyed edge index, one degree aggregate, two broadcast
+    joins of the part-brand dimension onto edge endpoints (dimension
+    table ≪ edges at every scale), a ≤|brands| aggregate each side,
+    one 1-row edge-count scalar. Linear in |E| with no new shuffle
+    beyond the degree agg at 100 TB."""
+    e = _copurchase_edges(spark, sf_dir)
+    lbl = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    dc = (
+        deg.join(F.broadcast(lbl), "node")
+        .groupBy("brand")
+        .agg(F.sum("d").alias("d_c"), F.count(F.lit(1)).alias("n_nodes"))
+    )
+    la = lbl.select(F.col("node").alias("u"), F.col("brand").alias("ba"))
+    lb = lbl.select(F.col("node").alias("v"), F.col("brand").alias("bb"))
+    ec = (
+        e.join(F.broadcast(la), "u")
+        .join(F.broadcast(lb), "v")
+        .filter(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    return (
+        dc.join(ec, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("d_c").cast("long").alias("degree_sum"),
+            F.coalesce("e_c", F.lit(0))
+            .cast("long")
+            .alias("internal_edges"),
+            F.round(
+                F.coalesce("e_c", F.lit(0)).cast("double") / F.col("m")
+                - (F.col("d_c").cast("double") / (2 * F.col("m")))
+                * (F.col("d_c").cast("double") / (2 * F.col("m"))),
+                6,
+            ).alias("contribution"),
+        )
+    )

@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "q_graph_assortativity",  # 1-row node-count scalar
     "q_mixture_epochs",   # 1-row budget/quota scalar
     "q_embed_pca_power",  # 1-row n/num/den/trace/top scalars
+    "q_graph_modularity",  # 1-row edge-count scalar (m in Q formula)
     "q_knn_classify",     # bounded 100-row pilot-query broadcast: the
                           # intended plan is every corpus row scoring
                           # against the closure-sized query set (the
