@@ -979,3 +979,157 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shortfall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dq_drift — PSI distribution drift between the two halves of the corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dq_drift",
+    oracle="""
+    WITH e2 AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS TIMESTAMP)::DATE AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e2),
+    e3 AS MATERIALIZED (
+      SELECT event_type, cents,
+             (date_diff('day', b.d0, e2.day) * 2
+              < date_diff('day', b.d0, b.d1) + 1) AS is_ref
+      FROM e2 CROSS JOIN b
+    ),
+    vb AS (
+      SELECT min(cents) AS vmin, max(cents) AS vmax FROM e3 WHERE is_ref
+    ),
+    e4 AS (
+      SELECT event_type, is_ref,
+             least(9, greatest(0,
+               ((cents - vb.vmin) * 10) // (vb.vmax - vb.vmin + 1)))
+               AS bin
+      FROM e3 CROSS JOIN vb
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+             SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+      FROM e4 GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT t.event_type, g.bin
+      FROM (SELECT DISTINCT event_type FROM cnt) t
+      CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+    ),
+    f AS (
+      SELECT spine.event_type, spine.bin,
+             coalesce(cnt.cr, 0) AS cr, coalesce(cnt.cc, 0) AS cc
+      FROM spine LEFT JOIN cnt
+        ON spine.event_type = cnt.event_type AND spine.bin = cnt.bin
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(cr) AS BIGINT) AS nr,
+             CAST(SUM(cc) AS BIGINT) AS nc
+      FROM f GROUP BY 1
+    ),
+    terms AS (
+      SELECT f.event_type, tot.nr, tot.nc,
+             CAST(round(
+               ((CAST(f.cr + 1 AS DOUBLE) / (tot.nr + 10))
+                - (CAST(f.cc + 1 AS DOUBLE) / (tot.nc + 10)))
+               * ln((CAST(f.cr + 1 AS DOUBLE) / (tot.nr + 10))
+                    / (CAST(f.cc + 1 AS DOUBLE) / (tot.nc + 10))), 6)
+               AS DECIMAL(27,6)) AS term
+      FROM f JOIN tot USING (event_type)
+    )
+    SELECT event_type, nr AS n_ref, nc AS n_cur,
+           CAST(SUM(term) AS DOUBLE) AS psi,
+           (SUM(term) > 0.25) AS drift
+    FROM terms GROUP BY 1, 2, 3
+    """,
+)
+def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index (PSI) drift monitor: per event type,
+    does the ``value`` distribution in the LATER half of the corpus
+    (by calendar day) drift from the EARLIER half? The standard
+    train/serve-skew gate in front of any model or training-data
+    pipeline (PSI > 0.25 = act). Values bucket into 10 equal-width
+    bins fitted on the reference half in EXACT cents-integer
+    arithmetic (bin edges can never flap between engines), bin shares
+    are Laplace-smoothed (+1/bin, so empty bins are defined), and
+    PSI = Σ (p−q)·ln(p/q) follows the libm convention: each of the 10
+    terms is rounded to the 1e-6 grid and summed as exact decimal.
+
+    Plan: two corpus passes (day bounds + reference value bounds, each
+    a 1-row broadcast scalar) then ONE map-combined count aggregate
+    per (event_type, bin); everything after is |types|×10 rows — the
+    bin spine, smoothing, and the PSI fold are spine-sized. At 100 TB
+    the only data-sized work is three linear scans (and the first two
+    collapse into stored table statistics in a real deployment)."""
+    e2 = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    b = e2.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    e3 = e2.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        "cents",
+        (
+            F.datediff("day", "d0") * 2
+            < F.datediff("d1", "d0") + 1
+        ).alias("is_ref"),
+    )
+    vb = e3.filter("is_ref").agg(
+        F.min("cents").alias("vmin"), F.max("cents").alias("vmax")
+    )
+    e4 = e3.crossJoin(F.broadcast(vb)).select(
+        "event_type",
+        "is_ref",
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.expr("((cents - vmin) * 10) div (vmax - vmin + 1)"),
+            ),
+        ).alias("bin"),
+    )
+    cnt = e4.groupBy("event_type", "bin").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("cr"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("cc"),
+    )
+    cnt = cnt.localCheckpoint(eager=False)  # spine + totals reuse
+    spine = (
+        cnt.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+        )
+    )
+    f = spine.join(cnt, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+    )
+    tot = f.groupBy("event_type").agg(
+        F.sum("cr").alias("nr"), F.sum("cc").alias("nc")
+    )
+    ft = f.join(F.broadcast(tot), "event_type")
+    p = (F.col("cr") + 1).cast("double") / (F.col("nr") + 10)
+    q = (F.col("cc") + 1).cast("double") / (F.col("nc") + 10)
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(27,6)")
+    return (
+        ft.select("event_type", "nr", "nc", term.alias("term"))
+        .groupBy("event_type", "nr", "nc")
+        .agg(F.sum("term").alias("s"))
+        .select(
+            "event_type",
+            F.col("nr").cast("long").alias("n_ref"),
+            F.col("nc").cast("long").alias("n_cur"),
+            F.col("s").cast("double").alias("psi"),
+            (F.col("s") > 0.25).alias("drift"),
+        )
+    )

@@ -6395,3 +6395,465 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contribution"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_skyline_2d — Pareto frontier (skyline) via prefix-max, no self-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_skyline_2d",
+    oracle="""
+    WITH g AS (
+      SELECT p_retailprice AS price, max(p_size) AS mx
+      FROM part GROUP BY 1
+    ),
+    f AS (
+      SELECT price, mx FROM (
+        SELECT price, mx,
+               max(mx) OVER (ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pmx
+        FROM g
+      ) WHERE pmx IS NULL OR mx > pmx
+    )
+    SELECT p.p_partkey AS part_key,
+           p.p_retailprice AS retail_price,
+           CAST(p.p_size AS BIGINT) AS part_size
+    FROM part p
+    JOIN f ON p.p_retailprice = f.price AND p.p_size = f.mx
+    """,
+)
+def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the parts no other part
+    dominates on (price ↓ better, size ↑ better) — a part is OFF the
+    frontier iff some part is no more expensive AND no smaller with
+    at least one strict. The classic formulation is a dominance
+    anti-self-join (quadratic); the 2-D case collapses to a staircase:
+    after keying by price, a price level is on the frontier iff its
+    max size strictly beats the prefix-max size over all strictly
+    cheaper levels (ties at the same (price, size) all survive —
+    neither strictly dominates the other).
+
+    Plan: one hash aggregate (price → max size) shrinks the corpus to
+    its distinct-price spine; `scale.running_max_by_range` computes
+    the STRICT prefix max over that spine with a range shuffle +
+    per-partition windows + a |partitions|-row broadcast offset — no
+    single-task global window (the q_events_rfm lesson) and no
+    dominance join anywhere; one final equi-join back onto the corpus
+    emits the frontier rows. Linear shuffles only; at 100 TB the
+    spine is |distinct prices| ≪ |parts| and everything downstream of
+    the first aggregate is spine-sized."""
+    from streamclient_spark.scale import running_max_by_range
+
+    p = load(spark, sf_dir, "part")
+    g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("mx")
+    )
+    f = running_max_by_range(
+        g, ["price"], "mx", out_col="pmx", strict=True
+    ).filter(F.col("pmx").isNull() | (F.col("mx") > F.col("pmx")))
+    return p.join(
+        f,
+        (p["p_retailprice"] == f["price"]) & (p["p_size"] == f["mx"]),
+    ).select(
+        F.col("p_partkey").alias("part_key"),
+        F.col("p_retailprice").alias("retail_price"),
+        F.col("p_size").cast("long").alias("part_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_hll_parity — from-scratch HyperLogLog with cross-engine parity
+# ---------------------------------------------------------------------------
+
+_HLL_H = "md5('hll:' || CAST(user_id AS VARCHAR))"
+
+
+@register(
+    "q_agg_hll_parity",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr({_HLL_H}, 1, 2)) AS BIGINT) AS idx,
+             CAST(('0x' || substr({_HLL_H}, 3, 13)) AS BIGINT) AS w
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, idx,
+             max(CASE WHEN w = 0 THEN 53
+                      ELSE 53 - length(bin(w)) END) AS reg
+      FROM h GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, max(reg) AS r_max, count(*) AS n_present
+      FROM regs GROUP BY 1
+    ),
+    s AS (
+      SELECT regs.event_type, t.r_max, t.n_present,
+             CAST(SUM(1::BIGINT << CAST(t.r_max - regs.reg AS INT))
+                  AS BIGINT) AS s_present
+      FROM regs JOIN t USING (event_type)
+      GROUP BY 1, 2, 3
+    ),
+    x AS (
+      SELECT event_type, r_max,
+             256 - n_present AS v_zero,
+             CAST(s_present + (256 - n_present)
+                  * (1::BIGINT << CAST(r_max AS INT)) AS BIGINT) AS s_all
+      FROM s
+    ),
+    est AS (
+      SELECT event_type, r_max, v_zero,
+             CASE WHEN ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                        * CAST(1::BIGINT << CAST(r_max AS INT) AS DOUBLE)
+                        / CAST(s_all AS DOUBLE)) <= 640.0
+                   AND v_zero > 0
+                  THEN round(256.0 * ln(256.0 / v_zero), 6)
+                  ELSE round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                             * CAST(1::BIGINT << CAST(r_max AS INT)
+                                    AS DOUBLE)
+                             / CAST(s_all AS DOUBLE), 6)
+             END AS hll_estimate
+      FROM x
+    ),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT est.event_type,
+           CAST(ex.exact_users AS BIGINT) AS exact_users,
+           CAST(est.v_zero AS BIGINT) AS n_zero_regs,
+           CAST(est.r_max AS BIGINT) AS max_rho,
+           est.hll_estimate,
+           CAST(floor(abs(est.hll_estimate - ex.exact_users) * 1000.0
+                      / ex.exact_users) AS BIGINT) AS err_permille
+    FROM est JOIN ex USING (event_type)
+    """,
+)
+def q_agg_hll_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (Flajolet 2007) built from scratch as a DataFrame
+    composition, with CROSS-ENGINE-DETERMINISTIC estimates: unlike
+    ``approx_count_distinct`` (engine-private hash → rows-only check),
+    every step here — md5-derived 60-bit hash, 256 registers from the
+    top byte, rank = leading zeros of the remaining 52 bits via
+    ``53 - length(bin(w))``, register max, harmonic-mean estimator
+    with the small-range linear-counting branch — is exact integer or
+    textually identical IEEE arithmetic on both engines, so the
+    ESTIMATE ITSELF hash-matches the oracle. The harmonic sum
+    Σ2^-M_j is computed as the exact integer Σ2^(R-M_j) (R = max
+    register, ≤53, so terms fit a BIGINT ×256) and divided once;
+    per event_type the output carries the exact distinct-user count
+    next to the sketch estimate and its integer-permille error.
+
+    This is the mergeable-sketch pattern at 100 TB: the register table
+    (|groups|·256 rows) IS the sketch — map-side combine reduces each
+    partition to ≤256 rows per group before the shuffle, unions of
+    corpora merge by register max, and the estimator runs on the tiny
+    merged table. The exact count_distinct alongside is the audit
+    column (at true 100 TB scale one would sample-audit instead).
+
+    Spark surface: groupBy/agg, bin/conv/md5 codegen expressions —
+    no UDF, no Python."""
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    hx = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    idx = F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint")
+    w = F.conv(F.substring(hx, 3, 13), 16, 10).cast("bigint")
+    rho = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(w))
+    )
+    regs = (
+        e.select("event_type", idx.alias("idx"), rho.alias("reg"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("reg").alias("reg"))
+        .localCheckpoint(eager=False)  # tiny; feeds r_max and the sum
+    )
+    t = regs.groupBy("event_type").agg(
+        F.max("reg").alias("r_max"), F.count(F.lit(1)).alias("n_present")
+    )
+    s = (
+        regs.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "r_max", "n_present")
+        .agg(
+            F.sum(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(r_max - reg AS INT))"
+                )
+            ).alias("s_present")
+        )
+    )
+    x = s.select(
+        "event_type",
+        "r_max",
+        (F.lit(256) - F.col("n_present")).alias("v_zero"),
+        (
+            F.col("s_present")
+            + (F.lit(256) - F.col("n_present"))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))")
+        ).alias("s_all"),
+    )
+    pow2r = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT)) AS DOUBLE)"
+    )
+    e_raw = (
+        F.lit(0.7213 / (1.0 + 1.079 / 256.0))
+        * F.lit(65536.0)
+        * pow2r
+        / F.col("s_all").cast("double")
+    )
+    est = x.select(
+        "event_type",
+        "r_max",
+        "v_zero",
+        F.when(
+            (e_raw <= 640.0) & (F.col("v_zero") > 0),
+            F.round(F.lit(256.0) * F.log(F.lit(256.0) / F.col("v_zero")), 6),
+        )
+        .otherwise(F.round(e_raw, 6))
+        .alias("hll_estimate"),
+    )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(F.broadcast(ex), "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.col("v_zero").cast("long").alias("n_zero_regs"),
+        F.col("r_max").cast("long").alias("max_rho"),
+        "hll_estimate",
+        F.floor(
+            F.abs(F.col("hll_estimate") - F.col("exact_users"))
+            * 1000.0
+            / F.col("exact_users")
+        )
+        .cast("long")
+        .alias("err_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_ab_test — deterministic hash-split A/B with Welch's t
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_ab_test",
+    oracle="""
+    WITH a AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 2 AS arm,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS na,
+             CAST(SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sa,
+             CAST(SUM(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END)
+                  AS DECIMAL(38,0)) AS saa,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS nb,
+             CAST(SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sb,
+             CAST(SUM(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sbb
+      FROM a GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6)
+             AS mean_a,
+           round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6)
+             AS mean_b,
+           round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0
+                  - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0)
+                 / SQRT(
+                     CAST(na * saa - sa * sa AS DOUBLE)
+                       / CAST(na * (na - 1) AS DOUBLE) / 10000.0
+                       / CAST(na AS DOUBLE)
+                     + CAST(nb * sbb - sb * sb AS DOUBLE)
+                       / CAST(nb * (nb - 1) AS DOUBLE) / 10000.0
+                       / CAST(nb AS DOUBLE)), 6) AS t_welch
+    FROM g
+    """,
+)
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are deterministically split into
+    two arms by the cross-engine md5 hash (``hash32('ab:'||user_id) %
+    2`` — the same bucketing a production experimentation system
+    derives from a unit id + experiment salt, and reproducible across
+    engines, runs, and retries, unlike ``rand()``), then per event
+    type the per-arm means of ``value`` are compared with WELCH'S
+    t-statistic (unequal variances). All moments are EXACT integer
+    sums in cents (the q_agg_stats doctrine: n/Σx/Σx² per arm in one
+    conditional-aggregate pass — no second scan, no per-arm shuffle),
+    and the t closed form evaluates in textually identical double
+    arithmetic on both engines, rounded once.
+
+    100 TB plan: a single map-combined hash aggregate over the corpus
+    carrying 6 long accumulators per (event_type) group — the arm
+    split is a projection, not a partition — then scalar algebra on
+    the |event_types|-row table."""
+    from streamclient_spark.functions.dedup import hash32
+
+    e = load(spark, sf_dir, "events")
+    arm = F.pmod(
+        hash32(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+        F.lit(2),
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    a0 = (arm == 0).cast("long")
+    a1 = (arm == 1).cast("long")
+    g = (
+        e.select(
+            "event_type",
+            a0.alias("i0"),
+            a1.alias("i1"),
+            cents.alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("i0").alias("na"),
+            F.sum(F.col("i0") * F.col("c")).alias("sa"),
+            F.sum(F.col("i0") * F.col("c") * F.col("c")).alias("saa"),
+            F.sum("i1").alias("nb"),
+            F.sum(F.col("i1") * F.col("c")).alias("sb"),
+            F.sum(F.col("i1") * F.col("c") * F.col("c")).alias("sbb"),
+        )
+    )
+    dec = "decimal(38,0)"
+    na, sa, saa = (F.col(c).cast(dec) for c in ("na", "sa", "saa"))
+    nb, sb, sbb = (F.col(c).cast(dec) for c in ("nb", "sb", "sbb"))
+    mean_a = sa.cast("double") / na.cast("double") / F.lit(100.0)
+    mean_b = sb.cast("double") / nb.cast("double") / F.lit(100.0)
+    var_a = (
+        (na * saa - sa * sa).cast("double")
+        / (na * (na - F.lit(1))).cast("double")
+        / F.lit(10000.0)
+    )
+    var_b = (
+        (nb * sbb - sb * sb).cast("double")
+        / (nb * (nb - F.lit(1))).cast("double")
+        / F.lit(10000.0)
+    )
+    return g.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(
+            (mean_a - mean_b)
+            / F.sqrt(var_a / na.cast("double") + var_b / nb.cast("double")),
+            6,
+        ).alias("t_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_graph_label_prop — fixed-round synchronous label propagation
+# ---------------------------------------------------------------------------
+
+#: synchronous LPA rounds. BOTH engines run exactly this many, so the
+#: result is deterministic by construction (the q_embed_pca_power
+#: fixed-point doctrine) — no convergence pin needed, unlike the CC/
+#: BFS/k-core unrolls whose oracles must cover the engine's fixpoint.
+_LPA_ROUNDS = 4
+
+
+def _sql_lpa_oracle() -> str:
+    rounds = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        p = r - 1
+        rounds.append(
+            f"""
+    v{r} AS (
+      SELECT e.u AS node, l.lbl FROM e JOIN l{p} l ON l.node = e.v
+      UNION ALL
+      SELECT e.v AS node, l.lbl FROM e JOIN l{p} l ON l.node = e.u
+      UNION ALL
+      SELECT node, lbl FROM l{p}
+    ),
+    c{r} AS (SELECT node, lbl, count(*) AS c FROM v{r} GROUP BY 1, 2),
+    l{r} AS (
+      SELECT node, lbl FROM c{r}
+      QUALIFY row_number() OVER (PARTITION BY node
+                                 ORDER BY c DESC, lbl ASC) = 1
+    )"""
+        )
+    return (
+        f"WITH {_SQL_COPURCHASE_E0},"
+        " e AS MATERIALIZED (SELECT a0 AS u, b0 AS v FROM e0),"
+        " nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),"
+        " l0 AS (SELECT node, node AS lbl FROM nodes),"
+        + ",".join(rounds)
+        + f"""
+    SELECT lbl AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS rep_node
+    FROM l{_LPA_ROUNDS} GROUP BY 1
+    """
+    )
+
+
+@register("q_graph_label_prop", oracle=_sql_lpa_oracle())
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007) over the co-purchase graph — the DETECTION half whose output
+    q_graph_modularity is the evaluation half of. Every node starts as
+    its own label; each round every node adopts the most frequent
+    label among its neighbors plus one self-vote, ties broken toward
+    the SMALLEST label (the determinism fix for classic LPA's random
+    tie-break). Both engines run exactly ``_LPA_ROUNDS`` (4) synchronous
+    rounds, so engine and oracle agree by construction — fixed-point
+    doctrine, not a convergence bet. Output: per surviving community,
+    its size and smallest member.
+
+    Plan per round: two edge⋈label equi-joins (edges co-partitioned by
+    endpoint key — the pagerank shuffle shape, linear in |E|), a
+    (node, label) count aggregate, and a per-node argmax window
+    (partitioned by node — parallel, never global). Each round's label
+    table is eagerly localCheckpoint'd: the next round references it
+    three times, and without the cut Catalyst re-analyzes a
+    doubling plan per round (the q_graph_bfs lesson)."""
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    lbl = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(
+        F.desc("c"), F.asc("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        lv = lbl.select(F.col("node").alias("ln"), "lbl")
+        votes = (
+            e.join(lv, e["v"] == lv["ln"]).select(
+                F.col("u").alias("node"), "lbl"
+            )
+            .union(
+                e.join(lv, e["u"] == lv["ln"]).select(
+                    F.col("v").alias("node"), "lbl"
+                )
+            )
+            .union(lbl)
+        )
+        cnt = votes.groupBy("node", "lbl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        lbl = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return lbl.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("rep_node"),
+    )

@@ -284,6 +284,68 @@ def running_sum_by_range(
     )
 
 
+def running_max_by_range(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    *,
+    out_col: str = "running_max",
+    strict: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running MAX over a total order without a single-task sort —
+    the max twin of :func:`running_sum_by_range`, plus a ``strict``
+    mode (max over rows strictly BEFORE the current one; NULL when no
+    predecessor exists) which is the primitive behind staircase/
+    frontier operators (2-D skyline: a point survives iff its y beats
+    the strict-prefix max along x).
+
+    Same decomposition: range-partition on the order columns, local
+    window partitioned on ``spark_partition_id()``, then fold in each
+    partition's predecessor-partitions max — a |partitions|-row
+    aggregate joined back by broadcast. In strict mode the local frame
+    ends at ``-1`` and the offset is the max over strictly earlier
+    partitions, so the global result is exactly the single-window
+    form. ``order_cols`` must be a total order for the strict variant
+    to be well-defined (same rule as ranked_by_range)."""
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    part = (
+        df.repartitionByRange(int(n), *order_cols)
+        .select("*", F.spark_partition_id().alias("__pid"))
+        .localCheckpoint(eager=False)
+    )
+
+    cols = list(df.columns)
+    hi = Window.currentRow - 1 if strict else Window.currentRow
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, hi
+    )
+    local = part.select(
+        "*", F.max(value_col).over(w_local).alias("__run_local")
+    )
+
+    totals = part.groupBy("__pid").agg(F.max(value_col).alias("__t"))
+    w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = totals.select(
+        "__pid", F.max("__t").over(w).alias("__offset")
+    )
+
+    run = F.when(
+        F.col("__run_local").isNull(), F.col("__offset")
+    ).otherwise(
+        F.when(
+            F.col("__offset").isNull(), F.col("__run_local")
+        ).otherwise(F.greatest("__run_local", "__offset"))
+    )
+    return local.join(F.broadcast(offsets), "__pid").select(
+        *cols, run.alias(out_col)
+    )
+
+
 def ntile_from_rank(rank: Column, n_total: Column, k: int) -> Column:
     """SQL ``ntile(k)`` reconstructed from a global 1-based rank and the
     total row count — pure integer arithmetic, so it composes with

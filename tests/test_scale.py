@@ -230,6 +230,40 @@ def test_running_sum_by_range_matches_global_window(spark, sf_oracle):
     assert "windowspecdefinition(__pid" in plan
 
 
+def test_running_max_by_range_matches_global_window(spark, sf_oracle):
+    """The distributed running-max decomposition (strict and inclusive)
+    must reproduce the single-task global window exactly over a total
+    order — strict mode is the skyline primitive, so its NULL-for-first
+    -row contract matters as much as the values."""
+    from pyspark.sql import Window as W
+
+    from streamclient_spark.scale import running_max_by_range
+    from streamclient_spark.tables import load
+
+    e = load(spark, sf_oracle, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    for strict in (False, True):
+        got = {
+            r["event_id"]: r["rm"]
+            for r in running_max_by_range(
+                e, ["event_id"], "cents", out_col="rm", strict=strict
+            ).collect()
+        }
+        hi = W.currentRow - 1 if strict else W.currentRow
+        w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, hi)
+        want = {
+            r["event_id"]: r["rm"]
+            for r in e.select(
+                "event_id", F.max("cents").over(w).alias("rm")
+            ).collect()
+        }
+        assert got == want, f"strict={strict}"
+    # strict mode: exactly one NULL (the global first row)
+    assert sum(1 for v in got.values() if v is None) == 1
+
+
 def test_ntile_from_rank_matches_window_ntile(spark, sf_oracle):
     """ntile_from_rank(rank, N, k) must equal ntile(k) OVER the same
     total order for bucket counts that divide N unevenly, including
