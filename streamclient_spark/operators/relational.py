@@ -6857,3 +6857,308 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.min("node").cast("long").alias("rep_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_powerlaw — Hill estimator of the user-activity tail exponent
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_powerlaw",
+    oracle="""
+    WITH ux AS (
+      SELECT event_type, user_id, count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT event_type, x, count(*) AS cnt
+      FROM ux WHERE x >= 5 GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(cnt) AS BIGINT) AS n_tail,
+             CAST(MAX(x) AS BIGINT) AS max_x,
+             SUM(cnt * CAST(round(ln(x / 5.0), 6) AS DECIMAL(27,6)))
+               AS sum_ln
+      FROM dist GROUP BY 1
+    )
+    SELECT event_type, n_tail, max_x,
+           CASE WHEN sum_ln = 0 THEN NULL
+                ELSE round(1.0 + n_tail / CAST(sum_ln AS DOUBLE), 6)
+           END AS alpha_hill
+    FROM s
+    """,
+)
+def q_events_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law tail exponent of per-user activity by the Hill / MLE
+    estimator (Clauset-Shalizi-Newman 2009): per event type, over users
+    with at least x_min = 5 events, α = 1 + n / Σ ln(x_i / x_min) — the
+    one-number answer to "how heavy-tailed is engagement?" that sizes
+    skew mitigation (salting thresholds, hot-key caps) and sampling
+    designs. The Σln runs over the VALUE DISTRIBUTION (x, count(x)),
+    not per user: each distinct activity level contributes
+    count·round(ln(x/5), 6) into an exact decimal sum — the libm
+    convention with |distinct x| ≪ |users| terms — and α finishes in
+    one identical double expression (NULL when the tail is degenerate
+    at exactly x_min).
+
+    Plan: one map-combined (type, user) count, one (type, x) count of
+    counts — both linear shuffles that shrink monotonically — then
+    |types| rows of algebra. No scalars, no windows."""
+    e = load(spark, sf_dir, "events")
+    ux = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    dist = (
+        ux.filter(F.col("x") >= 5)
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    term = F.col("cnt") * F.round(
+        F.log(F.col("x") / F.lit(5.0)), 6
+    ).cast("decimal(27,6)")
+    s = dist.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_tail"),
+        F.max("x").alias("max_x"),
+        F.sum(term).alias("sum_ln"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n_tail").cast("long").alias("n_tail"),
+        F.col("max_x").cast("long").alias("max_x"),
+        F.when(F.col("sum_ln") == 0, F.lit(None)).otherwise(
+            F.round(
+                F.lit(1.0)
+                + F.col("n_tail") / F.col("sum_ln").cast("double"),
+                6,
+            )
+        ).alias("alpha_hill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_cohort_ltv — cumulative revenue per signup cohort by age
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_cohort_ltv",
+    oracle="""
+    WITH d0 AS (
+      SELECT min(CAST(ts AS TIMESTAMP)::DATE) AS d0 FROM events
+    ),
+    ev AS MATERIALIZED (
+      SELECT user_id, event_type,
+             CAST(date_diff('day', d0.d0,
+                  CAST(ts AS TIMESTAMP)::DATE) AS BIGINT) // 7 AS wk,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events CROSS JOIN d0
+    ),
+    firsts AS (SELECT user_id, min(wk) AS w0 FROM ev GROUP BY 1),
+    cohorts AS (
+      SELECT w0, count(*) AS n_users FROM firsts GROUP BY 1
+    ),
+    maxw AS (SELECT max(wk) AS mw FROM ev),
+    buy AS (
+      SELECT f.w0, e.wk - f.w0 AS age,
+             CAST(SUM(e.cents) AS BIGINT) AS rev
+      FROM ev e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT c.w0, c.n_users, g.age
+      FROM cohorts c
+      CROSS JOIN (SELECT unnest(range(0,
+                    (SELECT mw FROM maxw) + 1)) AS age) g
+      CROSS JOIN maxw
+      WHERE g.age <= maxw.mw - c.w0
+    ),
+    cum AS (
+      SELECT w0, n_users, age,
+             SUM(coalesce(buy.rev, 0)) OVER (
+               PARTITION BY w0 ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_cents
+      FROM spine LEFT JOIN buy USING (w0, age)
+    )
+    SELECT w0 AS cohort_week, CAST(age AS BIGINT) AS age_weeks,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(cum_cents AS BIGINT) AS cum_revenue_cents,
+           round(CAST(cum_cents AS DOUBLE) / 100.0 / n_users, 6)
+             AS ltv_per_user
+    FROM cum
+    """,
+)
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-seen week,
+    then per cohort the CUMULATIVE purchase revenue by cohort age in
+    weeks, normalized per user — the revenue companion of
+    q_cohort_retention and the curve every payback-period decision
+    reads. Ages with no purchases still appear (the spine is generated
+    per cohort out to the corpus max week), so the curve is flat, not
+    missing, through quiet weeks. Revenue stays exact integer cents
+    through the cumulative sum; the per-user division is the rounded
+    epilogue.
+
+    Plan: one (user, week) projection, a per-user min-week aggregate,
+    a broadcast cohort join back onto purchases, and a cohort-keyed
+    running sum over the weeks-squared spine (window PARTITIONED by
+    cohort — parallel, bounded by calendar weeks, never user-sized).
+    Two 1-row scalars (corpus min day, max week) broadcast."""
+    e = load(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    ev = e.crossJoin(F.broadcast(d0)).select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(datediff(to_date(ts), d0) AS BIGINT) div 7").alias(
+            "wk"
+        ),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ev = ev.localCheckpoint(eager=False)  # firsts + maxw + buy reuse
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("w0"))
+    cohorts = firsts.groupBy("w0").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    maxw = ev.agg(F.max("wk").alias("mw"))
+    buy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy("w0", (F.col("wk") - F.col("w0")).alias("age"))
+        .agg(F.sum("cents").alias("rev"))
+    )
+    spine = cohorts.crossJoin(F.broadcast(maxw)).select(
+        "w0",
+        "n_users",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("mw") - F.col("w0"))
+        ).alias("age"),
+    )
+    w = (
+        Window.partitionBy("w0")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spine.join(buy, ["w0", "age"], "left").select(
+        "w0",
+        "n_users",
+        "age",
+        F.sum(F.coalesce("rev", F.lit(0))).over(w).alias("cum_cents"),
+    )
+    return cum.select(
+        F.col("w0").alias("cohort_week"),
+        F.col("age").cast("long").alias("age_weeks"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("cum_cents").cast("long").alias("cum_revenue_cents"),
+        F.round(
+            F.col("cum_cents").cast("double")
+            / F.lit(100.0)
+            / F.col("n_users"),
+            6,
+        ).alias("ltv_per_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_countmin — Count-Min frequency sketch with cross-engine parity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_countmin",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    ),
+    keys AS (
+      SELECT counts.user_id, counts.n, j.j,
+             CAST(('0x' || substr(md5('cm' || CAST(j.j AS VARCHAR)
+                   || ':' || CAST(counts.user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 256 AS idx
+      FROM counts CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+    ),
+    counters AS (
+      SELECT j, idx, CAST(SUM(n) AS BIGINT) AS counter
+      FROM keys GROUP BY 1, 2
+    ),
+    top20 AS (
+      SELECT user_id, n FROM counts
+      ORDER BY n DESC, user_id ASC LIMIT 20
+    )
+    SELECT k.user_id,
+           CAST(any_value(k.n) AS BIGINT) AS exact_n,
+           CAST(min(c.counter) AS BIGINT) AS cm_estimate,
+           CAST(min(c.counter) - any_value(k.n) AS BIGINT)
+             AS overestimate
+    FROM keys k
+    JOIN counters c ON c.j = k.j AND c.idx = k.idx
+    WHERE k.user_id IN (SELECT user_id FROM top20)
+    GROUP BY k.user_id
+    """,
+)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode-Muthukrishnan 2005) with CROSS-ENGINE
+    PARITY — the frequency twin of q_agg_hll_parity's cardinality
+    sketch: 4 hash rows × 256 counters, each row indexed by an
+    independent md5-derived hash, point estimate = MIN over the 4 row
+    counters (never underestimates; collisions only inflate). Pure
+    integer end to end, so the ESTIMATES hash-match the oracle
+    exactly. Read out for the top-20 users by exact activity (total
+    order: count desc, user_id asc) with the overestimate column
+    making collision error visible.
+
+    Plan: the corpus reduces to per-user counts first (one
+    map-combined aggregate); the 1024-cell counter table builds from
+    that COUNT TABLE, not the corpus (CM is linear — summing
+    pre-aggregated counts is the same sketch), so the 4-way hash
+    explosion multiplies |users|, not |events|. The top-k readout is
+    a TakeOrdered (k·tasks rows to the driver) joined back against
+    the 1024-row counter table by broadcast."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.localCheckpoint(eager=False)  # keys + top20 reuse
+    keys = counts.select(
+        "user_id",
+        "n",
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+    ).select(
+        "user_id",
+        "n",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cm"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 256
+        ).alias("idx"),
+    )
+    keys = keys.localCheckpoint(eager=False)  # counters + readout reuse
+    counters = keys.groupBy("j", "idx").agg(F.sum("n").alias("counter"))
+    top20 = counts.orderBy(F.desc("n"), F.asc("user_id")).limit(20)
+    return (
+        keys.join(F.broadcast(top20.select("user_id")), "user_id")
+        .join(F.broadcast(counters), ["j", "idx"])
+        .groupBy("user_id")
+        .agg(
+            F.any_value(F.col("n")).cast("long").alias("exact_n"),
+            F.min("counter").cast("long").alias("cm_estimate"),
+            (F.min("counter") - F.any_value(F.col("n")))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )

@@ -2242,3 +2242,97 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("forecast7_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_stl — additive trend/seasonal/remainder decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_stl",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(date_diff('day',
+               (SELECT min(CAST(ts AS TIMESTAMP)::DATE) FROM events),
+               CAST(ts AS TIMESTAMP)::DATE) AS BIGINT) AS t,
+             count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    ma AS (
+      SELECT t, c, t % 7 AS dow,
+             SUM(c) OVER w AS s7, COUNT(*) OVER w AS n7
+      FROM daily
+      WINDOW w AS (ORDER BY t RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    kept AS (SELECT t, dow, c, s7 FROM ma WHERE n7 = 7),
+    seas AS (
+      SELECT dow,
+             CAST(SUM(7 * c - s7) AS BIGINT) AS s_num,
+             count(*) AS n_dow
+      FROM kept GROUP BY 1
+    )
+    SELECT k.t AS day_index,
+           CAST(k.c AS BIGINT) AS n_events,
+           round(CAST(k.s7 AS DOUBLE) / 7.0, 6) AS trend,
+           round(CAST(seas.s_num AS DOUBLE) / (7.0 * seas.n_dow), 6)
+             AS seasonal,
+           round(CAST(k.c AS DOUBLE) - CAST(k.s7 AS DOUBLE) / 7.0
+                 - CAST(seas.s_num AS DOUBLE) / (7.0 * seas.n_dow), 6)
+             AS remainder
+    FROM kept k JOIN seas USING (dow)
+    """,
+)
+def q_ts_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-count series
+    (the moving-average core of STL / classical `decompose`): trend =
+    centered 7-day moving average, seasonal = per-day-of-week mean of
+    the detrended series, remainder = the rest — the standard first
+    step before anomaly detection or forecasting on any operational
+    series (q_ts_anomaly and q_ts_holt consume exactly these parts).
+    Every aggregate stays an EXACT integer until the epilogue: the
+    detrended value is carried as the integer numerator 7·c − Σ7 (never
+    the rounded double), the seasonal mean is that numerator summed over
+    a day-of-week divided once by 7·n, and the remainder re-derives
+    from the same integers in one textually identical double
+    expression. Edge days without a full 7-day window are excluded
+    (n7 = 7), matching the classical convention.
+
+    Plan: ONE map-combined daily aggregate reduces the corpus to
+    |days| rows; the centered window, day-of-week means, and the
+    7-row seasonal join all run on that spine (the intended-tiny
+    global window, |days| rows — same posture as q_ts_acf)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mn = daily.agg(F.min("day").alias("d0"))
+    d = daily.join(F.broadcast(mn)).select(
+        F.datediff("day", "d0").cast("long").alias("t"), "c"
+    )
+    w = Window.orderBy("t").rangeBetween(-3, 3)
+    ma = d.select(
+        "t",
+        "c",
+        (F.col("t") % 7).alias("dow"),
+        F.sum("c").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    kept = ma.filter(F.col("n7") == 7).localCheckpoint(eager=False)
+    seas = kept.groupBy("dow").agg(
+        F.sum(F.lit(7) * F.col("c") - F.col("s7")).alias("s_num"),
+        F.count(F.lit(1)).alias("n_dow"),
+    )
+    trend = F.col("s7").cast("double") / F.lit(7.0)
+    seasonal = F.col("s_num").cast("double") / (
+        F.lit(7.0) * F.col("n_dow")
+    )
+    return kept.join(F.broadcast(seas), "dow").select(
+        F.col("t").alias("day_index"),
+        F.col("c").cast("long").alias("n_events"),
+        F.round(trend, 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(
+            F.col("c").cast("double") - trend - seasonal, 6
+        ).alias("remainder"),
+    )

@@ -52,6 +52,8 @@ BNLJ_ALLOWED = {
     "q_embed_pca_power",  # 1-row n/num/den/trace/top scalars
     "q_graph_modularity",  # 1-row edge-count scalar (m in Q formula)
     "q_dq_drift",         # 1-row day-bounds + reference-bounds scalars
+    "q_events_cohort_ltv",  # 1-row min-day + max-week scalars
+    "q_ts_stl",           # 1-row min-day scalar (day indexing)
     "q_knn_classify",     # bounded 100-row pilot-query broadcast: the
                           # intended plan is every corpus row scoring
                           # against the closure-sized query set (the
