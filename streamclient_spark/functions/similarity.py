@@ -1555,3 +1555,217 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("accuracy_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_rrf — hybrid retrieval: reciprocal-rank fusion of dense + BM25
+# ---------------------------------------------------------------------------
+
+RRF_QUERY_ID = 0  # the standing dense query vector (vec_id = doc_id)
+RRF_K = 60  # the canonical RRF damping constant (Cormack 2009)
+RRF_LIST_K = 50  # per-ranker candidate list depth
+RRF_OUT_K = 20
+
+
+def _sql_rrf_oracle() -> str:
+    from streamclient_spark.functions.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        SQL_TOKENS,
+    )
+
+    tf_cols = " ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i},"
+        for i, t in enumerate(_BM25_TERMS)
+    ).rstrip(",")
+    df_cols = " ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i},"
+        for i in range(len(_BM25_TERMS))
+    ).rstrip(",")
+    score = " + ".join(
+        f"ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * ({_BM25_K1} + 1))"
+        f" / (tf{i} + {_BM25_K1}"
+        f" * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_sum = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH qv AS (
+      SELECT embedding AS qe FROM embeddings
+      WHERE vec_id = {RRF_QUERY_ID}
+    ),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             round({_SQL_COS.format(a="embedding", b="qe")}, 6) AS cs
+      FROM embeddings CROSS JOIN qv WHERE vec_id <> {RRF_QUERY_ID}
+    ),
+    dr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cs DESC, doc_id) AS rank_dense
+      FROM dense
+      QUALIFY rank_dense <= {RRF_LIST_K}
+    ),
+    per_doc AS (
+      SELECT doc_id, len(toks) AS dl, {tf_cols}
+      FROM (SELECT doc_id, {SQL_TOKENS.format(col="text")} AS toks
+            FROM documents)
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl,
+             {df_cols}
+      FROM per_doc
+    ),
+    lex AS (
+      SELECT doc_id, round({score}, 6) AS bs
+      FROM per_doc CROSS JOIN stats
+      WHERE {tf_sum} > 0 AND doc_id <> {RRF_QUERY_ID}
+    ),
+    lr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bs DESC, doc_id) AS rank_lex
+      FROM lex
+      QUALIFY rank_lex <= {RRF_LIST_K}
+    ),
+    fused AS (
+      SELECT coalesce(dr.doc_id, lr.doc_id) AS doc_id,
+             dr.rank_dense, lr.rank_lex,
+             round(coalesce(1.0 / ({RRF_K} + dr.rank_dense), 0)
+                   + coalesce(1.0 / ({RRF_K} + lr.rank_lex), 0), 6)
+               AS rrf_score
+      FROM dr FULL JOIN lr ON dr.doc_id = lr.doc_id
+    )
+    SELECT doc_id,
+           CAST(rank_dense AS BIGINT) AS rank_dense,
+           CAST(rank_lex AS BIGINT) AS rank_lex,
+           rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {RRF_OUT_K}
+    """
+
+
+@register("q_sim_rrf", oracle=_sql_rrf_oracle())
+def q_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+    2009): the DENSE ranker (exact cosine against the standing query
+    vector) and the LEXICAL ranker (BM25 against the standing term
+    query, q_text_bm25's exact scoring) each produce a top-50 list;
+    fusion scores every candidate Σ 1/(60 + rank_r) over the lists it
+    appears in and emits the fused top-20 — the standard RAG retrieval
+    stack (vector + keyword + fusion) as one declarative plan, and the
+    fusion operator itself is ranker-agnostic: any scored list with a
+    total order plugs in.
+
+    Determinism: both rankers rank on their ROUNDED (1e-6) scores with
+    doc_id tie-break — sub-ulp libm/fold drift cannot reorder — and
+    the RRF sum is ≤2 exact-rational divisions added in fixed order.
+
+    100 TB plan: each ranker is one linear corpus pass ending in a
+    TakeOrdered cut (partitions×k candidate rows, never the corpus);
+    ranking windows and the full-outer fusion join run on ≤50-row
+    lists; corpus-scale shuffles: the BM25 doc-keyed token aggregate
+    only. The 1-row query-vector and corpus-stats scalars broadcast."""
+    from streamclient_spark.functions.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        tokens,
+    )
+    from streamclient_spark.functions.vectors import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    dense = (
+        e.filter(F.col("vec_id") != RRF_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias(
+                "cs"
+            ),
+        )
+        .orderBy(F.desc("cs"), F.asc("doc_id"))
+        .limit(RRF_LIST_K)
+    )
+    wd = Window.orderBy(F.desc("cs"), F.asc("doc_id"))
+    dr = dense.select(
+        "doc_id", F.row_number().over(wd).alias("rank_dense")
+    )
+
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("token") == F.lit(t)).cast("long")).alias(
+                f"tf{i}"
+            )
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).localCheckpoint(eager=False)  # feeds stats AND scoring
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def term_score(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        norm = 1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        return idf * (tf * (_BM25_K1 + 1)) / (tf + _BM25_K1 * norm)
+
+    score = term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + term_score(i)
+    matched = sum(
+        (F.col(f"tf{i}") for i in range(1, len(_BM25_TERMS))),
+        F.col("tf0"),
+    )
+    lex = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter((matched > 0) & (F.col("doc_id") != RRF_QUERY_ID))
+        .select("doc_id", F.round(score, 6).alias("bs"))
+        .orderBy(F.desc("bs"), F.asc("doc_id"))
+        .limit(RRF_LIST_K)
+    )
+    wl = Window.orderBy(F.desc("bs"), F.asc("doc_id"))
+    lr = lex.select("doc_id", F.row_number().over(wl).alias("rank_lex"))
+
+    fused = dr.join(lr, "doc_id", "full").select(
+        "doc_id",
+        "rank_dense",
+        "rank_lex",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_dense")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= RRF_OUT_K)
+        .select(
+            "doc_id",
+            F.col("rank_dense").cast("long").alias("rank_dense"),
+            F.col("rank_lex").cast("long").alias("rank_lex"),
+            "rrf_score",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )

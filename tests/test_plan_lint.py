@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "q_dq_drift",         # 1-row day-bounds + reference-bounds scalars
     "q_events_cohort_ltv",  # 1-row min-day + max-week scalars
     "q_ts_stl",           # 1-row min-day scalar (day indexing)
+    "q_sim_rrf",          # 1-row query-vector + BM25 corpus-stats scalars
     "q_knn_classify",     # bounded 100-row pilot-query broadcast: the
                           # intended plan is every corpus row scoring
                           # against the closure-sized query set (the
