@@ -1769,3 +1769,79 @@ def q_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fused_rank").cast("long").alias("fused_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_recall — ANN quality evaluation: LSH recall@k vs exact top-k
+# ---------------------------------------------------------------------------
+
+
+def _sql_recall_oracle() -> str:
+    """Compose the two attested oracles (exact top-k, multi-probe LSH)
+    as subqueries — the eval is DEFINED against the same SQL the
+    individual operators are verified by, so the three queries can
+    never drift apart."""
+    from streamclient_spark.plans.registry import REGISTRY
+
+    exact_sql = REGISTRY["q_sim_topk"].oracle
+    ann_sql = REGISTRY["q_sim_lsh"].oracle
+    return f"""
+    SELECT ex.query_id,
+           CAST(count(*) AS BIGINT) AS k_exact,
+           CAST(count(ann.neighbor_id) AS BIGINT) AS n_overlap,
+           round(count(ann.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM ({exact_sql}) ex
+    LEFT JOIN ({ann_sql}) ann
+      ON ann.query_id = ex.query_id
+     AND ann.neighbor_id = ex.neighbor_id
+    GROUP BY ex.query_id
+    """
+
+
+@register("q_embed_recall", oracle=_sql_recall_oracle())
+def q_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the multi-probe LSH index
+    (q_sim_lsh) against the exact brute-force ranking (q_sim_topk),
+    per query — the measurement every approximate index ships with
+    (FAISS-style recall curves) and the gate a production pipeline
+    puts in front of swapping exact search for the scale path. The
+    eval COMPOSES the two registered operators — both sides are the
+    very DataFrames (and, in the oracle, the very SQL strings) the
+    individual operators are attested by — so the recall number can
+    never measure a drifted variant. Recall = |exact∩ann|/10, an
+    exact rational.
+
+    100 TB: at real scale the exact side is a bounded PILOT (a few
+    hundred queries — this fixture's 10), which is precisely the
+    production recipe: brute-force a pilot, measure recall, then trust
+    the index for the remaining billions of queries. One hash join of
+    two ≤k·|queries|-row lists."""
+    from streamclient_spark.plans.registry import REGISTRY
+
+    exact = (
+        REGISTRY["q_sim_topk"]
+        .builder(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    ann = (
+        REGISTRY["q_sim_lsh"]
+        .builder(spark, sf_dir)
+        .select(
+            F.col("query_id").alias("aq"),
+            F.col("neighbor_id").alias("an"),
+        )
+    )
+    return (
+        exact.join(
+            ann,
+            (F.col("aq") == F.col("query_id"))
+            & (F.col("an") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_exact"),
+            F.count("an").cast("long").alias("n_overlap"),
+            F.round(F.count("an") / F.lit(10.0), 6).alias("recall_at_10"),
+        )
+    )

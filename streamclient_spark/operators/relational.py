@@ -7162,3 +7162,180 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_bloom — Bloom membership sketch with cross-engine parity
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 65536  # bits (fixture constant; production sizes m ≈ 10n)
+_BLOOM_K = 3  # hash functions
+
+_SQL_BLOOM_IDX = (
+    "CAST(('0x' || substr(md5('bl' || CAST(j AS VARCHAR) || ':'"
+    " || CAST(custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 65536"
+)
+
+
+@register(
+    "q_agg_bloom",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+      SELECT DISTINCT {_SQL_BLOOM_IDX} AS idx
+      FROM members CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS j)
+    ),
+    probes AS (
+      SELECT c.c_custkey AS custkey, j.j, {_SQL_BLOOM_IDX} AS idx,
+             m.custkey IS NOT NULL AS is_member
+      FROM customer c
+      CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS j) j
+      LEFT JOIN members m ON m.custkey = c.c_custkey
+    ),
+    verdicts AS (
+      SELECT custkey, any_value(is_member) AS is_member,
+             (count(bits.idx) = {_BLOOM_K}) AS positive
+      FROM probes LEFT JOIN bits USING (idx)
+      GROUP BY custkey
+    )
+    SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+           CAST({_BLOOM_K} AS BIGINT) AS k_hashes,
+           CAST((SELECT count(*) FROM members) AS BIGINT) AS n_members,
+           CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set,
+           CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonmembers,
+           CAST(SUM(CASE WHEN is_member AND NOT positive
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS false_negatives,
+           CAST(SUM(CASE WHEN positive AND NOT is_member
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS false_positives,
+           CAST(SUM(CASE WHEN positive AND NOT is_member
+                         THEN 1 ELSE 0 END) * 1000
+                // SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS fpr_permille
+    FROM verdicts
+    """,
+)
+def q_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter with CROSS-ENGINE PARITY — the membership third of
+    the sketch family (q_agg_hll_parity counts distinct, q_agg_countmin
+    counts frequency, this answers "is x in the set?"): 3 md5-derived
+    hash positions per key in a 65536-bit array, membership claim =
+    all 3 bits set. Built over the customers-with-URGENT-orders
+    set and probed with EVERY customer — the ~1/7 of customers who
+    never place an urgent order supply real negatives at every scale
+    factor (urgent orders ≈ 2 per customer, so coverage sits near
+    1−e⁻² ≈ 86% independent of sf), so the output measures the actual
+    false-positive rate (and proves false_negatives = 0, the Bloom
+    guarantee) in exact integers. This is the sketch behind the
+    engine's runtime bloom-pruned joins (scale levers), here as an
+    auditable operator.
+
+    Plan: distinct members (one shuffle, shrinking), the ≤65536-row
+    bit set DISTINCT'd from a members×3 projection, probes as a
+    3-way explode of the customer dimension joined against the
+    BROADCAST bit set, one final 1-row aggregate. The big-table work
+    is the orders distinct; everything else is dimension-sized. At
+    real scale the bit set ships exactly like this — built small,
+    broadcast to every probe task."""
+    members = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+        .localCheckpoint(eager=False)  # bits + probe flag + count reuse
+    )
+
+    def bloom_idx():
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bl"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("custkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_M
+        )
+
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias(
+        "j"
+    )
+    bits = (
+        members.select("custkey", js)
+        .select(bloom_idx().alias("idx"))
+        .distinct()
+    )
+    probes = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("custkey"))
+        .join(
+            members.select("custkey", F.lit(True).alias("is_member")),
+            "custkey",
+            "left",
+        )
+        .select(
+            "custkey", F.coalesce("is_member", F.lit(False)).alias(
+                "is_member"
+            ), js
+        )
+        .select("custkey", "is_member", bloom_idx().alias("idx"))
+    )
+    verdicts = (
+        probes.join(
+            F.broadcast(bits.select("idx", F.lit(1).alias("hit"))),
+            "idx",
+            "left",
+        )
+        .groupBy("custkey")
+        .agg(
+            F.any_value("is_member").alias("is_member"),
+            (F.count("hit") == _BLOOM_K).alias("positive"),
+        )
+    )
+    n_members = members.agg(F.count(F.lit(1)).alias("n_members"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    fp = F.sum(
+        (F.col("positive") & ~F.col("is_member")).cast("long")
+    )
+    nn = F.sum((~F.col("is_member")).cast("long"))
+    return (
+        verdicts.agg(
+            nn.alias("n_nonmembers"),
+            F.sum(
+                (F.col("is_member") & ~F.col("positive")).cast("long")
+            ).alias("false_negatives"),
+            fp.alias("false_positives"),
+        )
+        .crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.lit(_BLOOM_M).cast("long").alias("m_bits"),
+            F.lit(_BLOOM_K).cast("long").alias("k_hashes"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("bits_set").cast("long").alias("bits_set"),
+            F.col("n_nonmembers").cast("long").alias("n_nonmembers"),
+            F.col("false_negatives").cast("long").alias(
+                "false_negatives"
+            ),
+            F.col("false_positives").cast("long").alias(
+                "false_positives"
+            ),
+            F.expr("false_positives * 1000 div n_nonmembers")
+            .cast("long")
+            .alias("fpr_permille"),
+        )
+    )
