@@ -1133,3 +1133,127 @@ def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") > 0.25).alias("drift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pipeline_funnel — end-to-end training-mix funnel audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pipeline_funnel",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, source, lang,
+             (n_chars >= 100) AS s_len,
+             (n_chars >= 100 AND
+              length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                * 1000 // n_chars >= 820) AS s_qual,
+             md5(substr(text, 1, 80)) AS fp,
+             ({sql_hash32("'mix:' || CAST(doc_id AS VARCHAR)")} % 2 = 0)
+               AS s_coin
+      FROM documents WHERE n_chars > 0
+    ),
+    dd AS (
+      SELECT doc_id, TRUE AS keep FROM base WHERE s_qual
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    flags AS (
+      SELECT b.source, b.lang, b.s_len, b.s_qual,
+             coalesce(dd.keep, FALSE) AS s_uniq,
+             (coalesce(dd.keep, FALSE) AND b.s_coin) AS s_samp
+      FROM base b LEFT JOIN dd USING (doc_id)
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(SUM(CASE WHEN s_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_len,
+           CAST(SUM(CASE WHEN s_qual THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(SUM(CASE WHEN s_uniq THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(CASE WHEN s_samp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN s_samp THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS retention_permille
+    FROM flags GROUP BY 1, 2
+    """,
+)
+def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline as ONE declarative plan, with
+    the per-stage funnel audit every dataset card publishes: per
+    (source, language) cell, how many documents survive (1) the length
+    floor (n_chars ≥ 100), (2) the quality gate (alphanumeric share ≥
+    820‰, exact integer — the q_quality_cut score), (3) prefix-
+    fingerprint dedup (md5 of the first 80 chars, canonical keeper =
+    smallest doc_id — the cheap boilerplate/near-dup catcher in front
+    of MinHash), and (4) a deterministic 50% hash sample (the
+    md5-coin, reproducible across engines and retries) — plus the
+    end-to-end retention in integer permille. The composition is the
+    point: filters, a dedup window, a hash sample, and the audit
+    aggregate fuse into one job, no intermediate materialization.
+
+    Plan: one codegen projection computes every flag; the dedup stage
+    is one window PARTITIONED BY fingerprint (many tiny groups —
+    parallel, the opposite of a global sort) over the quality
+    survivors only; one broadcast-scale join carries the keeper flag
+    back; ONE map-combined aggregate emits the |sources|×|langs|
+    funnel. Two corpus-linear shuffles total (fingerprint, doc_id
+    join) — at 100 TB both key on high-cardinality columns with no
+    skew (fingerprints are hashes; doc ids are unique)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    ap = F.expr(
+        "length(regexp_replace(text, '[^a-zA-Z0-9]', '')) * 1000"
+        " div n_chars"
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        (F.col("n_chars") >= 100).alias("s_len"),
+        ((F.col("n_chars") >= 100) & (ap >= 820)).alias("s_qual"),
+        F.md5(F.substring("text", 1, 80)).alias("fp"),
+        (
+            F.pmod(
+                hash32(
+                    F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+                ),
+                F.lit(2),
+            )
+            == 0
+        ).alias("s_coin"),
+    ).localCheckpoint(eager=False)  # dedup subset + final agg reuse
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dd = (
+        base.filter("s_qual")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.lit(True).alias("keep"))
+    )
+    flags = base.join(dd, "doc_id", "left").select(
+        "source",
+        "lang",
+        "s_len",
+        "s_qual",
+        F.coalesce("keep", F.lit(False)).alias("s_uniq"),
+        (F.coalesce("keep", F.lit(False)) & F.col("s_coin")).alias(
+            "s_samp"
+        ),
+    )
+    return flags.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum(F.col("s_len").cast("long")).cast("long").alias("n_len"),
+        F.sum(F.col("s_qual").cast("long"))
+        .cast("long")
+        .alias("n_quality"),
+        F.sum(F.col("s_uniq").cast("long"))
+        .cast("long")
+        .alias("n_unique"),
+        F.sum(F.col("s_samp").cast("long"))
+        .cast("long")
+        .alias("n_sampled"),
+        F.expr(
+            "CAST(sum(CAST(s_samp AS BIGINT)) * 1000"
+            " div count(*) AS BIGINT)"
+        ).alias("retention_permille"),
+    )
