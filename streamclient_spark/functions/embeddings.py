@@ -715,127 +715,141 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PCA_STEPS steps — identical integer state throughout, two final
     IEEE divisions, one round. No libm in any iterate.
 
-    Plan: the Gram is computed by exploding each row's 64×64
-    fixed-point products INSIDE the stage (nested ``transform`` →
-    one generator; per-task partial aggregate means only
-    64²·|tasks| rows ever shuffle — the corpus never re-partitions;
-    the per-partition Arrow GEMM of :func:`kmeans_fit` is the
-    constant-factor upgrade at extreme width). The 4096-row C is
-    localCheckpoint-ed once (it feeds 10 downstream references —
+    Plan: the Gram/column-sum/count partials are computed per
+    partition in ONE Arrow pass — each task quantizes its rows to the
+    integer micro grid and contracts them with a single int64
+    ``Xᵀ·X`` (exact: |fx| ≤ 1e6 so products ≤ 1e12 and per-partition
+    sums sit far below 2⁶³; the earlier formulation exploded the
+    same 64×64 products through nested interpreted ``transform``
+    lambdas, 4096 struct constructions per row — measured 45 s at
+    sf1 where this GEMM pass takes ~1 s) — so only (64²+65)·|tasks|
+    rows ever shuffle; the corpus never re-partitions. The 4096-row
+    C is localCheckpoint-ed once (it feeds 10 downstream references —
     without the cut, Catalyst would re-derive the corpus-sized Gram
     per reference); each 64-row iterate is a join+agg+window over C
     with single-reference lineage, so planning stays linear in
     steps. At 100 TB: one scan, one 4096-row shuffle, then
     driver-scale arithmetic."""
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings")
     n_dims = 64
-    pairs = e.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "embedding",
-                    lambda x, i: F.transform(
-                        "embedding",
-                        lambda y, j: F.struct(
-                            i.alias("i"),
-                            j.alias("j"),
-                            (
-                                F.floor(
-                                    x.cast("double") * 1000000.0 + 0.5
-                                ).cast("long")
-                                * F.floor(
-                                    y.cast("double") * 1000000.0 + 0.5
-                                ).cast("long")
-                            ).alias("p"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("t")
-    ).select("t.i", "t.j", "t.p")
-    g = pairs.groupBy("i", "j").agg(F.sum("p").alias("gij"))
-    fx = e.select(
-        F.posexplode("embedding").alias("i", "val")
-    ).select(
-        "i",
-        F.floor(F.col("val").cast("double") * 1000000.0 + 0.5)
-        .cast("long")
-        .alias("fx"),
-    )
-    s = fx.groupBy("i").agg(F.sum("fx").alias("si"))
-    nn = e.agg(F.count(F.lit(1)).alias("n"))
-    sa = s.select(F.col("i"), F.col("si").alias("sa"))
-    sb = s.select(F.col("i").alias("j"), F.col("si").alias("sb"))
-    c = (
-        g.join(sa, "i")
-        .join(sb, "j")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "i",
-            "j",
-            (
-                F.col("n").cast("decimal(38,0)")
-                * F.col("gij").cast("decimal(38,0)")
-                - F.col("sa").cast("decimal(38,0)")
-                * F.col("sb").cast("decimal(38,0)")
-            ).alias("c"),
+
+    def gram_parts(batches):
+        G = np.zeros((n_dims, n_dims), dtype=np.int64)
+        S = np.zeros(n_dims, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xi = np.floor(X * 1000000.0 + 0.5).astype(np.int64)
+            G += Xi.T @ Xi
+            S += Xi.sum(axis=0)
+            n += len(Xi)
+        ii, jj = np.meshgrid(
+            np.arange(n_dims), np.arange(n_dims), indexing="ij"
         )
-        .localCheckpoint()  # 64×64 rows; feeds 10+ references below
+        yield pd.concat(
+            [
+                pd.DataFrame(
+                    {"i": ii.ravel(), "j": jj.ravel(), "g": G.ravel()}
+                ),
+                pd.DataFrame(
+                    {"i": np.arange(n_dims), "j": -1, "g": S}
+                ),
+                pd.DataFrame({"i": [-1], "j": [-1], "g": [n]}),
+            ]
+        )
+
+    # split recovery: the fixture file carries few row groups (same
+    # trade as q_sim_topk); with multi-split input this is a no-op
+    parts = (
+        e.select("embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gram_parts, "i int, j int, g long")
     )
-    v = s.select("i", F.lit(1000).cast("long").alias("v"))
-    wm = Window.partitionBy()  # 64-row global window (intended tiny)
+    tot = parts.groupBy("i", "j").agg(F.sum("g").alias("g")).collect()
+    # ^ 4161 rows, BOUNDED BY CONSTRUCTION (64² Gram cells + 64 sums
+    # + 1 count, independent of corpus size) — the codebook-collect
+    # pattern (same doctrine as IVF centroids). The 8 power-iteration
+    # steps are 64-dim integer matrix-vector products; running them
+    # as Spark jobs cost 17 sequential tiny-stage launches (~4 s of
+    # pure scheduling at any sf) for arithmetic the driver does in
+    # microseconds — EXACTLY (arbitrary-precision ints mirror the
+    # oracle's HUGEINT state, with trunc-toward-zero renorm division).
+    gm: dict[tuple[int, int], int] = {}
+    sv: dict[int, int] = {}
+    n_vecs = 0
+    for r in tot:
+        if r["i"] < 0:
+            n_vecs = int(r["g"])
+        elif r["j"] < 0:
+            sv[r["i"]] = int(r["g"])
+        else:
+            gm[(r["i"], r["j"])] = int(r["g"])
+    cm = [
+        [n_vecs * gm[(i, j)] - sv[i] * sv[j] for j in range(n_dims)]
+        for i in range(n_dims)
+    ]
+    v = [1000] * n_dims
+
+    def tdiv(a: int, b: int) -> int:  # trunc toward zero (SQL div, //)
+        q = abs(a) // b
+        return -q if a < 0 else q
+
     for _k in range(_PCA_STEPS):
-        vj = v.select(F.col("i").alias("j"), F.col("v"))
-        w = (
-            c.join(vj, "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
-        )
-        v = w.withColumn("m", F.max(F.abs("w")).over(wm)).select(
-            "i", F.expr("(w * 1000) div m").cast("long").alias("v")
-        )
-    va = v.select(F.col("i"), F.col("v").alias("va"))
-    vb = v.select(F.col("i").alias("j"), F.col("v").alias("vb"))
-    num = (
-        c.join(va, "i")
-        .join(vb, "j")
-        .agg(F.sum(F.col("va") * F.col("c") * F.col("vb")).alias("num"))
+        w = [
+            sum(cm[i][j] * v[j] for j in range(n_dims))
+            for i in range(n_dims)
+        ]
+        m = max(abs(x) for x in w)
+        v = [tdiv(x * 1000, m) for x in w]
+    num = sum(
+        v[i] * cm[i][j] * v[j]
+        for i in range(n_dims)
+        for j in range(n_dims)
     )
-    den = v.agg(F.sum(F.col("v") * F.col("v")).alias("den"))
-    tr = c.filter(F.col("i") == F.col("j")).agg(
-        F.sum("c").alias("tr")
-    )
-    top = (
-        v.orderBy(F.abs("v").desc(), F.asc("i"))
-        .limit(1)
-        .select(
-            F.col("i").cast("int").alias("top_dim"),
-            F.col("v").cast("long").alias("top_loading_permille"),
-        )
-    )
+    den = sum(x * x for x in v)
+    tr = sum(cm[i][i] for i in range(n_dims))
+    top_dim = min(range(n_dims), key=lambda i: (-abs(v[i]), i))
     assert n_dims == 64  # fixture embedding width (docstring contract)
-    return (
-        nn.crossJoin(F.broadcast(num))
-        .crossJoin(F.broadcast(den))
-        .crossJoin(F.broadcast(tr))
-        .crossJoin(F.broadcast(top))
-        .select(
-            F.col("n").cast("long").alias("n_vecs"),
-            "top_dim",
-            "top_loading_permille",
-            F.round(
-                F.col("num").cast("double")
-                / F.col("den").cast("double")
-                / F.col("n")
-                / F.col("n")
-                / F.lit(1e12),
-                6,
-            ).alias("lambda_variance"),
-            F.round(
-                F.col("num").cast("double")
-                / F.col("den").cast("double")
-                / F.col("tr").cast("double"),
-                6,
-            ).alias("variance_share"),
-        )
+
+    # the rounding epilogue stays IN SPARK so decimal→double casts and
+    # HALF_UP rounds match every other query's convention exactly
+    from decimal import Decimal
+
+    row = spark.createDataFrame(
+        [
+            (
+                n_vecs,
+                top_dim,
+                v[top_dim],
+                Decimal(num),
+                Decimal(den),
+                Decimal(tr),
+            )
+        ],
+        "n bigint, top_dim int, top_loading_permille bigint,"
+        " num decimal(38,0), den decimal(38,0), tr decimal(38,0)",
+    )
+    return row.select(
+        F.col("n").cast("long").alias("n_vecs"),
+        "top_dim",
+        "top_loading_permille",
+        F.round(
+            F.col("num").cast("double")
+            / F.col("den").cast("double")
+            / F.col("n")
+            / F.col("n")
+            / F.lit(1e12),
+            6,
+        ).alias("lambda_variance"),
+        F.round(
+            F.col("num").cast("double")
+            / F.col("den").cast("double")
+            / F.col("tr").cast("double"),
+            6,
+        ).alias("variance_share"),
     )

@@ -49,7 +49,6 @@ BNLJ_ALLOWED = {
     "q_ts_theil_sen",     # 1-row min-day scalar
     "q_graph_assortativity",  # 1-row node-count scalar
     "q_mixture_epochs",   # 1-row budget/quota scalar
-    "q_embed_pca_power",  # 1-row n/num/den/trace/top scalars
     "q_graph_modularity",  # 1-row edge-count scalar (m in Q formula)
     "q_dq_drift",         # 1-row day-bounds + reference-bounds scalars
     "q_events_cohort_ltv",  # 1-row min-day + max-week scalars
