@@ -4252,15 +4252,55 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     side marks orphans. Catalyst broadcasts the small parents (nation,
     supplier) automatically and shuffle-joins the large ones; each
     edge's aggregate result is a single row, so the final UNION is
-    free. At 100 TB each edge costs one map-side-combined aggregate
-    plus one key-set join — no edge ever shuffles payload columns."""
+    free. All edges sharing a child table are FUSED into one scan:
+    each fact row explodes into its (edge, key) pairs and ONE
+    map-side-combined aggregate produces every edge's key-count table
+    (lineitem carries three FK edges — three separate scans + three
+    shuffles of the same 6M rows was most of this audit's sf1 time;
+    the fused pass scans once and shuffles the combined distinct-key
+    set). At 100 TB each child table costs one scan + one aggregate
+    regardless of how many FK edges it carries."""
+    from collections import defaultdict
+
+    by_child: dict[str, list] = defaultdict(list)
+    for child, fk, parent, pk in _FK_EDGES:
+        by_child[child].append((fk, parent, pk))
+    key_counts: dict[tuple, DataFrame] = {}
+    for child, edges in by_child.items():
+        if len(edges) == 1:
+            fk, parent, pk = edges[0]
+            key_counts[(child, fk)] = (
+                load(spark, sf_dir, child)
+                .groupBy(F.col(fk).alias("k"))
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+        else:
+            fused = (
+                load(spark, sf_dir, child)
+                .select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(i).alias("e"),
+                                    F.col(fk).alias("k"),
+                                )
+                                for i, (fk, _, _) in enumerate(edges)
+                            ]
+                        )
+                    ).alias("t")
+                )
+                .groupBy("t.e", "t.k")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .localCheckpoint(eager=False)  # one scan, |edges| readers
+            )
+            for i, (fk, _, _) in enumerate(edges):
+                key_counts[(child, fk)] = fused.filter(
+                    F.col("e") == i
+                ).select("k", "c")
     parts = []
     for child, fk, parent, pk in _FK_EDGES:
-        ck = (
-            load(spark, sf_dir, child)
-            .groupBy(F.col(fk).alias("k"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
+        ck = key_counts[(child, fk)]
         pk_df = load(spark, sf_dir, parent).select(
             F.col(pk).alias("pk")
         ).distinct()
