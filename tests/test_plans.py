@@ -592,3 +592,71 @@ def test_dq_profile_has_no_expand_and_partial_bitmaps(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "q_dq_profile", mode="simple")
     assert "Expand" not in plan
     assert "partial_bitmap_construct_agg" in plan
+
+
+def test_skyline_prefix_max_is_range_decomposed(spark, sf_oracle):
+    # the strict prefix max runs the range-partition decomposition:
+    # a __pid-partitioned local window plus a |partitions|-row offsets
+    # window — the corpus-sized spine never sorts in one task, and the
+    # frontier join back onto parts is an equi join
+    plan = plan_of(spark, sf_oracle, "q_skyline_2d", mode="simple")
+    assert "windowspecdefinition(__pid" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_parity_is_pure_codegen_with_partial_max(spark, sf_oracle):
+    # the sketch never leaves the JVM (no Python stage of any kind)
+    # and the register max combines map-side before the shuffle
+    plan = plan_of(spark, sf_oracle, "q_agg_hll_parity", mode="simple")
+    assert "partial_max" in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_countmin_readout_is_take_ordered_broadcast(spark, sf_oracle):
+    # the exact top-20 cut is map-side-limited and the 1024-cell
+    # counter table joins back by broadcast — the user-count table
+    # never re-shuffles for the readout
+    plan = plan_of(spark, sf_oracle, "q_agg_countmin", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_funnel_single_dedup_window(spark, sf_oracle):
+    # the whole funnel is one job: exactly one Window (the
+    # fingerprint-partitioned dedup rank — never a global sort) and a
+    # partial-aggregated funnel rollup
+    plan = plan_of(spark, sf_oracle, "q_pipeline_funnel", mode="simple")
+    assert plan.count("Window [") == 1
+    # bonus: Spark pushes the rank==1 filter into per-group limits
+    # both map- and reduce-side, so losers drop before the shuffle
+    assert "WindowGroupLimit" in plan
+    assert "windowspecdefinition(fp" in plan
+    assert "partial_count" in plan
+
+
+def test_pca_power_returns_driver_scale_plan(spark, sf_oracle):
+    # the corpus work (one Arrow GEMM pass + one 4161-row aggregate)
+    # happens when the builder runs; the RETURNED frame is the
+    # driver-computed scalar row — a LocalTableScan projection with no
+    # joins, shuffles, or Python stages left in it (the codebook-
+    # collect contract: iterate state is bounded by construction)
+    plan = plan_of(spark, sf_oracle, "q_embed_pca_power", mode="simple")
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_referential_audit_scans_lineitem_once(spark, sf_oracle):
+    # three FK edges hang off lineitem; the fused (edge, key) explode
+    # computes one checkpointed key-count table that all three edges
+    # read — so NO lineitem parquet scan survives into the final plan
+    # (the fact hides behind the checkpoint's ExistingRDD), while the
+    # single-edge children still scan directly (three scans + three
+    # shuffles of the same 6M rows was most of this audit's sf1 time)
+    plan = plan_of(spark, sf_oracle, "q_dq_referential")
+    assert "lineitem.parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 3  # the three fused readers
+    assert plan.count("events.parquet") == 1
