@@ -7379,3 +7379,131 @@ def q_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fpr_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_graph_hits — HITS hubs/authorities on the customer→part bipartite graph
+# ---------------------------------------------------------------------------
+
+#: full HITS iterations (h then a per iteration). Both engines run
+#: exactly this many with EXACT integer sums and no per-round
+#: normalization (scores stay well inside decimal38 at fixture
+#: degrees), so the result is deterministic by construction — the
+#: q_embed_pca_power fixed-point doctrine. Production note: at degrees
+#: where deg^(2k) threatens 38 digits, reintroduce the per-round
+#: integer renormalization (the PageRank kernel's shape).
+_HITS_ITERS = 2
+_HITS_TOPK = 15
+
+
+def _sql_hits_oracle() -> str:
+    head = """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    a0 AS (SELECT DISTINCT p, CAST(1000 AS HUGEINT) AS a FROM e)
+    """
+    steps = []
+    prev = "a0"
+    for k in range(1, _HITS_ITERS + 1):
+        steps.append(f"""
+    , h{k} AS MATERIALIZED (
+        SELECT e.c, SUM({prev}.a) AS h
+        FROM e JOIN {prev} ON {prev}.p = e.p GROUP BY e.c
+    ), a{k} AS MATERIALIZED (
+        SELECT e.p, SUM(h{k}.h) AS a
+        FROM e JOIN h{k} ON h{k}.c = e.c GROUP BY e.p
+    )""")
+        prev = f"a{k}"
+    tail = f"""
+    , mx AS (SELECT max(a) AS m FROM {prev}),
+    ranked AS (
+      SELECT p, (a * 1000) // mx.m AS auth_permille,
+             row_number() OVER (ORDER BY a DESC, p) AS rank
+      FROM {prev} CROSS JOIN mx
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, p AS part_key,
+           part.p_brand AS brand,
+           CAST(auth_permille AS BIGINT) AS auth_permille
+    FROM ranked JOIN part ON part.p_partkey = ranked.p
+    WHERE rank <= {_HITS_TOPK}
+    """
+    return head + "".join(steps) + tail
+
+
+@register("q_graph_hits", oracle=_sql_hits_oracle())
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) on the customer→part purchase bipartite
+    graph: hub scores live on customers, authority scores on parts,
+    each refining the other — the "parts that well-connected buyers
+    buy" ranking, which differs from raw popularity exactly when it
+    matters (a part bought once each by thousands of one-off buyers
+    outranks on counts; HITS demotes it). The graph-kernel family's
+    BIPARTITE member next to PageRank (directed), CC (undirected), and
+    label propagation (communities). Output: the top-15 authorities
+    with brand and integer-permille score.
+
+    Determinism: both engines run exactly _HITS_ITERS (2) full
+    iterations with EXACT decimal integer sums and a single permille
+    normalization at the end — no per-round float normalization to
+    drift (scores grow ~deg^(2k), far inside decimal38 here; the
+    per-round integer renorm is the documented production variant).
+
+    Plan: one distinct edge derivation (orderkey equi-join, then a
+    (c,p) distinct — both linear shuffles), then per half-iteration
+    ONE co-keyed join + map-combined aggregate over the edge table
+    (the PageRank loop shape; the edge table is localCheckpoint'd so
+    all four half-rounds reuse one materialization), a 1-row max
+    scalar, and a TakeOrdered cut joined onto the broadcast part
+    dimension."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)  # 4 half-rounds read it
+    )
+    dec = "decimal(38,0)"
+    a = e.select("p").distinct().select(
+        "p", F.lit(1000).cast(dec).alias("a")
+    )
+    for _ in range(_HITS_ITERS):
+        h = (
+            e.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("a").alias("h"))
+        )
+        a = (
+            e.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("h").alias("a"))
+        )
+    mx = a.agg(F.max("a").alias("m"))
+    ranked = (
+        a.crossJoin(F.broadcast(mx))
+        .select(
+            "p",
+            F.expr("(a * 1000) div m").cast("long").alias(
+                "auth_permille"
+            ),
+            F.col("a"),
+        )
+        .orderBy(F.desc("a"), F.asc("p"))
+        .limit(_HITS_TOPK)
+    )
+    w = Window.orderBy(F.desc("a"), F.asc("p"))
+    part_dim = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("p"), F.col("p_brand").alias("brand")
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(part_dim), "p")
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("p").alias("part_key"),
+            "brand",
+            "auth_permille",
+        )
+    )

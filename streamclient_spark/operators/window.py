@@ -2336,3 +2336,134 @@ def q_ts_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("double") - trend - seasonal, 6
         ).alias("remainder"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_forecast_eval — Holt backtest: hold out the last week, measure error
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_forecast_eval",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(ts AS TIMESTAMP)::DATE)
+               AS rn,
+             count(*) AS c
+      FROM events
+      GROUP BY event_type, CAST(ts AS TIMESTAMP)::DATE
+    ),
+    ntr AS (
+      SELECT event_type, count(*) - 7 AS n_train
+      FROM daily GROUP BY 1 HAVING count(*) >= 8
+    ),
+    rec AS (
+      WITH RECURSIVE h(event_type, rn, l, b) AS (
+        SELECT d.event_type, d.rn, CAST(100 * d.c AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM daily d JOIN ntr USING (event_type) WHERE d.rn = 1
+        UNION ALL
+        SELECT d.event_type, d.rn,
+               (100 * d.c + h.l + h.b) // 2,
+               (((100 * d.c + h.l + h.b) // 2) - h.l + h.b) // 2
+        FROM h
+        JOIN ntr ON ntr.event_type = h.event_type
+        JOIN daily d
+          ON d.event_type = h.event_type AND d.rn = h.rn + 1
+         AND d.rn <= ntr.n_train
+      )
+      SELECT * FROM h
+    ),
+    fit AS (
+      SELECT event_type, rn AS n_train, l, b FROM rec
+      QUALIFY rn = max(rn) OVER (PARTITION BY event_type)
+    ),
+    errs AS (
+      SELECT fit.event_type, fit.n_train,
+             abs(fit.l + k.k * fit.b - 100 * d.c) AS ae,
+             100 * d.c AS act
+      FROM fit
+      CROSS JOIN (SELECT unnest(range(1, 8)) AS k) k
+      JOIN daily d ON d.event_type = fit.event_type
+                  AND d.rn = fit.n_train + k.k
+    )
+    SELECT event_type,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(SUM(ae) // 7 AS BIGINT) AS mae_cents,
+           CAST(SUM(ae) * 1000 // SUM(act) AS BIGINT)
+             AS wape_permille
+    FROM errs GROUP BY 1, 2
+    """,
+)
+def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST: refit q_ts_holt's integer Holt recursion on
+    every day except the last seven, forecast the held-out week, and
+    report mean absolute error (integer cents-of-count) and weighted
+    APE (integer permille) per event type — the eval-family member
+    for forecasting (q_embed_recall is retrieval's, q_pipeline_funnel
+    audits filtering): no forecast ships without its holdout error.
+    WAPE divides the summed error by the summed actuals (one integer
+    division), avoiding per-term MAPE division entirely; every
+    intermediate is exact integer state shared bit-for-bit with the
+    oracle's recursive CTE.
+
+    Plan: identical to q_ts_holt — ONE map-combined daily aggregate,
+    then per type a calendar-sized array fold (train slice) plus a
+    7-element error transform, all inside one projection; |types|
+    rows thereafter. The holdout join in the oracle is an array
+    index here."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "c"))
+        ).alias("sd")
+    ).filter(F.size("sd") >= 8)
+    fold = F.expr(
+        """
+        aggregate(
+          transform(slice(sd, 2, size(sd) - 8), s -> s.c),
+          named_struct('l', CAST(100 * sd[0].c AS BIGINT),
+                       'b', CAST(0 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'l', (100 * x + acc.l + acc.b) div 2,
+            'b', (((100 * x + acc.l + acc.b) div 2) - acc.l + acc.b)
+                 div 2)
+        )
+        """
+    )
+    errs = F.expr(
+        """
+        transform(sequence(1, 7), k -> named_struct(
+          'ae', abs(_hb.l + k * _hb.b
+                    - 100 * sd[size(sd) - 8 + k].c),
+          'act', CAST(100 * sd[size(sd) - 8 + k].c AS BIGINT)))
+        """
+    )
+    return (
+        series.select(
+            "event_type",
+            (F.size("sd") - 7).cast("long").alias("n_train"),
+            fold.alias("_hb"),
+            "sd",
+        )
+        .select("event_type", "n_train", errs.alias("_e"))
+        .select(
+            "event_type",
+            "n_train",
+            F.expr(
+                "CAST(aggregate(_e, CAST(0 AS BIGINT),"
+                " (s, x) -> s + x.ae) div 7 AS BIGINT)"
+            ).alias("mae_cents"),
+            F.expr(
+                "CAST(aggregate(_e, CAST(0 AS BIGINT),"
+                " (s, x) -> s + x.ae) * 1000"
+                " div aggregate(_e, CAST(0 AS BIGINT),"
+                " (s, x) -> s + x.act) AS BIGINT)"
+            ).alias("wape_permille"),
+        )
+    )

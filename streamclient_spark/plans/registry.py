@@ -109,7 +109,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_ab_test", "q_graph_label_prop", "q_dq_drift",
     "q_ts_stl", "q_events_powerlaw", "q_events_cohort_ltv",
     "q_agg_countmin", "q_sim_rrf", "q_embed_recall", "q_agg_bloom",
-    "q_pipeline_funnel",
+    "q_pipeline_funnel", "q_graph_hits", "q_ts_forecast_eval",
     # --- attested green in r1-r3 and byte-identical since ---
     "q_multimodal_meta", "q_join_range", "q_tpch_q5", "q_join_outer",
     "q_agg_tpch_q1", "q_tpch_q3", "q_agg_cube", "q_agg_rollup",
