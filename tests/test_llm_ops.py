@@ -622,3 +622,108 @@ def test_sim_ivfpq_adc_approximates_ivf(spark, sf_oracle):
     # measured 0.25 at sf0.01 — 16-codeword PQ over 64 dims is lossy by
     # design; the floor guards against a broken ADC, not a tight recall
     assert overlap >= 0.15, overlap
+
+
+def test_hll_parity_error_bound_and_register_sanity(spark, sf_oracle):
+    """HLL invariants beyond the oracle hash: the estimate lands within
+    the theoretical ~3σ relative-error envelope of m=256 registers
+    (1.04/√256 ≈ 6.5% per σ → 20% at 3σ), every register rank sits in
+    [1, 53], and the zero-register count plus present registers is
+    exactly m."""
+    from streamclient_spark.plans.registry import load_all
+
+    rows = (
+        load_all()["q_agg_hll_parity"].builder(spark, sf_oracle).collect()
+    )
+    assert rows
+    for r in rows:
+        assert 1 <= r["max_rho"] <= 53
+        assert 0 <= r["n_zero_regs"] <= 256
+        rel = abs(r["hll_estimate"] - r["exact_users"]) / r["exact_users"]
+        assert rel <= 0.20, (r["event_type"], rel)
+
+
+def test_countmin_never_underestimates(spark, sf_oracle):
+    """The defining Count-Min guarantee: the point estimate is ≥ the
+    true frequency for every read-out key (collisions only inflate)."""
+    from streamclient_spark.plans.registry import load_all
+
+    rows = (
+        load_all()["q_agg_countmin"].builder(spark, sf_oracle).collect()
+    )
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cm_estimate"] >= r["exact_n"]
+        assert r["overestimate"] == r["cm_estimate"] - r["exact_n"]
+
+
+def test_bloom_no_false_negatives_and_bit_math(spark, sf_oracle):
+    """The defining Bloom guarantee (no member is ever missed) plus
+    structural sanity: bits_set ≤ min(m, k·n_members) and the reported
+    fpr is the exact integer permille of the counted false
+    positives."""
+    from streamclient_spark.plans.registry import load_all
+
+    r = load_all()["q_agg_bloom"].builder(spark, sf_oracle).collect()[0]
+    assert r["false_negatives"] == 0
+    assert r["bits_set"] <= min(r["m_bits"], 3 * r["n_members"])
+    assert (
+        r["fpr_permille"]
+        == r["false_positives"] * 1000 // r["n_nonmembers"]
+    )
+
+
+def test_rrf_fusion_invariants(spark, sf_oracle):
+    """RRF structure: fused scores are exactly Σ 1/(60+rank) over the
+    lists each doc appears in (recomputed independently here), ranks
+    are 1-based and ≤ the list depth, and the fused ranking is the
+    (score desc, doc_id asc) total order."""
+    from streamclient_spark.plans.registry import load_all
+
+    rows = (
+        load_all()["q_sim_rrf"].builder(spark, sf_oracle).collect()
+    )
+    assert rows and len(rows) <= 20
+    prev = None
+    for r in sorted(rows, key=lambda r: r["fused_rank"]):
+        expect = 0.0
+        if r["rank_dense"] is not None:
+            assert 1 <= r["rank_dense"] <= 50
+            expect += 1.0 / (60 + r["rank_dense"])
+        if r["rank_lex"] is not None:
+            assert 1 <= r["rank_lex"] <= 50
+            expect += 1.0 / (60 + r["rank_lex"])
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+        key = (-r["rrf_score"], r["doc_id"])
+        assert prev is None or prev < key  # strict total order
+        prev = key
+
+
+def test_label_prop_communities_partition_the_nodes(spark, sf_oracle):
+    """LPA output is a partition of the supported co-purchase graph's
+    node set: community sizes sum to |nodes|, every representative is
+    a member-minimum, and at least one community has ≥ 2 nodes on the
+    fixture graph."""
+    from pyspark.sql import functions as F
+
+    from streamclient_spark.operators.relational import (
+        _copurchase_edges,
+    )
+    from streamclient_spark.plans.registry import load_all
+
+    rows = (
+        load_all()["q_graph_label_prop"]
+        .builder(spark, sf_oracle)
+        .collect()
+    )
+    e = _copurchase_edges(spark, sf_oracle)
+    n_nodes = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_nodes"] for r in rows) == n_nodes
+    assert any(r["n_nodes"] >= 2 for r in rows)
+    for r in rows:
+        assert r["rep_node"] is not None
