@@ -7507,3 +7507,200 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "auth_permille",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_hll_merge — sketch MERGEABILITY: per-half HLLs → union by register max
+# ---------------------------------------------------------------------------
+
+# shared estimator epilogue (identical text both engines): E from
+# (r_max, v_zero, s_all) with the linear-counting branch
+_SQL_HLL_EST = """
+    CASE WHEN ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+               * CAST(1::BIGINT << CAST({r} AS INT) AS DOUBLE)
+               / CAST({s} AS DOUBLE)) <= 640.0
+          AND {v} > 0
+         THEN round(256.0 * ln(256.0 / {v}), 6)
+         ELSE round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                    * CAST(1::BIGINT << CAST({r} AS INT) AS DOUBLE)
+                    / CAST({s} AS DOUBLE), 6) END
+"""
+
+
+@register(
+    "q_agg_hll_merge",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                  CAST(ts AS TIMESTAMP)::DATE) AS BIGINT) % 2 AS half,
+             CAST(('0x' || substr({_HLL_H}, 1, 2)) AS BIGINT) AS idx,
+             CAST(('0x' || substr({_HLL_H}, 3, 13)) AS BIGINT) AS w
+      FROM events
+    ),
+    regs AS (
+      SELECT half, idx,
+             max(CASE WHEN w = 0 THEN 53
+                      ELSE 53 - length(bin(w)) END) AS reg
+      FROM h GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT idx, max(reg) AS reg FROM regs GROUP BY 1
+    ),
+    sk AS (
+      SELECT CAST(half AS VARCHAR) AS sketch, idx, reg FROM regs
+      UNION ALL
+      SELECT 'union', idx, reg FROM merged
+    ),
+    t AS (
+      SELECT sketch, max(reg) AS r_max, count(*) AS n_present
+      FROM sk GROUP BY 1
+    ),
+    s AS (
+      SELECT sk.sketch, t.r_max, 256 - t.n_present AS v_zero,
+             CAST(SUM(1::BIGINT << CAST(t.r_max - sk.reg AS INT))
+                  + (256 - t.n_present)
+                  * (1::BIGINT << CAST(t.r_max AS INT)) AS BIGINT)
+               AS s_all
+      FROM sk JOIN t USING (sketch)
+      GROUP BY 1, 2, 3
+    ),
+    est AS (
+      SELECT sketch,
+             {_SQL_HLL_EST.format(r="r_max", s="s_all", v="v_zero")}
+               AS e
+      FROM s
+    ),
+    ex AS (
+      SELECT CAST(count(DISTINCT CASE WHEN half = 0 THEN user_id END)
+                  AS BIGINT) AS exact_h0,
+             CAST(count(DISTINCT CASE WHEN half = 1 THEN user_id END)
+                  AS BIGINT) AS exact_h1,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
+      FROM (SELECT user_id,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS TIMESTAMP)::DATE) AS BIGINT) % 2
+                     AS half
+            FROM events)
+    )
+    SELECT e0.e AS est_h0, e1.e AS est_h1, eu.e AS est_union,
+           round(e0.e + e1.e - eu.e, 6) AS est_intersection,
+           ex.exact_h0, ex.exact_h1, ex.exact_union
+    FROM (SELECT e FROM est WHERE sketch = '0') e0
+    CROSS JOIN (SELECT e FROM est WHERE sketch = '1') e1
+    CROSS JOIN (SELECT e FROM est WHERE sketch = 'union') eu
+    CROSS JOIN ex
+    """,
+)
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes HLL the
+    distributed cardinality tool: the register tables of two disjoint
+    corpus partitions (odd/even epoch days here) merge by REGISTER
+    MAX into exactly the sketch of their union, with no rescan of
+    either side — how a 100 TB lakehouse maintains per-partition
+    sketches and answers cross-partition distincts from metadata
+    alone. Output: both half estimates, the merged-union estimate,
+    the inclusion-exclusion intersection estimate, and the exact
+    counterparts for audit — all cross-engine deterministic via the
+    q_agg_hll_parity construction (md5 hash, integer harmonic sums,
+    shared estimator text).
+
+    Plan: ONE corpus pass builds both halves' registers (half is a
+    projection, ≤2·256 rows after the map-combined max); the merge,
+    the three estimator evaluations, and the exact audit aggregate
+    are all register- or scalar-sized."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            % 2
+        ).alias("half"),
+    )
+    hx = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    idx = F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint")
+    w = F.conv(F.substring(hx, 3, 13), 16, 10).cast("bigint")
+    rho = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(w))
+    )
+    regs = (
+        e.select("half", idx.alias("idx"), rho.alias("reg"))
+        .groupBy("half", "idx")
+        .agg(F.max("reg").alias("reg"))
+        .localCheckpoint(eager=False)  # halves + merged reuse
+    )
+    merged = regs.groupBy("idx").agg(F.max("reg").alias("reg"))
+    sk = regs.select(
+        F.col("half").cast("string").alias("sketch"), "idx", "reg"
+    ).unionAll(merged.select(F.lit("union").alias("sketch"), "idx", "reg"))
+    t = sk.groupBy("sketch").agg(
+        F.max("reg").alias("r_max"), F.count(F.lit(1)).alias("n_present")
+    )
+    s = (
+        sk.join(F.broadcast(t), "sketch")
+        .groupBy("sketch", "r_max", F.expr("256 - n_present").alias("v_zero"))
+        .agg(
+            (
+                F.sum(
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(r_max - reg AS INT))"
+                    )
+                )
+                + F.expr(
+                    "(256 - n_present)"
+                    " * shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"
+                )
+            ).alias("s_all")
+        )
+    )
+    pow2r = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT)) AS DOUBLE)"
+    )
+    e_raw = (
+        F.lit(0.7213 / (1.0 + 1.079 / 256.0))
+        * F.lit(65536.0)
+        * pow2r
+        / F.col("s_all").cast("double")
+    )
+    est = s.select(
+        "sketch",
+        F.when(
+            (e_raw <= 640.0) & (F.col("v_zero") > 0),
+            F.round(F.lit(256.0) * F.log(F.lit(256.0) / F.col("v_zero")), 6),
+        )
+        .otherwise(F.round(e_raw, 6))
+        .alias("e"),
+    ).localCheckpoint(eager=False)  # 3 rows; read thrice below
+    ex = e.agg(
+        F.countDistinct(
+            F.when(F.col("half") == 0, F.col("user_id"))
+        ).cast("long").alias("exact_h0"),
+        F.countDistinct(
+            F.when(F.col("half") == 1, F.col("user_id"))
+        ).cast("long").alias("exact_h1"),
+        F.countDistinct("user_id").cast("long").alias("exact_union"),
+    )
+    e0 = est.filter(F.col("sketch") == "0").select(
+        F.col("e").alias("est_h0")
+    )
+    e1 = est.filter(F.col("sketch") == "1").select(
+        F.col("e").alias("est_h1")
+    )
+    eu = est.filter(F.col("sketch") == "union").select(
+        F.col("e").alias("est_union")
+    )
+    return (
+        e0.crossJoin(F.broadcast(e1))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "est_h0",
+            "est_h1",
+            "est_union",
+            F.round(
+                F.col("est_h0") + F.col("est_h1") - F.col("est_union"), 6
+            ).alias("est_intersection"),
+            "exact_h0",
+            "exact_h1",
+            "exact_union",
+        )
+    )

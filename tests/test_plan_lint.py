@@ -56,6 +56,7 @@ BNLJ_ALLOWED = {
     "q_sim_rrf",          # 1-row query-vector + BM25 corpus-stats scalars
     "q_agg_bloom",        # 1-row member-count + bits-set scalars
     "q_graph_hits",       # 1-row max-authority normalization scalar
+    "q_agg_hll_merge",    # 1-row per-sketch estimate + exact-audit scalars
     "q_knn_classify",     # bounded 100-row pilot-query broadcast: the
                           # intended plan is every corpus row scoring
                           # against the closure-sized query set (the
