@@ -68,7 +68,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # attestations from the never-checked set (VERDICT r3 #1: the
     # r3 ordering would have re-attested 50 known greens). ---
     "q_graph_triangles", "q_udaf_grouped", "q_dedup_near",
-    "q_dedup_cluster", "q_scan_json", "q_events_rfm", "q_pareto_abc",
+    "q_dedup_cluster", "q_scan_json",
+    # q_dq_referential: never attested AND rewritten late in round 4
+    # (fused same-child FK scans) — modified-never-attested outranks
+    # untouched never-attested, so it takes a window slot now
+    "q_dq_referential",
+    "q_events_rfm", "q_pareto_abc",
     "q_graph_pagerank", "q_graph_cc", "q_sim_ivfpq", "q_ts_seasonality",
     "q_dedup_semantic", "q_dq_skew", "q_join_interval",
     "q_sample_weighted", "q_table_diff", "q_text_bm25", "q_agg_mad",
@@ -91,7 +96,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embed_sim_hist", "q_ts_theil_sen", "q_events_user_overlap",
     "q_text_novelty",
     "q_events_attribution", "q_islands", "q_ts_anomaly", "q_ts_ewma",
-    "q_dq_referential", "q_text_collocations", "q_agg_regr",
+    "q_text_collocations", "q_agg_regr",
     "q_events_dau_mau", "q_ts_changepoint", "q_events_inter_arrival",
     "q_lead_time", "q_dq_constraints", "q_events_path_prefix",
     "q_win_rolling_median", "q_pivot", "q_agg_gini", "q_dq_benford",
