@@ -1845,3 +1845,155 @@ def q_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("an") / F.lit(10.0), 6).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_mmr — MMR diversity rerank of the dense top-50 (RAG stack stage 3)
+# ---------------------------------------------------------------------------
+
+MMR_OUT_K = 10  # selected results
+MMR_CAND_K = 50  # candidate pool = dense top-50
+
+
+def _sql_mmr_oracle() -> str:
+    head = f"""
+    WITH qv AS (
+      SELECT embedding AS qe FROM embeddings
+      WHERE vec_id = {RRF_QUERY_ID}
+    ),
+    cand AS MATERIALIZED (
+      SELECT doc_id, cs FROM (
+        SELECT vec_id AS doc_id,
+               round({_SQL_COS.format(a="embedding", b="qe")}, 6) AS cs
+        FROM embeddings CROSS JOIN qv WHERE vec_id <> {RRF_QUERY_ID}
+      )
+      QUALIFY row_number() OVER (ORDER BY cs DESC, doc_id)
+              <= {MMR_CAND_K}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             round({_SQL_COS.format(a="ea.embedding", b="eb.embedding")},
+                   6) AS s
+      FROM cand a JOIN embeddings ea ON ea.vec_id = a.doc_id
+      JOIN cand b ON b.doc_id <> a.doc_id
+      JOIN embeddings eb ON eb.vec_id = b.doc_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT 1 AS rank, doc_id, cs, 0.0 AS ms FROM cand
+      QUALIFY row_number() OVER (ORDER BY cs DESC, doc_id) = 1
+    )
+    """
+    steps = []
+    for k in range(2, MMR_OUT_K + 1):
+        p = k - 1
+        steps.append(f"""
+    , mmr{k} AS MATERIALIZED (
+        SELECT c.doc_id, c.cs, max(p.s) AS ms
+        FROM cand c JOIN pairs p ON p.da = c.doc_id
+        WHERE p.db IN (SELECT doc_id FROM sel{p})
+          AND c.doc_id NOT IN (SELECT doc_id FROM sel{p})
+        GROUP BY c.doc_id, c.cs
+    ), sel{k} AS MATERIALIZED (
+        SELECT * FROM sel{p}
+        UNION ALL
+        SELECT {k}, doc_id, cs, ms FROM mmr{k}
+        QUALIFY row_number() OVER (
+          ORDER BY (7.0 * cs - 3.0 * ms) / 10.0 DESC, doc_id) = 1
+    )""")
+    tail = f"""
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+           cs AS relevance,
+           round(ms, 6) AS max_sim_selected,
+           round((7.0 * cs - 3.0 * ms) / 10.0, 6) AS mmr_score
+    FROM sel{MMR_OUT_K}
+    """
+    return head + "".join(steps) + tail
+
+
+@register("q_sim_mmr", oracle=_sql_mmr_oracle())
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell-Goldstein 1998): the
+    DIVERSITY rerank that completes the RAG retrieval stack
+    (q_sim_topk retrieves, q_sim_rrf fuses, this de-duplicates the
+    final context): greedily select 10 of the dense top-50, each step
+    taking argmax of 0.7·relevance − 0.3·max-similarity-to-already-
+    selected — near-duplicate passages that would waste context
+    window slots are pushed down in favor of coverage.
+
+    Determinism: relevance and all candidate-pair similarities are
+    ROUNDED (1e-6) before any comparison, every greedy argmax breaks
+    ties by doc_id, and the λ-blend is one fixed double expression —
+    both engines walk the identical selection sequence (the oracle
+    unrolls the 10 greedy steps as CTEs).
+
+    Plan: the candidate pool is ONE linear corpus pass ending in a
+    TakeOrdered cut (the q_sim_topk shape); the 50×50 pair matrix and
+    the 10-step greedy are BOUNDED BY CONSTRUCTION (≤2450 pairs), so
+    they run driver-side on the collected pool — the codebook-collect
+    doctrine (running 10 sequential argmax rounds as Spark jobs would
+    be pure scheduling latency for microseconds of arithmetic). The
+    rounding epilogue stays in Spark."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != RRF_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias(
+                "cs"
+            ),
+            "embedding",
+        )
+        .orderBy(F.desc("cs"), F.asc("doc_id"))
+        .limit(MMR_CAND_K)
+    )
+    rows = cand.collect()  # ≤50 rows by construction (bounded pool)
+    ids = [r["doc_id"] for r in rows]
+    rel = {r["doc_id"]: r["cs"] for r in rows}
+    X = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    )
+    nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
+    S = (X / nrm[:, None]) @ (X / nrm[:, None]).T
+    sim = {
+        (ids[i], ids[j]): round(float(S[i, j]), 6)
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if i != j
+    }
+
+    selected: list[tuple[int, int, float, float]] = []
+    first = min(ids, key=lambda d: (-rel[d], d))
+    selected.append((1, first, rel[first], 0.0))
+    chosen = {first}
+    for k in range(2, MMR_OUT_K + 1):
+        best = None
+        for d in ids:
+            if d in chosen:
+                continue
+            ms = max(sim[(d, s)] for _, s, _, _ in selected)
+            score = (7.0 * rel[d] - 3.0 * ms) / 10.0
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, ms)
+        _, d, ms = best
+        selected.append((k, d, rel[d], ms))
+        chosen.add(d)
+
+    out = spark.createDataFrame(
+        selected, "rank bigint, doc_id bigint, cs double, ms double"
+    )
+    return out.select(
+        "rank",
+        "doc_id",
+        F.col("cs").alias("relevance"),
+        F.round("ms", 6).alias("max_sim_selected"),
+        F.round((7.0 * F.col("cs") - 3.0 * F.col("ms")) / 10.0, 6).alias(
+            "mmr_score"
+        ),
+    )
