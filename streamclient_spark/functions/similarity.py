@@ -1997,3 +1997,124 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mmr_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_hard_negatives — contrastive hard-negative mining (top-k cross-label)
+# ---------------------------------------------------------------------------
+
+HARDNEG_K = 5
+
+
+@register(
+    "q_embed_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, q.q_label,
+             e.vec_id AS negative_id, e.label AS neg_label,
+             round({_SQL_COS.format(a="q.qe", b="e.embedding")}, 6)
+               AS cos_sim
+      FROM q JOIN embeddings e
+        ON e.label <> q.q_label
+    )
+    SELECT query_id, CAST(q_label AS INT) AS q_label,
+           negative_id, CAST(neg_label AS INT) AS neg_label,
+           cos_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, negative_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= {HARDNEG_K}
+    """,
+)
+def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the SimCSE/DPR
+    data-prep step): for each pilot query vector, the top-5 most
+    similar vectors carrying a DIFFERENT label — the near-boundary
+    negatives that make contrastive batches informative (random
+    negatives are trivially separable; these are not). The label
+    column plays the supervision role (class, source, or dedup
+    cluster in production).
+
+    Same kernel as q_sim_topk — the pilot query matrix rides inside a
+    ``mapInPandas`` closure, each corpus partition scores itself with
+    ONE GEMM and emits its local top-k per query after masking
+    same-label rows, so the final ranking window sees partitions×k
+    candidates. Ranks on ROUNDED cosine with id tie-break (the rank-
+    parity rule). Linear, shuffle-light, label mask fused into the
+    Arrow pass."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "label", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_labels = np.array([r.label for r in q_rows], dtype=np.int64)
+    Q = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in q_rows]
+    )
+    Qn = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
+            cos = (E / nrm[:, None]) @ Qn.T
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            out = {"query_id": [], "q_label": [], "negative_id": [],
+                   "neg_label": [], "cos_sim": []}
+            for qi in range(len(q_ids)):
+                mask = labels != q_labels[qi]
+                cid, cl, cc = ids[mask], labels[mask], cos[mask, qi]
+                k = min(HARDNEG_K, len(cid))
+                if k == 0:
+                    continue
+                kth = np.partition(-cc, k - 1)[k - 1]
+                cand = np.nonzero(-cc <= kth)[0]
+                order = np.lexsort((cid[cand], -cc[cand]))[:k]
+                sel = cand[order]
+                out["query_id"].extend([q_ids[qi]] * len(sel))
+                out["q_label"].extend([q_labels[qi]] * len(sel))
+                out["negative_id"].extend(cid[sel])
+                out["neg_label"].extend(cl[sel])
+                out["cos_sim"].extend(cc[sel])
+            yield pd.DataFrame(out)
+
+    scored = (
+        e.select("vec_id", "label", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            local_topk,
+            "query_id bigint, q_label bigint, negative_id bigint,"
+            " neg_label bigint, cos_sim double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos_sim", 6)), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select(
+            "query_id",
+            F.col("q_label").cast("int").alias("q_label"),
+            "negative_id",
+            F.col("neg_label").cast("int").alias("neg_label"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
