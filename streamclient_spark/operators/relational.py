@@ -7704,3 +7704,138 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_union",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_growth_accounting — new / retained / resurrected / churned
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_growth_accounting",
+    oracle="""
+    WITH d0 AS (
+      SELECT min(CAST(ts AS TIMESTAMP)::DATE) AS d0 FROM events
+    ),
+    uw AS MATERIALIZED (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', d0.d0,
+                  CAST(ts AS TIMESTAMP)::DATE) AS BIGINT) // 7 AS wk
+      FROM events CROSS JOIN d0
+    ),
+    lagged AS (
+      SELECT user_id, wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM uw
+    ),
+    maxw AS (SELECT max(wk) AS mw FROM uw),
+    states AS (
+      SELECT wk,
+             SUM(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS n_new,
+             SUM(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END)
+               AS n_retained,
+             SUM(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 1
+                      THEN 1 ELSE 0 END) AS n_resurrected
+      FROM lagged GROUP BY wk
+    ),
+    churn AS (
+      SELECT l.wk + 1 AS wk, count(*) AS n_churned
+      FROM lagged l CROSS JOIN maxw
+      WHERE (l.next_wk IS NULL OR l.next_wk > l.wk + 1)
+        AND l.wk + 1 <= maxw.mw
+      GROUP BY 1
+    )
+    SELECT s.wk AS week,
+           CAST(s.n_new AS BIGINT) AS n_new,
+           CAST(s.n_retained AS BIGINT) AS n_retained,
+           CAST(s.n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned,
+           CASE WHEN coalesce(c.n_churned, 0) = 0 THEN NULL
+                ELSE CAST((s.n_new + s.n_resurrected) * 1000
+                          // c.n_churned AS BIGINT)
+           END AS quick_ratio_permille
+    FROM states s LEFT JOIN churn c ON c.wk = s.wk
+    """,
+)
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the Social-Capital framework every weekly
+    active-user report uses): per week, how many actives are NEW
+    (first week ever), RETAINED (also active the prior week), or
+    RESURRECTED (active before, but not last week) — plus CHURNED
+    (active last week, gone this week) and the quick ratio
+    (new+resurrected)/churned in integer permille. The full
+    inflow/outflow decomposition behind q_events_new_returning's
+    two-way split; NULL ratio when nothing churned.
+
+    Plan: ONE distinct (user, week) projection (map-combined), one
+    per-USER lag/lead window (partitioned, parallel — user count
+    scales, weeks per user is calendar-bounded), then two
+    |weeks|-row aggregates joined. Exact integers end to end; one
+    1-row min-day scalar broadcast."""
+    e = load(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    uw = (
+        e.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(to_date(ts), d0) AS BIGINT) div 7"
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("wk")
+    lagged = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    ).localCheckpoint(eager=False)  # states + churn + maxw reuse
+    maxw = lagged.agg(F.max("wk").alias("mw"))
+    states = lagged.groupBy("wk").agg(
+        F.sum(F.col("prev_wk").isNull().cast("long")).alias("n_new"),
+        # when/otherwise, not a bare comparison cast: a week where every
+        # prev_wk is NULL (week 0) must sum to 0, not NULL — SQL CASE
+        # semantics, matching the oracle
+        F.sum(
+            F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            (
+                F.col("prev_wk").isNotNull()
+                & (F.col("prev_wk") < F.col("wk") - 1)
+            ).cast("long")
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        lagged.crossJoin(F.broadcast(maxw))
+        .filter(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1))
+            & (F.col("wk") + 1 <= F.col("mw"))
+        )
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        states.join(churn, "wk", "left")
+        .select(
+            F.col("wk").alias("week"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.col("n_retained").cast("long").alias("n_retained"),
+            F.col("n_resurrected").cast("long").alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0))
+            .cast("long")
+            .alias("n_churned"),
+            F.when(
+                F.coalesce("n_churned", F.lit(0)) == 0, F.lit(None)
+            )
+            .otherwise(
+                F.expr(
+                    "(n_new + n_resurrected) * 1000 div n_churned"
+                )
+            )
+            .cast("long")
+            .alias("quick_ratio_permille"),
+        )
+    )
