@@ -2118,3 +2118,142 @@ def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_triplets — (anchor, positive, negative) assembly for metric learning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embed_triplets",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS anchor_id, label AS a_label, embedding AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.anchor_id, q.a_label, e.vec_id, e.label,
+             round({_SQL_COS.format(a="q.qe", b="e.embedding")}, 6)
+               AS cs
+      FROM q JOIN embeddings e ON e.vec_id <> q.anchor_id
+    ),
+    pos AS (
+      SELECT anchor_id, a_label, vec_id AS positive_id, cs AS pos_cos
+      FROM scored WHERE label = a_label
+      QUALIFY row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cs DESC, vec_id) = 1
+    ),
+    neg AS (
+      SELECT anchor_id, vec_id AS negative_id, cs AS neg_cos
+      FROM scored WHERE label <> a_label
+      QUALIFY row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cs DESC, vec_id) = 1
+    )
+    SELECT pos.anchor_id, CAST(pos.a_label AS INT) AS a_label,
+           pos.positive_id, pos.pos_cos,
+           neg.negative_id, neg.neg_cos,
+           round(pos.pos_cos - neg.neg_cos, 6) AS margin
+    FROM pos JOIN neg USING (anchor_id)
+    """,
+)
+def q_embed_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet assembly for metric learning (FaceNet/SBERT data prep):
+    per pilot anchor, the hardest POSITIVE (most-similar same-label
+    vector — if even this one is far, the class is diffuse) and the
+    hardest NEGATIVE (most-similar different-label vector), plus the
+    triplet margin pos−neg — negative margins are exactly the
+    boundary violations a triplet loss trains on, and the assembled
+    (anchor, positive, negative) rows ARE the training batch. The
+    one-pass companion of q_embed_hard_negatives: the same
+    per-partition Arrow GEMM emits each partition's best same-label
+    AND best different-label candidate per anchor, so the global
+    argmax windows see ≤2·partitions rows per anchor.
+
+    Ranks/argmax on ROUNDED cosine with id tie-break (rank-parity
+    rule); the margin is one subtraction of rounded values."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "label", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_labels = np.array([r.label for r in q_rows], dtype=np.int64)
+    Q = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in q_rows]
+    )
+    Qn = Q / np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+
+    def local_best(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
+            cos = (E / nrm[:, None]) @ Qn.T
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            out = {"anchor_id": [], "a_label": [], "vec_id": [],
+                   "same": [], "cs": []}
+            for qi in range(len(q_ids)):
+                not_self = ids != q_ids[qi]
+                for same in (True, False):
+                    mask = not_self & (
+                        (labels == q_labels[qi])
+                        if same
+                        else (labels != q_labels[qi])
+                    )
+                    if not mask.any():
+                        continue
+                    cid, cc = ids[mask], cos[mask, qi]
+                    # local argmax by (cos desc, id asc), tie-safe
+                    best = np.lexsort((cid, -cc))[0]
+                    out["anchor_id"].append(q_ids[qi])
+                    out["a_label"].append(q_labels[qi])
+                    out["vec_id"].append(cid[best])
+                    out["same"].append(same)
+                    out["cs"].append(cc[best])
+            yield pd.DataFrame(out)
+
+    scored = (
+        e.select("vec_id", "label", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            local_best,
+            "anchor_id bigint, a_label bigint, vec_id bigint,"
+            " same boolean, cs double",
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.desc(F.round("cs", 6)), F.asc("vec_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .localCheckpoint(eager=False)  # pos + neg reuse
+    )
+    pos = best.filter("same").select(
+        "anchor_id",
+        F.col("a_label").cast("int").alias("a_label"),
+        F.col("vec_id").alias("positive_id"),
+        F.round("cs", 6).alias("pos_cos"),
+    )
+    neg = best.filter(~F.col("same")).select(
+        "anchor_id",
+        F.col("vec_id").alias("negative_id"),
+        F.round("cs", 6).alias("neg_cos"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "a_label",
+        "positive_id",
+        "pos_cos",
+        "negative_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )
