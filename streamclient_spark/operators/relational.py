@@ -7839,3 +7839,93 @@ def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quick_ratio_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_rolling_wau — exact 7-day rolling distinct active users
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_rolling_wau",
+    oracle="""
+    WITH d0 AS (
+      SELECT min(CAST(ts AS TIMESTAMP)::DATE) AS d0 FROM events
+    ),
+    ud AS MATERIALIZED (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', d0.d0,
+                  CAST(ts AS TIMESTAMP)::DATE) AS BIGINT) AS t
+      FROM events CROSS JOIN d0
+    ),
+    mx AS (SELECT max(t) AS mt FROM ud),
+    win AS (
+      SELECT DISTINCT ud.user_id, ud.t + k.k AS target
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k) k
+    ),
+    wau AS (
+      SELECT target, count(*) AS wau
+      FROM win CROSS JOIN mx
+      WHERE target BETWEEN 6 AND mx.mt
+      GROUP BY target
+    ),
+    dau AS (SELECT t, count(*) AS dau FROM ud GROUP BY t)
+    SELECT wau.target AS day_index,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(dau.dau * 1000 // wau.wau AS BIGINT)
+             AS stickiness_permille
+    FROM wau JOIN dau ON dau.t = wau.target
+    """,
+)
+def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-day rolling distinct active users (rolling WAU) with
+    daily stickiness (DAU/WAU) — the operator naive SQL gets wrong at
+    scale because COUNT(DISTINCT) cannot slide: a user active on day
+    t is IN the window of targets t..t+6, so each (user, day) row
+    explodes into its 7 member windows, a second distinct collapses
+    multi-active users within a window, and a plain count per target
+    day finishes — distinct-over-sliding-window reduced to two hash
+    distincts and ×7 linear volume, no window function at all (the
+    window-frame form would hold per-day user SETS in state). Full
+    windows only (day index ≥ 6); the monthly-grain companion is
+    q_events_dau_mau, and at 100 TB the same shape handles 28-day MAU
+    at ×28 volume or swaps in the q_agg_hll_parity registers when
+    ±1% suffices.
+
+    Plan: one (user, day) distinct (map-combined), one 7-way explode
+    + distinct (linear), two counting aggregates, one |days|-row
+    join; one 1-row min-day scalar broadcast."""
+    e = load(spark, sf_dir, "events")
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    ud = (
+        e.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), "d0").cast("long").alias("t"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # win + dau + max reuse
+    )
+    mx = ud.agg(F.max("t").alias("mt"))
+    win = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t"), F.col("t") + 6)
+        ).alias("target"),
+    ).distinct()
+    wau = (
+        win.crossJoin(F.broadcast(mx))
+        .filter((F.col("target") >= 6) & (F.col("target") <= F.col("mt")))
+        .groupBy("target")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    dau = ud.groupBy("t").agg(F.count(F.lit(1)).alias("dau"))
+    return wau.join(dau, wau["target"] == dau["t"]).select(
+        F.col("target").alias("day_index"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.expr("dau * 1000 div wau").cast("long").alias(
+            "stickiness_permille"
+        ),
+    )
