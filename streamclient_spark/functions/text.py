@@ -1746,3 +1746,67 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bits"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_fertility — tokenizer fertility audit per (lang, source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang, source,
+             CAST(n_chars AS BIGINT) AS chars,
+             CAST(len({SQL_TOKENS.format(col="text")}) AS BIGINT)
+               AS toks,
+             CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                  AS BIGINT) AS nonspace
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(chars) * 1000 // SUM(toks) AS BIGINT)
+             AS chars_per_token_permille,
+           CAST(SUM(nonspace) * 1000 // SUM(toks) AS BIGINT)
+             AS payload_per_token_permille
+    FROM per_doc
+    GROUP BY 1, 2
+    """,
+)
+def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: characters per token by (language,
+    source) — THE compression metric that decides how many effective
+    training tokens a corpus slice yields and which languages a
+    tokenizer under-serves (low chars/token = high fertility = that
+    slice burns budget). Reported twice: raw chars/token and
+    non-whitespace payload/token, both as exact integer permille of
+    corpus-level sums (never means-of-ratios — a million tiny docs
+    must not outvote one long one).
+
+    Plan: ONE codegen projection (token count via the shared split
+    expression, two length expressions), one map-combined aggregate
+    to |langs|×|sources| rows. No shuffle beyond the group keys at
+    any scale."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    per_doc = d.select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("chars"),
+        F.size(tokens("text")).cast("long").alias("toks"),
+        F.length(
+            F.regexp_replace("text", r"\s", "")
+        ).cast("long").alias("nonspace"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.expr("sum(chars) * 1000 div sum(toks)")
+        .cast("long")
+        .alias("chars_per_token_permille"),
+        F.expr("sum(nonspace) * 1000 div sum(toks)")
+        .cast("long")
+        .alias("payload_per_token_permille"),
+    )
