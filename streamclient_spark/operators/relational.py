@@ -7929,3 +7929,117 @@ def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_supplier_scorecard — composite weighted ranking without a global window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_supplier_scorecard",
+    oracle="""
+    WITH m AS MATERIALIZED (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS qty_cents
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT suppkey, revenue_cents, n_parts, qty_cents,
+             row_number() OVER (ORDER BY revenue_cents DESC, suppkey)
+               AS r_rev,
+             row_number() OVER (ORDER BY n_parts DESC, suppkey)
+               AS r_breadth,
+             row_number() OVER (ORDER BY qty_cents DESC, suppkey)
+               AS r_vol
+      FROM m
+    )
+    SELECT r.suppkey AS supp_key, s.s_name AS supplier,
+           n.n_name AS nation,
+           r.revenue_cents, r.n_parts, r.qty_cents,
+           CAST(50 * r.r_rev + 30 * r.r_breadth + 20 * r.r_vol
+                AS BIGINT) AS score_points
+    FROM r
+    JOIN supplier s ON s.s_suppkey = r.suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY score_points ASC, r.suppkey LIMIT 20
+    """,
+)
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite supplier scorecard: revenue, part breadth, and volume
+    each rank-normalized, then blended 50/30/20 into one score (lower
+    = better), top-20 with the supplier dimension attached — the
+    standard multi-metric vendor/partner league table, built WITHOUT
+    a global window: each metric's rank comes from
+    `scale.ranked_by_range` (range partition → local numbering →
+    broadcast prefix offsets), so the plan that's trivial at 10k
+    suppliers is the same plan that survives 100M. Rank points are
+    pure integers (rank blending beats z-score blending for
+    determinism AND robustness to heavy-tailed metrics).
+
+    Plan: one map-combined lineitem aggregate to the supplier spine
+    (the only corpus-sized work; distinct-part counts combine
+    map-side), three range-partitioned rankings of that spine, two
+    broadcast dimension joins, one TakeOrdered cut."""
+    from streamclient_spark.scale import ranked_by_range
+
+    li = load(spark, sf_dir, "lineitem")
+    m = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("revenue_cents"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(
+                F.round(F.col("l_quantity") * 100).cast("bigint")
+            ).alias("qty_cents"),
+        )
+        .localCheckpoint(eager=False)  # three rankings read it
+    )
+    ranked = m
+    for col, rank_col in (
+        ("revenue_cents", "r_rev"),
+        ("n_parts", "r_breadth"),
+        ("qty_cents", "r_vol"),
+    ):
+        r = ranked_by_range(
+            m.select("suppkey", col),
+            [F.desc(col), F.asc("suppkey")],
+            rank_col=rank_col,
+        ).select("suppkey", rank_col)
+        ranked = ranked.join(r, "suppkey")
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("supplier"),
+        "s_nationkey",
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    return (
+        ranked.join(F.broadcast(s), "suppkey")
+        .join(F.broadcast(n), "s_nationkey")
+        .select(
+            F.col("suppkey").alias("supp_key"),
+            "supplier",
+            "nation",
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+            F.col("n_parts").cast("long").alias("n_parts"),
+            F.col("qty_cents").cast("long").alias("qty_cents"),
+            (
+                50 * F.col("r_rev")
+                + 30 * F.col("r_breadth")
+                + 20 * F.col("r_vol")
+            )
+            .cast("long")
+            .alias("score_points"),
+        )
+        .orderBy(F.asc("score_points"), F.asc("supp_key"))
+        .limit(20)
+    )
