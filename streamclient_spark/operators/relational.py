@@ -8043,3 +8043,88 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("score_points"), F.asc("supp_key"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dq_fd_audit — functional-dependency validation across declared candidates
+# ---------------------------------------------------------------------------
+
+#: candidate FDs to audit: (label, table, lhs, rhs). Mix of holding
+#: (keys) and violated dependencies — an audit must prove both
+#: directions, not assume.
+_FD_CANDIDATES = (
+    ("part.p_partkey->p_brand", "part", "p_partkey", "p_brand"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("orders.o_orderkey->o_orderstatus", "orders", "o_orderkey",
+     "o_orderstatus"),
+    ("lineitem.l_orderkey->l_suppkey", "lineitem", "l_orderkey",
+     "l_suppkey"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+)
+
+
+def _sql_fd(label: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{label}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(max(v) AS BIGINT) AS max_rhs_variants,
+           (SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) = 0) AS holds,
+           CAST(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS violation_permille
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS v
+          FROM {table} GROUP BY 1)
+    """
+
+
+@register(
+    "q_dq_fd_audit",
+    oracle=" UNION ALL ".join(_sql_fd(*c) for c in _FD_CANDIDATES),
+)
+def q_dq_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD (key
+    constraints AND deliberately-violated dependencies — an audit
+    proves both directions), the count of LHS values, how many map to
+    more than one RHS value, the worst fan-out, a holds verdict, and
+    the violation rate in integer permille. This is the profiling
+    primitive behind schema normalization, candidate-key discovery,
+    and "can I safely denormalize this column" decisions — the
+    constraint companion of q_dq_referential (FK edges) and
+    q_dq_constraints (row predicates).
+
+    Plan per FD: one map-combined (lhs → distinct-rhs count)
+    aggregate — the distinct combines map-side because rhs rides in
+    the grouping-stage hash — then a 1-row summary; the UNION of
+    per-FD rows is free. Every FD is one linear shuffle of its
+    table's key column at any scale."""
+    parts = []
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        g = (
+            load(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("v"))
+        )
+        viol = F.sum((F.col("v") > 1).cast("long"))
+        parts.append(
+            g.agg(
+                F.count(F.lit(1)).alias("n_lhs"),
+                viol.alias("n_violating"),
+                F.max("v").alias("max_rhs_variants"),
+            ).select(
+                F.lit(label).alias("fd"),
+                F.col("n_lhs").cast("long").alias("n_lhs"),
+                F.col("n_violating").cast("long").alias("n_violating"),
+                F.col("max_rhs_variants")
+                .cast("long")
+                .alias("max_rhs_variants"),
+                (F.col("n_violating") == 0).alias("holds"),
+                F.expr("n_violating * 1000 div n_lhs")
+                .cast("long")
+                .alias("violation_permille"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
