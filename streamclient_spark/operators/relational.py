@@ -8128,3 +8128,153 @@ def q_dq_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_part_abc_xyz — inventory classification: ABC (value) × XYZ (variability)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_part_abc_xyz",
+    oracle="""
+    WITH li AS MATERIALIZED (
+      SELECT l_partkey AS partkey,
+             CAST(date_diff('day', DATE '1970-01-01',
+                  CAST(l_shipdate AS TIMESTAMP)::DATE) AS BIGINT) // 7
+               AS wk,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS rc
+      FROM lineitem
+    ),
+    span AS (
+      SELECT max(wk) - min(wk) + 1 AS n_weeks FROM li
+    ),
+    wd AS (
+      SELECT partkey, wk, CAST(SUM(qc) AS BIGINT) AS q
+      FROM li GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT partkey,
+             CAST(SUM(q) AS BIGINT) AS sx,
+             CAST(SUM(q * q) AS BIGINT) AS sxx
+      FROM wd GROUP BY 1
+    ),
+    xyz AS (
+      SELECT partkey,
+             CASE WHEN 4 * (span.n_weeks * sxx - sx * sx) <= sx * sx
+                  THEN 'X'
+                  WHEN (span.n_weeks * sxx - sx * sx) <= sx * sx
+                  THEN 'Y'
+                  ELSE 'Z' END AS cls_xyz
+      FROM mom CROSS JOIN span
+    ),
+    rev AS (
+      SELECT partkey, CAST(SUM(rc) AS BIGINT) AS revenue
+      FROM li GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(revenue) AS BIGINT) AS total FROM rev),
+    abc AS (
+      SELECT partkey,
+             CASE WHEN cum * 10 <= tot.total * 8 THEN 'A'
+                  WHEN cum * 100 <= tot.total * 95 THEN 'B'
+                  ELSE 'C' END AS cls_abc,
+             revenue
+      FROM (
+        SELECT partkey, revenue,
+               SUM(revenue) OVER (ORDER BY revenue DESC, partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM rev
+      ) CROSS JOIN tot
+    )
+    SELECT abc.cls_abc, xyz.cls_xyz,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(abc.revenue) * 1000
+                // (SELECT total FROM tot) AS BIGINT)
+             AS revenue_share_permille
+    FROM abc JOIN xyz USING (partkey)
+    GROUP BY 1, 2
+    """,
+)
+def q_part_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ inventory classification — the operations-planning
+    matrix every supply chain runs: parts classed by revenue
+    concentration (A = first 80% of cumulative revenue, B = to 95%,
+    C = tail) crossed with demand VARIABILITY over weekly buckets
+    (X: CV ≤ 0.5, Y: ≤ 1.0, Z: above — zero-demand weeks inside the
+    corpus span count, which is what makes intermittent demand land
+    in Z). Both classifications are decided by INTEGER
+    cross-multiplication: CV thresholds become 4·(W·Σq²−(Σq)²) ≤
+    (Σq)² (population CV against the full W-week span, absent weeks
+    contributing zero demand and zero square), and the ABC cuts
+    become cum·10 ≤ total·8 — no float can flap a boundary part.
+
+    Plan: one lineitem projection feeding two map-combined aggregates
+    (weekly demand, revenue); the cumulative revenue share runs
+    `scale.running_sum_by_range` over the parts spine (range
+    partition + broadcast offsets — no global single-task sort, the
+    q_pareto_abc lever); one 1-row total and one 1-row span scalar
+    broadcast; final 9-cell matrix aggregate."""
+    from streamclient_spark.scale import running_sum_by_range
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.expr(
+            "CAST(datediff(to_date(l_shipdate), DATE '1970-01-01')"
+            " AS BIGINT) div 7"
+        ).alias("wk"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qc"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("rc"),
+    ).localCheckpoint(eager=False)  # span + weekly + revenue reuse
+    span = li.agg(
+        (F.max("wk") - F.min("wk") + 1).alias("n_weeks")
+    )
+    wd = li.groupBy("partkey", "wk").agg(F.sum("qc").alias("q"))
+    mom = wd.groupBy("partkey").agg(
+        F.sum("q").alias("sx"),
+        F.sum(F.col("q") * F.col("q")).alias("sxx"),
+    )
+    num = F.col("n_weeks") * F.col("sxx") - F.col("sx") * F.col("sx")
+    xyz = mom.crossJoin(F.broadcast(span)).select(
+        "partkey",
+        F.when(4 * num <= F.col("sx") * F.col("sx"), "X")
+        .when(num <= F.col("sx") * F.col("sx"), "Y")
+        .otherwise("Z")
+        .alias("cls_xyz"),
+    )
+    rev = li.groupBy("partkey").agg(F.sum("rc").alias("revenue"))
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    cum = running_sum_by_range(
+        rev,
+        [F.desc("revenue"), F.asc("partkey")],
+        "revenue",
+        out_col="cum",
+    )
+    abc = cum.crossJoin(F.broadcast(tot)).select(
+        "partkey",
+        "revenue",
+        "total",
+        F.when(F.col("cum") * 10 <= F.col("total") * 8, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("cls_abc"),
+    )
+    return (
+        abc.join(xyz, "partkey")
+        .groupBy("cls_abc", "cls_xyz", "total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("revenue").alias("_rev"),
+        )
+        .select(
+            "cls_abc",
+            "cls_xyz",
+            "n_parts",
+            F.expr("_rev * 1000 div total")
+            .cast("long")
+            .alias("revenue_share_permille"),
+        )
+    )

@@ -118,7 +118,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_hll_merge", "q_sim_mmr", "q_embed_hard_negatives",
     "q_events_growth_accounting", "q_embed_triplets",
     "q_events_rolling_wau", "q_text_fertility", "q_supplier_scorecard",
-    "q_dq_fd_audit",
+    "q_dq_fd_audit", "q_part_abc_xyz",
     # --- attested green in r1-r3 and byte-identical since ---
     "q_multimodal_meta", "q_join_range", "q_tpch_q5", "q_join_outer",
     "q_agg_tpch_q1", "q_tpch_q3", "q_agg_cube", "q_agg_rollup",
