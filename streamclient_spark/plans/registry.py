@@ -61,35 +61,16 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Bui
 # first 50 registry entries in insertion order. Rotated every round — see the
 # segment comments inside the tuple.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- ROUND-4 WINDOW (first 50). Order of evidentiary value:
+    # --- ROUND-5 WINDOW (first 50). Order of evidentiary value:
     # (a) queries MODIFIED this round after a prior green row (a
     # stale attestation outranks a first attestation), (b) queries
     # modified this round that were never attested, (c) first-time
-    # attestations from the never-checked set (VERDICT r3 #1: the
-    # r3 ordering would have re-attested 50 known greens). ---
-    "q_graph_triangles", "q_udaf_grouped", "q_dedup_near",
-    "q_dedup_cluster", "q_scan_json",
-    # q_dq_referential: never attested AND rewritten late in round 4
-    # (fused same-child FK scans) — modified-never-attested outranks
-    # untouched never-attested, so it takes a window slot now
-    "q_dq_referential",
-    "q_events_rfm", "q_pareto_abc",
-    "q_graph_pagerank", "q_graph_cc", "q_sim_ivfpq", "q_ts_seasonality",
-    "q_dedup_semantic", "q_dq_skew", "q_join_interval",
-    "q_sample_weighted", "q_table_diff", "q_text_bm25", "q_agg_mad",
-    "q_knn_graph", "q_win_range_time", "q_fn_url", "q_dq_entropy",
-    "q_win_ignore_nulls", "q_agg_histogram", "q_join_lateral",
-    "q_agg_bitmap", "q_fn_binary", "q_table_merge",
-    "q_agg_percentile_disc", "q_rollup_grid", "q_fn_timezone",
-    "q_bucketize", "q_dedup_canonical", "q_mixture_report",
-    "q_fn_variant", "q_ts_wow", "q_scan_text", "q_sim_matryoshka",
-    "q_agg_moments34", "q_udf_arrow", "q_join_null_aware",
-    "q_events_markov", "q_agg_weighted", "q_dq_freshness",
-    "q_embed_outliers", "q_market_basket", "q_text_chunker",
-    "q_dedup_substring", "q_dedup_containment", "q_mixture_temperature",
-    # --- ROUND-5 QUEUE: never-attested remainder — rounds 4+5
-    # together complete whole-registry attestation (VERDICT r3 #2).
-    # New round-4 queries are appended here as they land. ---
+    # attestations from the never-checked set. ---
+    # q_embed_pca_power: rewritten in round 4 (int64 GEMM Gram +
+    # driver-side power iterations), never driver-attested — the
+    # modified-never-attested rule puts it at the window head
+    # (VERDICT r4 #2).
+    "q_embed_pca_power",
     "q_ts_acf", "q_ts_cross_corr", "q_graph_degree_dist",
     "q_graph_jaccard", "q_graph_kcore", "q_join_spatial", "q_text_zipf",
     "q_quality_cut", "q_agg_corr_matrix", "q_agg_bool", "q_fn_regex",
@@ -107,9 +88,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_asof_tolerance", "q_graph_bfs", "q_knn_classify",
     "q_embed_dim_stats", "q_multimodal_dedup", "q_quality_classifier",
     "q_corpus_report", "q_mixture_epochs", "q_ts_holt",
-    # --- ROUND-6 QUEUE: post-round-4 additions past the 50-slot
-    # round-5 window ---
-    "q_text_bigram_lm", "q_events_time_to_convert", "q_embed_pca_power",
+    # --- ROUND-6 QUEUE: never-attested remainder — rounds 5+6
+    # together complete whole-registry attestation. New round-5
+    # queries are appended here as they land. ---
+    "q_text_bigram_lm", "q_events_time_to_convert",
     "q_graph_modularity", "q_skyline_2d", "q_agg_hll_parity",
     "q_events_ab_test", "q_graph_label_prop", "q_dq_drift",
     "q_ts_stl", "q_events_powerlaw", "q_events_cohort_ltv",
@@ -119,6 +101,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_growth_accounting", "q_embed_triplets",
     "q_events_rolling_wau", "q_text_fertility", "q_supplier_scorecard",
     "q_dq_fd_audit", "q_part_abc_xyz",
+    # --- attested green in r4 and byte-identical since ---
+    "q_graph_triangles", "q_udaf_grouped", "q_dedup_near",
+    "q_dedup_cluster", "q_scan_json", "q_dq_referential",
+    "q_events_rfm", "q_pareto_abc",
+    "q_graph_pagerank", "q_graph_cc", "q_sim_ivfpq", "q_ts_seasonality",
+    "q_dedup_semantic", "q_dq_skew", "q_join_interval",
+    "q_sample_weighted", "q_table_diff", "q_text_bm25", "q_agg_mad",
+    "q_knn_graph", "q_win_range_time", "q_fn_url", "q_dq_entropy",
+    "q_win_ignore_nulls", "q_agg_histogram", "q_join_lateral",
+    "q_agg_bitmap", "q_fn_binary", "q_table_merge",
+    "q_agg_percentile_disc", "q_rollup_grid", "q_fn_timezone",
+    "q_bucketize", "q_dedup_canonical", "q_mixture_report",
+    "q_fn_variant", "q_ts_wow", "q_scan_text", "q_sim_matryoshka",
+    "q_agg_moments34", "q_udf_arrow", "q_join_null_aware",
+    "q_events_markov", "q_agg_weighted", "q_dq_freshness",
+    "q_embed_outliers", "q_market_basket", "q_text_chunker",
+    "q_dedup_substring", "q_dedup_containment", "q_mixture_temperature",
     # --- attested green in r1-r3 and byte-identical since ---
     "q_multimodal_meta", "q_join_range", "q_tpch_q5", "q_join_outer",
     "q_agg_tpch_q1", "q_tpch_q3", "q_agg_cube", "q_agg_rollup",
