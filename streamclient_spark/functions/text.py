@@ -1720,7 +1720,10 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", "source", tokens("text").alias("ts"))
     )
-    bg = ts.select(
+    # size(ts) < 2 → slice length ≤ 0, which Spark rejects at runtime
+    # (ADVICE r4: one empty document would crash the query). The filter
+    # is semantically a no-op: such docs contribute zero bigrams.
+    bg = ts.filter(F.size("ts") >= 2).select(
         "doc_id",
         "source",
         F.explode(

@@ -841,6 +841,7 @@ def kcore(
 
     sig = checksum(e)
     rounds = 0
+    converged = False
     for rounds in range(1, max_rounds + 1):
         keep = (
             e.groupBy("u")
@@ -855,8 +856,17 @@ def kcore(
         )
         new_sig = checksum(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # A partially-peeled graph is NOT a k-core; callers must never
+        # see one silently (ADVICE r4). Peeling rounds are bounded by
+        # the peel depth, so a real graph exhausting the budget means
+        # the budget is wrong — fail loudly.
+        raise RuntimeError(
+            f"kcore did not reach a fixpoint within max_rounds={max_rounds}"
+        )
 
     nodes = e.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("core_deg")

@@ -204,7 +204,12 @@ class WebsocketJournalFeeder:
                 etype = payload.get("event_type")
                 if self._types and etype not in self._types:
                     continue  # local re-check of the subscription
-                shard = int(payload["user_id"]) % self._n_shards
+                uid = payload.get("user_id")
+                try:
+                    shard = int(uid) % self._n_shards
+                except (TypeError, ValueError):
+                    continue  # no routable key: drop, never crash ingest
+
                 if shard not in files:
                     files[shard] = open(
                         os.path.join(self._dir, f"shard-{shard}.jsonl"),

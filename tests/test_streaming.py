@@ -446,6 +446,18 @@ def test_websocket_feeder_drives_live_source_end_to_end(spark, tmp_path):
         service_msg(2, 11, "signup", 1),
         "{not json",                                  # malformed: skipped
         service_msg(3, 12, "view", 2),                # unsubscribed type
+        # subscribed type but unroutable: payload missing user_id or
+        # carrying a non-numeric one (ADVICE r4: these used to raise
+        # KeyError/ValueError and kill the feeder mid-drain)
+        _json.dumps(
+            {"type": "serviceMessage", "payload": {"event_type": "signup"}}
+        ),
+        _json.dumps(
+            {
+                "type": "serviceMessage",
+                "payload": {"event_type": "signup", "user_id": "oops"},
+            }
+        ),
         service_msg(4, 13, "signup", 3),
     ]
     sock = _FakeSocket(frames)
