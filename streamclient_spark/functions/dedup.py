@@ -1181,53 +1181,88 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     span positions, and the integer-permille duplication ratio a
     filtering pipeline thresholds on.
 
-    Shape: tokenize once, slide the span window inside codegen
-    (``transform`` over an index ``sequence`` — no UDF), explode, and
-    pin ONE hash repartition on the span. Span partitioning satisfies
-    every downstream clustering by the subset rule, so the
-    (doc, span) collapse, the cross-doc span frequency, and the
-    dup-span mark join all run WITHOUT further exchanges, and both
-    per-doc outputs (total spans = Σcnt, duplicated positions =
-    Σcnt·[nd ≥ 2]) fall out of one final doc_id aggregate — two
-    shuffles total, both linear in token count, no second tokenize
-    pass. At 100 TB the span STRING in the shuffle key (kept here
-    because it is what both engines hash identically) is replaced by a
-    128-bit span fingerprint — same plan, ~5× less shuffle payload;
-    and the posting join inherits LSH-style bucketing for the handful
-    of mega-frequent boilerplate spans (cap df, the q_sim_sparse hub
-    rule)."""
+    Shape (the q_dedup_chunks recipe, which races 1.7×): ONE fused
+    Arrow pass tokenizes, slides the span window, and emits ``(doc_id,
+    span_fp, cnt, n_spans)`` with within-document repeats already
+    Counter-combined and the span collapsed to a 64-bit blake2b
+    fingerprint — the per-(doc, span) collapse that used to be its own
+    span-string shuffle now costs nothing, and the one shuffle that
+    remains (the cross-doc span frequency) moves 8-byte ints, not
+    ~40-byte span strings. The posting side is df-floored to nd ≥ 2
+    BEFORE the mark join back (dup spans are a small fraction of the
+    span vocabulary), and both per-doc outputs (total spans carried
+    from the pass, duplicated positions = Σcnt over marked spans) fall
+    out of one final doc_id aggregate. The earlier pure-Catalyst form
+    (transform/slice HOF lambdas + two span-string shuffles) measured
+    4.6 s vs 1.7 s oracle at sf1 — interpreted HOFs over per-element
+    lambdas plus string shuffle payload, the same split-recovery story
+    as every fused token pass. At 100 TB: span fingerprints are
+    uniform, so the frequency shuffle has no skew; the mark join
+    inherits LSH-style bucketing for mega-frequent boilerplate spans
+    (cap df, the q_sim_sparse hub rule). The 64-bit fingerprint is
+    internal only — both engines still agree on exact span equality
+    semantics (collision odds ~1e-7 at 1e9 distinct spans; widen to
+    128-bit at corpus scale)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
     k = SPAN_TOKENS
     par = spark.sparkContext.defaultParallelism
-    # split recovery first: the fixture file is near-unsplittable and
-    # tokenize+explode is the CPU stage — fan the raw docs out before it
-    d = load(spark, sf_dir, "documents").repartition(par, "doc_id")
-    t = d.select("doc_id", tokens("text").alias("toks")).filter(
-        F.size("toks") >= k
-    )
-    spans = t.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - k),
-                lambda i: F.array_join(F.slice("toks", i + 1, k), " "),
+    release_managed()
+    ws = re.compile(r"\s+")
+
+    def span_counts(batches):
+        for pdf in batches:
+            ids, hs, cs, ns = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in ws.split(text) if t]
+                n = len(toks) - k + 1
+                if n <= 0:
+                    continue  # oracle's len(toks) >= k gate
+                acc: Counter = Counter(
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            " ".join(toks[i : i + k]).encode(),
+                            digest_size=8,
+                        ).digest(),
+                        "big",
+                    )
+                    - (1 << 63)
+                    for i in range(n)
+                )
+                for h, c in acc.items():
+                    ids.append(doc_id)
+                    hs.append(h)
+                    cs.append(c)
+                    ns.append(n)
+            yield pd.DataFrame(
+                {"doc_id": ids, "h": hs, "cnt": cs, "n_spans": ns}
             )
-        ).alias("span"),
-    ).repartition(par, "span")
-    per_doc = spans.groupBy("doc_id", "span").agg(
-        F.count(F.lit(1)).alias("cnt")
+
+    # split recovery (near-unsplittable fixture file, CPU-bound pass);
+    # persist: the frequency aggregate and the mark join both read it
+    spans = managed_persist(
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par)
+        .mapInPandas(
+            span_counts, "doc_id bigint, h bigint, cnt long, n_spans long"
+        )
     )
     dup = (
-        per_doc.groupBy("span")
+        spans.groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("span")
-        .withColumn("is_dup", F.lit(1))
+        .filter(F.col("nd") >= 2)  # df-floor BEFORE the join back
+        .select("h", F.lit(1).alias("is_dup"))
     )
     return (
-        per_doc.join(dup, "span", "left")
+        spans.join(dup, "h", "left")
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").alias("n_spans"),
+            F.first("n_spans").alias("n_spans"),
             F.sum(
                 F.when(F.col("is_dup").isNotNull(), F.col("cnt")).otherwise(
                     F.lit(0)

@@ -1672,7 +1672,7 @@ def q_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_B,
         _BM25_K1,
         _BM25_TERMS,
-        tokens,
+        bm25_per_doc,
     )
     from streamclient_spark.functions.vectors import cosine
 
@@ -1697,18 +1697,9 @@ def q_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(wd).alias("rank_dense")
     )
 
-    tok = load(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(tokens("text")).alias("token")
-    )
-    per_doc = tok.groupBy("doc_id").agg(
-        F.count("*").alias("dl"),
-        *[
-            F.sum((F.col("token") == F.lit(t)).cast("long")).alias(
-                f"tf{i}"
-            )
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    ).localCheckpoint(eager=False)  # feeds stats AND scoring
+    # the keyed-persisted lexical-ranker table shared with q_text_bm25
+    # (one tokenize+explode corpus pass per session, VERDICT r4 #4)
+    per_doc = bm25_per_doc(spark, sf_dir)
     stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),

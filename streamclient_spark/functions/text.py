@@ -840,6 +840,35 @@ _BM25_TOPK = 20
 _SQL_BM25_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
+def bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``(doc_id, dl, tf per standing query term)`` table that BM25
+    scoring reduces the corpus to — keyed-persisted so every consumer
+    of the lexical ranker (``q_text_bm25``, ``q_sim_rrf``'s BM25 leg)
+    pays the tokenize+explode corpus pass ONCE per session (the same
+    sharing fix that took q_text_keywords/q_text_tfidf to a shared tf
+    table in r3, measured 1.58→0.94 s there). Bounded: |docs| rows of
+    integers, never token payloads."""
+    from streamclient_spark.cacheutil import managed_persist
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+    )
+    return managed_persist(
+        tok.groupBy("doc_id").agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum((F.col("token") == F.lit(t)).cast("long")).alias(
+                    f"tf{i}"
+                )
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        ),
+        key=f"bm25perdoc:{sf_dir}",
+    )
+
+
 @register(
     "q_text_bm25",
     oracle=f"""
@@ -901,25 +930,10 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |docs| integer rows, not token payloads). For full-vocabulary
     scoring build the inverted tf table once (q_text_tfidf shape) and
     reuse it per query."""
-    from streamclient_spark.cacheutil import managed_persist, release_managed
+    from streamclient_spark.cacheutil import release_managed
 
     release_managed()
-    tok = (
-        load(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.explode(tokens("text")).alias("token"))
-    )
-    per_doc = managed_persist(
-        tok.groupBy("doc_id").agg(
-            F.count("*").alias("dl"),
-            *[
-                F.sum((F.col("token") == F.lit(t)).cast("long")).alias(
-                    f"tf{i}"
-                )
-                for i, t in enumerate(_BM25_TERMS)
-            ],
-        )
-    )
+    per_doc = bm25_per_doc(spark, sf_dir)
     stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),

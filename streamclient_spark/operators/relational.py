@@ -4246,86 +4246,84 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete: this is the detection pass a 100 TB lakehouse runs before
     enforcing constraints it cannot declare.
 
-    Per edge: the child collapses to (key, count) FIRST — the join
-    then moves only |distinct keys| rows, never the fact table — and
-    probes the parent's distinct key set with a LEFT join whose null
-    side marks orphans. Catalyst broadcasts the small parents (nation,
-    supplier) automatically and shuffle-joins the large ones; each
-    edge's aggregate result is a single row, so the final UNION is
-    free. All edges sharing a child table are FUSED into one scan:
-    each fact row explodes into its (edge, key) pairs and ONE
-    map-side-combined aggregate produces every edge's key-count table
-    (lineitem carries three FK edges — three separate scans + three
-    shuffles of the same 6M rows was most of this audit's sf1 time;
-    the fused pass scans once and shuffles the combined distinct-key
-    set). At 100 TB each child table costs one scan + one aggregate
-    regardless of how many FK edges it carries."""
+    The whole audit is ONE shuffle and ZERO joins, regardless of edge
+    count. Every table contributes tagged (edge, key) rows to one
+    union: child rows carry (edge, key, c=1, p=0) and parent keys
+    carry (edge, key, c=0, p=1) for every edge that references them
+    (no parent pre-distinct needed — p is OR-combined). Each TABLE is
+    scanned exactly once no matter how many roles it plays: all of its
+    (edge, key, c, p) tags explode out of the same scan (lineitem
+    childs three edges; orders and customer each appear as child of
+    one edge and parent of others; nation parents two). A single
+    map-side-combined ``groupBy(edge, key)`` then resolves everything
+    at once: per key, ``c`` sums the child occurrences and ``p`` ORs
+    parent membership — the cogroup-by-aggregation form of the
+    child⟕parent probe, replacing the r4 per-edge join+agg cascade
+    (~20 stages, most of its 4.8 s at sf1) with one wide aggregate.
+    Keys with c>0, p=0 are orphans; the 7-group rollup is free. At
+    100 TB this is the shape that survives: one scan per table, one
+    shuffle whose volume is the map-side-reduced distinct-key set,
+    partial aggregation absorbing per-partition duplicates, and no
+    join-side skew (a hot FK value collapses to one row per
+    partition before the exchange)."""
     from collections import defaultdict
 
-    by_child: dict[str, list] = defaultdict(list)
-    for child, fk, parent, pk in _FK_EDGES:
-        by_child[child].append((fk, parent, pk))
-    key_counts: dict[tuple, DataFrame] = {}
-    for child, edges in by_child.items():
-        if len(edges) == 1:
-            fk, parent, pk = edges[0]
-            key_counts[(child, fk)] = (
-                load(spark, sf_dir, child)
-                .groupBy(F.col(fk).alias("k"))
-                .agg(F.count(F.lit(1)).alias("c"))
-            )
-        else:
-            fused = (
-                load(spark, sf_dir, child)
-                .select(
-                    F.explode(
-                        F.array(
-                            *[
-                                F.struct(
-                                    F.lit(i).alias("e"),
-                                    F.col(fk).alias("k"),
-                                )
-                                for i, (fk, _, _) in enumerate(edges)
-                            ]
-                        )
-                    ).alias("t")
-                )
-                .groupBy("t.e", "t.k")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .localCheckpoint(eager=False)  # one scan, |edges| readers
-            )
-            for i, (fk, _, _) in enumerate(edges):
-                key_counts[(child, fk)] = fused.filter(
-                    F.col("e") == i
-                ).select("k", "c")
+    # every ROLE a table plays: (edge id, key column, is_child)
+    roles: dict[str, list] = defaultdict(list)
+    labels = []
+    for i, (child, fk, parent, pk) in enumerate(_FK_EDGES):
+        roles[child].append((i, fk, True))
+        roles[parent].append((i, pk, False))
+        labels.append(f"{child}.{fk}->{parent}.{pk}")
+
     parts = []
-    for child, fk, parent, pk in _FK_EDGES:
-        ck = key_counts[(child, fk)]
-        pk_df = load(spark, sf_dir, parent).select(
-            F.col(pk).alias("pk")
-        ).distinct()
-        j = ck.join(pk_df, F.col("k") == F.col("pk"), "left")
-        orphan = F.col("pk").isNull()
-        parts.append(
-            j.agg(
-                F.count(F.lit(1)).alias("n_child_keys"),
-                F.sum("c").alias("n_child_rows"),
-                F.sum(F.when(orphan, 1).otherwise(0)).alias("n_orphan_keys"),
-                F.coalesce(F.sum(F.when(orphan, F.col("c"))), F.lit(0))
-                .cast("long")
-                .alias("n_orphan_rows"),
-            ).select(
-                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),
-                "n_child_keys",
-                "n_child_rows",
-                "n_orphan_keys",
-                "n_orphan_rows",
+    for table, rs in roles.items():
+        tagged = [
+            F.struct(
+                F.lit(i).alias("e"),
+                F.col(col).cast("long").alias("k"),
+                F.lit(1 if is_child else 0).alias("c"),
+                F.lit(0 if is_child else 1).alias("p"),
             )
+            for i, col, is_child in rs
+        ]
+        src = load(spark, sf_dir, table)
+        parts.append(
+            (
+                src.select(F.explode(F.array(*tagged)).alias("t"))
+                if len(tagged) > 1
+                else src.select(tagged[0].alias("t"))
+            ).select("t.e", "t.k", "t.c", "t.p")
         )
-    out = parts[0]
+    u = parts[0]
     for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        u = u.unionAll(p)
+
+    per_key = u.groupBy("e", "k").agg(
+        F.sum("c").alias("c"), F.max("p").alias("p")
+    )
+    orphan = F.col("p") == 0
+    return (
+        per_key.filter(F.col("c") > 0)  # parent-only keys aren't child keys
+        .groupBy("e")
+        .agg(
+            F.count(F.lit(1)).alias("n_child_keys"),
+            F.sum("c").cast("long").alias("n_child_rows"),
+            F.sum(F.when(orphan, 1).otherwise(0)).alias("n_orphan_keys"),
+            F.sum(F.when(orphan, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_orphan_rows"),
+        )
+        .select(
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]), F.col("e") + 1
+            ).alias("fk_edge"),
+            "n_child_keys",
+            "n_child_rows",
+            "n_orphan_keys",
+            "n_orphan_rows",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

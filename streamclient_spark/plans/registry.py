@@ -66,11 +66,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stale attestation outranks a first attestation), (b) queries
     # modified this round that were never attested, (c) first-time
     # attestations from the never-checked set. ---
-    # q_embed_pca_power: rewritten in round 4 (int64 GEMM Gram +
-    # driver-side power iterations), never driver-attested — the
-    # modified-never-attested rule puts it at the window head
-    # (VERDICT r4 #2).
-    "q_embed_pca_power",
+    # (a) modified in round 5 after a prior green row:
+    # q_dq_referential (rewritten: zero-join tagged-union audit),
+    # q_dedup_substring (rewritten: fused Arrow span pass),
+    # q_text_bm25 (per-doc table extracted to shared keyed cache),
+    # q_graph_pagerank (graph-stats memo moved onto the cached frame)
+    "q_dq_referential", "q_dedup_substring", "q_text_bm25",
+    "q_graph_pagerank",
+    # (b) modified, never attested: q_embed_pca_power (r4 rewrite,
+    # VERDICT r4 #2), q_sim_rrf (BM25 leg now shares the keyed
+    # per-doc table), q_text_bigram_lm (empty-doc guard)
+    "q_embed_pca_power", "q_sim_rrf", "q_text_bigram_lm",
+    # (c) first-time attestations
     "q_ts_acf", "q_ts_cross_corr", "q_graph_degree_dist",
     "q_graph_jaccard", "q_graph_kcore", "q_join_spatial", "q_text_zipf",
     "q_quality_cut", "q_agg_corr_matrix", "q_agg_bool", "q_fn_regex",
@@ -91,11 +98,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- ROUND-6 QUEUE: never-attested remainder — rounds 5+6
     # together complete whole-registry attestation. New round-5
     # queries are appended here as they land. ---
-    "q_text_bigram_lm", "q_events_time_to_convert",
+    "q_events_time_to_convert",
     "q_graph_modularity", "q_skyline_2d", "q_agg_hll_parity",
     "q_events_ab_test", "q_graph_label_prop", "q_dq_drift",
     "q_ts_stl", "q_events_powerlaw", "q_events_cohort_ltv",
-    "q_agg_countmin", "q_sim_rrf", "q_embed_recall", "q_agg_bloom",
+    "q_agg_countmin", "q_embed_recall", "q_agg_bloom",
     "q_pipeline_funnel", "q_graph_hits", "q_ts_forecast_eval",
     "q_agg_hll_merge", "q_sim_mmr", "q_embed_hard_negatives",
     "q_events_growth_accounting", "q_embed_triplets",
@@ -103,11 +110,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dq_fd_audit", "q_part_abc_xyz",
     # --- attested green in r4 and byte-identical since ---
     "q_graph_triangles", "q_udaf_grouped", "q_dedup_near",
-    "q_dedup_cluster", "q_scan_json", "q_dq_referential",
+    "q_dedup_cluster", "q_scan_json",
     "q_events_rfm", "q_pareto_abc",
-    "q_graph_pagerank", "q_graph_cc", "q_sim_ivfpq", "q_ts_seasonality",
+    "q_graph_cc", "q_sim_ivfpq", "q_ts_seasonality",
     "q_dedup_semantic", "q_dq_skew", "q_join_interval",
-    "q_sample_weighted", "q_table_diff", "q_text_bm25", "q_agg_mad",
+    "q_sample_weighted", "q_table_diff", "q_agg_mad",
     "q_knn_graph", "q_win_range_time", "q_fn_url", "q_dq_entropy",
     "q_win_ignore_nulls", "q_agg_histogram", "q_join_lateral",
     "q_agg_bitmap", "q_fn_binary", "q_table_merge",
@@ -117,7 +124,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_moments34", "q_udf_arrow", "q_join_null_aware",
     "q_events_markov", "q_agg_weighted", "q_dq_freshness",
     "q_embed_outliers", "q_market_basket", "q_text_chunker",
-    "q_dedup_substring", "q_dedup_containment", "q_mixture_temperature",
+    "q_dedup_containment", "q_mixture_temperature",
     # --- attested green in r1-r3 and byte-identical since ---
     "q_multimodal_meta", "q_join_range", "q_tpch_q5", "q_join_outer",
     "q_agg_tpch_q1", "q_tpch_q3", "q_agg_cube", "q_agg_rollup",

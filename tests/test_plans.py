@@ -649,14 +649,22 @@ def test_pca_power_returns_driver_scale_plan(spark, sf_oracle):
     assert "Join" not in plan
 
 
-def test_referential_audit_scans_lineitem_once(spark, sf_oracle):
-    # three FK edges hang off lineitem; the fused (edge, key) explode
-    # computes one checkpointed key-count table that all three edges
-    # read — so NO lineitem parquet scan survives into the final plan
-    # (the fact hides behind the checkpoint's ExistingRDD), while the
-    # single-edge children still scan directly (three scans + three
-    # shuffles of the same 6M rows was most of this audit's sf1 time)
+def test_referential_audit_scans_each_table_once(spark, sf_oracle):
+    # the whole audit is one union of tagged (edge, key, c, p) rows
+    # resolved by a single groupBy(e, k) aggregate: every table is
+    # scanned exactly once regardless of how many FK roles it plays
+    # (lineitem childs three edges, orders/customer play child AND
+    # parent), and there is NO join anywhere — the r4 per-edge
+    # probe-join cascade was ~20 stages and most of its 4.8 s at sf1
     plan = plan_of(spark, sf_oracle, "q_dq_referential")
-    assert "lineitem.parquet" not in plan
-    assert plan.count("Scan ExistingRDD") >= 3  # the three fused readers
-    assert plan.count("events.parquet") == 1
+    for tbl in (
+        "lineitem",
+        "orders",
+        "customer",
+        "part",
+        "supplier",
+        "nation",
+        "events",
+    ):
+        assert plan.count(f"{tbl}.parquet") == 1, tbl
+    assert "Join" not in plan
