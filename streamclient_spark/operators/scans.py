@@ -67,14 +67,42 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     return out
 
 
-@register("q_scan_csv", oracle=None)  # staged-file scan → rows-only check
+#: exact-integer projection shared by the staged-scan oracles: the
+#: staged writer's µs timestamp format and shortest-round-trip double
+#: serialization make the text round-trip lossless, so the read-back
+#: rows reduce to integer encodings (unix-micros ts, 1e-4 fixed-point
+#: value) that hash-match the original parquet rows.
+_SCAN_ORACLE = """
+    SELECT event_id, user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           CAST(round(value * 10000, 0) AS BIGINT) AS value_e4
+    FROM events
+    """
+
+
+def _exact_projection(raw: DataFrame) -> DataFrame:
+    return raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("value_e4"),
+    )
+
+
+@register("q_scan_csv", oracle=_SCAN_ORACLE)
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-S2: schema'd CSV read — explicit StructType (never infer on a
     large corpus: inference is a full extra pass), permissive mode,
-    header, µs timestamps. Round-trip parity with the parquet scan is
-    pinned by ``tests/test_scans.py``."""
+    header, µs timestamps. FULL value oracle (VERDICT r4 #7, the
+    q_scan_json lossless-staging recipe): the staged µs timestamp
+    format plus shortest-round-trip double formatting make the CSV
+    round-trip lossless, so the read-back rows project to exact
+    integer encodings attested against the original parquet. Raw
+    round-trip parity incl. the quoted props column is pinned by
+    ``tests/test_scans.py``."""
     path = _stage(spark, sf_dir, "csv")
-    return (
+    return _exact_projection(
         spark.read.schema(CSV_SCHEMA)
         .option("header", "true")
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
@@ -116,17 +144,20 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_scan_orc", oracle=None)  # staged-file scan → rows-only check
+@register("q_scan_orc", oracle=_SCAN_ORACLE)
 def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-S2: ORC read — the third columnar-adjacent batch format the
     scan surface covers. Unlike CSV/JSON, ORC is a real columnar
     format: the reader supports column pruning and predicate pushdown
     (stripe/row-group stats), so the 100 TB posture matches parquet —
     it is an acceptable analytics storage format, and the engine reads
-    it natively rather than forcing a conversion. Round-trip parity
-    with the parquet scan is pinned by ``tests/test_scans.py``."""
+    it natively rather than forcing a conversion. FULL value oracle
+    (VERDICT r4 #7): ORC's binary µs timestamps and IEEE doubles are
+    lossless by construction, so the exact-integer projection attests
+    against the original parquet rows. Raw round-trip parity is
+    pinned by ``tests/test_scans.py``."""
     path = _stage(spark, sf_dir, "orc")
-    return spark.read.schema(CSV_SCHEMA).orc(path)
+    return _exact_projection(spark.read.schema(CSV_SCHEMA).orc(path))
 
 
 @register(

@@ -75,9 +75,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_graph_pagerank",
     # (b) modified, never attested: q_embed_pca_power (r4 rewrite,
     # VERDICT r4 #2), q_sim_rrf (BM25 leg now shares the keyed
-    # per-doc table), q_text_bigram_lm (empty-doc guard)
+    # per-doc table), q_text_bigram_lm (empty-doc guard), and the
+    # staged scans' first FULL value oracles (VERDICT r4 #7 — were
+    # rows-only; lossless-staging projection)
     "q_embed_pca_power", "q_sim_rrf", "q_text_bigram_lm",
-    # (c) first-time attestations
+    "q_scan_csv", "q_scan_orc",
+    # (c) first-time attestations (q_graph_bfs leads: its builder was
+    # touched and reverted this round — attest it now)
+    "q_graph_bfs",
     "q_ts_acf", "q_ts_cross_corr", "q_graph_degree_dist",
     "q_graph_jaccard", "q_graph_kcore", "q_join_spatial", "q_text_zipf",
     "q_quality_cut", "q_agg_corr_matrix", "q_agg_bool", "q_fn_regex",
@@ -92,7 +97,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_new_returning", "q_events_freq_hist",
     "q_dq_reconcile", "q_events_retention_rolling",
     "q_graph_assortativity", "q_events_window_funnel",
-    "q_join_asof_tolerance", "q_graph_bfs", "q_knn_classify",
+    "q_join_asof_tolerance", "q_knn_classify",
     "q_embed_dim_stats", "q_multimodal_dedup", "q_quality_classifier",
     "q_corpus_report", "q_mixture_epochs", "q_ts_holt",
     # --- ROUND-6 QUEUE: never-attested remainder — rounds 5+6
@@ -166,7 +171,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- rows-only by contract (no DuckDB oracle is possible):
     # pinned dead last so they never burn a window slot ---
     "q_agg_sketch_merge", "q_agg_approx_pct", "q_multimodal_features",
-    "q_multimodal_resize", "q_agg_approx_cd", "q_scan_csv", "q_scan_orc",
+    "q_multimodal_resize", "q_agg_approx_cd",
 )
 
 

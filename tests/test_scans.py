@@ -33,14 +33,9 @@ def _canon(df):
 
 
 def test_csv_and_json_scans_round_trip(spark, sf_smoke):
-    truth = _canon(load(spark, sf_smoke, "events"))
-    assert _canon(q_scan_csv(spark, sf_smoke)) == truth
-    assert _canon(q_scan_orc(spark, sf_smoke)) == truth
-    # q_scan_json now returns the exact-integer oracle projection
-    # (unix-micros ts, 1e-4 fixed-point value); round-trip against the
-    # identically-projected parquet truth
-    from pyspark.sql import functions as F
-
+    # all three staged scans now return the exact-integer oracle
+    # projection (unix-micros ts, 1e-4 fixed-point value); round-trip
+    # against the identically-projected parquet truth
     def canon_exact(df):
         return sorted(map(tuple, df.collect()))
 
@@ -55,7 +50,20 @@ def test_csv_and_json_scans_round_trip(spark, sf_smoke):
             ),
         )
     )
+    assert canon_exact(q_scan_csv(spark, sf_smoke)) == truth_exact
+    assert canon_exact(q_scan_orc(spark, sf_smoke)) == truth_exact
     assert canon_exact(q_scan_json(spark, sf_smoke)) == truth_exact
+    # the RAW staged files still round-trip every column (incl. the
+    # quoted props string the projection drops)
+    from streamclient_spark.operators.scans import CSV_SCHEMA, _stage
+
+    raw_csv = (
+        spark.read.schema(CSV_SCHEMA)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(_stage(spark, sf_smoke, "csv"))
+    )
+    assert _canon(raw_csv) == _canon(load(spark, sf_smoke, "events"))
 
 
 def test_stream_static_join_enriches_with_broadcast_dim(spark, sf_smoke, tmp_path):
