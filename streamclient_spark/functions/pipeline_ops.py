@@ -1257,3 +1257,77 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*) AS BIGINT)"
         ).alias("retention_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sample_shuffle — reproducible corpus shuffle + shard assignment (round 5)
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SALT = ":shuffle-v1"
+_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "q_sample_shuffle",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SALT}') AS h
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, h,
+             CAST(('0x' || substr(h, 1, 8)) AS BIGINT)
+               % {_SHUFFLE_SHARDS} AS shard
+      FROM s
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM sh
+    """,
+)
+def q_sample_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle for training: every document gets a
+    shard (0..7) and a position within its shard, both derived from
+    a salted content-stable md5 — the global data ordering a training
+    job consumes. ``rand()``-shuffling silently breaks reproducibility
+    under task retries and cluster resizes; the hash order is the same
+    on every run, engine, and topology (the q_sample_split doctrine,
+    extended from membership to ORDER), and bumping the salt is a
+    fresh epoch-level reshuffle with zero coordination.
+
+    Scale shape: shard is a stateless projection; the within-shard
+    position comes from ONE `scale.ranked_by_range` global rank over
+    the total order (shard, h, doc_id) — range partitioning, never a
+    per-shard window whose 8-partition partitionBy would funnel
+    corpus/8 rows through single tasks — rebased per shard by a
+    broadcast join against the 8-row shard-start offsets. Two linear
+    shuffles total at any corpus size."""
+    from streamclient_spark.scale import ranked_by_range
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT))
+        ).alias("h"),
+    )
+    d = d.withColumn(
+        "shard",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+        % _SHUFFLE_SHARDS,
+    )
+    ranked = ranked_by_range(d, ["shard", "h", "doc_id"], rank_col="grk")
+    offsets = ranked.groupBy(F.col("shard").alias("shard0")).agg(
+        F.min("grk").alias("r0")
+    )
+    return (
+        ranked.join(
+            F.broadcast(offsets), F.col("shard") == F.col("shard0")
+        )
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("grk") - F.col("r0") + 1).cast("long").alias("pos"),
+        )
+    )

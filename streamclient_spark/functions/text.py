@@ -1827,3 +1827,92 @@ def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("payload_per_token_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_kl_drift — per-source vocabulary KL divergence vs corpus (round 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_kl_drift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({SQL_TOKENS.format(col="text")}) AS token
+      FROM documents
+    ),
+    st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    t AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY 1),
+    ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                  count(*) AS n_vocab
+           FROM st GROUP BY 1),
+    nn AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM ns),
+    terms AS (
+      SELECT st.source,
+             SUM(CAST(round(st.c * (log2(st.c) - log2(t.ct)), 6)
+                      AS DECIMAL(27,6))) AS s
+      FROM st JOIN t USING (token) GROUP BY 1
+    )
+    SELECT ns.source, ns.n AS n_tokens, ns.n_vocab,
+           round(CAST(terms.s AS DOUBLE) / ns.n
+                 + log2(nn.total) - log2(ns.n), 6) AS kl_bits
+    FROM ns JOIN terms USING (source) CROSS JOIN nn
+    """,
+)
+def q_text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift monitor: each source's token-distribution KL
+    divergence from the whole corpus, in bits — the vocabulary-level
+    drift detector next to q_dq_drift's numeric PSI (a source whose
+    language quietly changes — spam influx, template rollout, scraper
+    drift — moves its KL long before summary stats notice). KL(P_s ‖
+    corpus) via the identity Σ (c_st/N_s)·log2(c_st·N/(c_t·N_s)) =
+    (Σ c_st·[log2 c_st − log2 c_t])/N_s + log2 N − log2 N_s, so
+    exactly ONE float term per (source, token) row exists; each term
+    rounds to the 1e-6 grid and sums as EXACT decimal (the entropy
+    doctrine — float Σ would be partition-order-dependent), then two
+    scalar log2s and one division finish per source.
+
+    Plan: one tokenize+explode pass → map-combined (source, token)
+    counts; corpus token totals re-aggregate that VOCAB-sized table
+    (never a second corpus pass) and join back token-co-keyed; the
+    per-source decimal rollup is |sources| rows and the corpus total
+    broadcasts as a 1-row scalar. At 100 TB the corpus-scale work is
+    exactly the one token shuffle every tf-family query pays."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    st = (
+        d.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds totals AND the term join
+    )
+    t = st.groupBy("token").agg(F.sum("c").cast("long").alias("ct"))
+    ns = st.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    nn = ns.agg(F.sum("n").cast("long").alias("total"))
+    term = F.round(
+        F.col("c") * (F.log2("c") - F.log2("ct")), 6
+    ).cast("decimal(27,6)")
+    terms = (
+        st.join(t, "token")
+        .groupBy("source")
+        .agg(F.sum(term).alias("s"))
+    )
+    return (
+        ns.join(terms, "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "n_vocab",
+            F.round(
+                F.col("s").cast("double") / F.col("n")
+                + F.log2("total")
+                - F.log2("n"),
+                6,
+            ).alias("kl_bits"),
+        )
+    )

@@ -8276,3 +8276,191 @@ def q_part_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_share_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dq_uniqueness — candidate-key / primary-key duplicate audit (round 5)
+# ---------------------------------------------------------------------------
+
+#: candidate keys audited by q_dq_uniqueness: (table, key columns).
+#: lineitem.l_orderkey and events.user_id are DELIBERATELY non-unique —
+#: an audit reports, it does not assume (the q_dq_referential rule).
+_UNIQ_KEYS = (
+    ("orders", ("o_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("lineitem", ("l_orderkey",)),
+    ("customer", ("c_custkey",)),
+    ("part", ("p_partkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("events", ("event_id",)),
+    ("events", ("user_id",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+)
+
+
+def _sql_uniq_key(table: str, cols: tuple) -> str:
+    label = f"{table}({','.join(cols)})"
+    return f"""
+    SELECT '{label}' AS key_name,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           count(*) FILTER (WHERE c > 1) AS n_dup_keys,
+           CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+             AS n_dup_rows
+    FROM (SELECT count(*) AS c FROM {table} GROUP BY {', '.join(cols)})
+    """
+
+
+@register(
+    "q_dq_uniqueness",
+    oracle=" UNION ALL ".join(_sql_uniq_key(t, cs) for t, cs in _UNIQ_KEYS),
+)
+def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit: for every declared key of the
+    star schema (true PKs plus two deliberately-violated candidates),
+    total rows, distinct key values, duplicated keys, and rows living
+    under duplicated keys — the primary-key complement of
+    q_dq_referential's FK pass, and the first check a lakehouse
+    ingest runs before MERGE semantics can be trusted (a duplicate PK
+    turns upsert into fan-out).
+
+    Same fused shape as the FK audit: a table carrying several
+    candidate keys (lineitem, events) explodes each row into its
+    (key_id, fingerprint) pairs inside ONE scan — composite keys
+    collapse to an injective ``concat_ws`` fingerprint (numeric
+    columns; '|' cannot occur) — and one map-side-combined
+    ``groupBy(key_id, fp)`` counts multiplicity; the per-key summary
+    rollup is |keys| groups. At 100 TB each table costs one scan +
+    one shuffle whose volume is its distinct-key count; duplicate
+    skew collapses map-side (a hot key is one row per partition
+    before the exchange)."""
+    from collections import defaultdict
+
+    by_table: dict[str, list] = defaultdict(list)
+    labels = []
+    for i, (table, cols) in enumerate(_UNIQ_KEYS):
+        by_table[table].append((i, cols))
+        labels.append(f"{table}({','.join(cols)})")
+
+    parts = []
+    for table, keys in by_table.items():
+        src = load(spark, sf_dir, table)
+        tagged = [
+            F.struct(
+                F.lit(i).alias("e"),
+                F.concat_ws("|", *[F.col(c) for c in cols]).alias("fp"),
+            )
+            for i, cols in keys
+        ]
+        parts.append(
+            (
+                src.select(F.explode(F.array(*tagged)).alias("t"))
+                if len(tagged) > 1
+                else src.select(tagged[0].alias("t"))
+            ).select("t.e", "t.fp")
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    per_key = u.groupBy("e", "fp").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.col("c") > 1
+    return (
+        per_key.groupBy("e")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_keys"),
+            F.sum(F.when(dup, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_rows"),
+        )
+        .select(
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]), F.col("e") + 1
+            ).alias("key_name"),
+            "n_rows",
+            "n_keys",
+            "n_dup_keys",
+            "n_dup_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_burst — per-user sliding-hour peak rate + burst flag (round 5)
+# ---------------------------------------------------------------------------
+
+#: trailing event-time frame (1 h in µs, closed) and the burst floor
+_BURST_US = 3_599_999_999
+_BURST_MIN = 3
+
+
+@register(
+    "q_events_burst",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ),
+    w AS (
+      SELECT user_id, us,
+             count(*) OVER (PARTITION BY user_id ORDER BY us
+                            RANGE BETWEEN {_BURST_US} PRECEDING
+                            AND CURRENT ROW) AS c
+      FROM e
+    ),
+    p AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             max(c) AS peak_1h
+      FROM w GROUP BY user_id
+    )
+    SELECT w.user_id,
+           any_value(p.n_events) AS n_events,
+           any_value(p.peak_1h) AS peak_1h,
+           min(w.us) AS peak_at_us,
+           CAST(any_value(p.peak_1h) >= {_BURST_MIN} AS INT) AS is_burst
+    FROM w JOIN p ON w.user_id = p.user_id AND w.c = p.peak_1h
+    GROUP BY w.user_id
+    """,
+)
+def q_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity burst detection: each user's PEAK trailing-1-hour
+    event count, the (earliest) moment it occurred, and a burst flag —
+    the per-entity rate-spike monitor behind abuse detection, crawler
+    fingerprinting, and rate-limit tuning (q_ts_anomaly watches the
+    GLOBAL series; bursts are per-entity by nature and invisible in
+    the aggregate). RANGE frame over epoch-µs order, so equal
+    timestamps enter the frame together and no tie-break is needed for
+    the count; the peak instant takes min(ts) among peak-frame events
+    — a total order, deterministic on both engines.
+
+    One user-hash ride end to end: the sliding frame (single-pass
+    moving aggregate, never re-scans), the per-user (count, max)
+    rollup, the peak-row join back, and the final group all share the
+    user_id hash — one exchange, then co-partitioned everything. At
+    100 TB users are many and the hash is balanced; no global window,
+    no skew beyond a single user's own history."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(
+        -_BURST_US, 0
+    )
+    c = e.select("user_id", "us", F.count(F.lit(1)).over(w).alias("c"))
+    p = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("c").alias("peak_1h"),
+    )
+    return (
+        c.join(p, ["user_id"])
+        .filter(F.col("c") == F.col("peak_1h"))
+        .groupBy("user_id")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.first("peak_1h").alias("peak_1h"),
+            F.min("us").alias("peak_at_us"),
+            (F.first("peak_1h") >= _BURST_MIN)
+            .cast("int")
+            .alias("is_burst"),
+        )
+    )

@@ -2467,3 +2467,140 @@ def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wape_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_holt_winters — additive Holt-Winters (level+trend+season) (round 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_holt_winters",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(ts AS TIMESTAMP)::DATE)
+               AS rn,
+             count(*) AS c
+      FROM events
+      GROUP BY event_type, CAST(ts AS TIMESTAMP)::DATE
+    ),
+    arr AS MATERIALIZED (
+      SELECT event_type, list(c ORDER BY rn) AS cs,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily GROUP BY 1 HAVING count(*) >= 8
+    ),
+    base AS MATERIALIZED (
+      SELECT event_type, cs, n,
+             CAST((100 * (cs[1]+cs[2]+cs[3]+cs[4]+cs[5]+cs[6]+cs[7]))
+                  // 7 AS BIGINT) AS l0
+      FROM arr
+    ),
+    rec AS (
+      WITH RECURSIVE h(event_type, i, l, b, s) AS (
+        SELECT event_type, CAST(7 AS BIGINT), l0, CAST(0 AS BIGINT),
+               list_transform(cs[1:7], x -> CAST(100 * x - l0 AS BIGINT))
+        FROM base
+        UNION ALL
+        SELECT h.event_type, h.i + 1,
+               (100 * base.cs[h.i + 1] - h.s[1] + h.l + h.b) // 2,
+               (((100 * base.cs[h.i + 1] - h.s[1] + h.l + h.b) // 2)
+                - h.l + h.b) // 2,
+               h.s[2:7] ||
+               [CAST((100 * base.cs[h.i + 1]
+                      - ((100 * base.cs[h.i + 1] - h.s[1] + h.l + h.b)
+                         // 2)
+                      + h.s[1]) // 2 AS BIGINT)]
+        FROM h JOIN base USING (event_type) WHERE h.i < base.n
+      )
+      SELECT * FROM h
+    )
+    SELECT event_type,
+           CAST(i AS BIGINT) AS n_days,
+           CAST(l AS BIGINT) AS level_cents,
+           CAST(b AS BIGINT) AS trend_cents,
+           CAST(list_sum(s) AS BIGINT) AS season_sum_cents,
+           CAST(7 * l + 28 * b + list_sum(s) AS BIGINT)
+             AS forecast7_sum_cents
+    FROM rec
+    QUALIFY i = max(i) OVER (PARTITION BY event_type)
+    """,
+)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters: level + trend + weekly (m=7) seasonal
+    state over each event type's daily count series, α = β = γ = ½,
+    plus the summed 7-day-ahead forecast — the seasonality-aware
+    upgrade of q_ts_holt (Holt tracks ramps but rediscovers the
+    weekend dip every week; the seasonal state remembers it), i.e.
+    the standard short-horizon capacity model. The coupled recursions
+
+        l_t = (x_t·100 − s_{t−7} + l_{t−1} + b_{t−1}) div 2
+        b_t = ((l_t − l_{t−1}) + b_{t−1}) div 2
+        s_t = ((x_t·100 − l_t) + s_{t−7}) div 2
+
+    run in EXACT integer cents with truncating division (both engines
+    truncate toward zero — bit-identical state at any horizon, the
+    q_ts_holt doctrine extended to a VECTOR state: the length-7
+    seasonal ring rotates through the fold). Init: l = integer mean
+    of week 1, b = 0, s = week-1 deviations; types shorter than 8
+    days are excluded by contract on both engines.
+
+    Scale: the daily aggregate is the only data-sized step
+    (map-combined); the fold walks a CALENDAR-sized array per type
+    carrying a 7-cell ring — |types|·|days| cells total. The oracle
+    replays the identical recursion as a recursive CTE over the same
+    per-type array."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("day", "c"))).alias("sd")
+        )
+        .filter(F.size("sd") >= 8)
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          transform(slice(sd, 8, size(sd) - 7), s -> s.c),
+          named_struct(
+            'l', aggregate(slice(sd, 1, 7), CAST(0 AS BIGINT),
+                           (a, s) -> a + 100 * s.c) div 7,
+            'b', CAST(0 AS BIGINT),
+            's', transform(slice(sd, 1, 7),
+                   s -> 100 * s.c
+                        - (aggregate(slice(sd, 1, 7), CAST(0 AS BIGINT),
+                                     (a, t) -> a + 100 * t.c) div 7))),
+          (acc, x) -> named_struct(
+            'l', (100 * x - element_at(acc.s, 1) + acc.l + acc.b) div 2,
+            'b', (((100 * x - element_at(acc.s, 1) + acc.l + acc.b)
+                   div 2) - acc.l + acc.b) div 2,
+            's', concat(slice(acc.s, 2, 6),
+                   array((100 * x
+                          - ((100 * x - element_at(acc.s, 1) + acc.l
+                              + acc.b) div 2)
+                          + element_at(acc.s, 1)) div 2)))
+        )
+        """
+    )
+    hw = series.select(
+        "event_type",
+        F.size("sd").cast("long").alias("n_days"),
+        fold.alias("_st"),
+    )
+    season_sum = F.expr(
+        "aggregate(_st.s, CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return hw.select(
+        "event_type",
+        "n_days",
+        F.col("_st.l").cast("long").alias("level_cents"),
+        F.col("_st.b").cast("long").alias("trend_cents"),
+        season_sum.cast("long").alias("season_sum_cents"),
+        (7 * F.col("_st.l") + 28 * F.col("_st.b") + season_sum)
+        .cast("long")
+        .alias("forecast7_sum_cents"),
+    )

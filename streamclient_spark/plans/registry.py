@@ -112,7 +112,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_hll_merge", "q_sim_mmr", "q_embed_hard_negatives",
     "q_events_growth_accounting", "q_embed_triplets",
     "q_events_rolling_wau", "q_text_fertility", "q_supplier_scorecard",
-    "q_dq_fd_audit", "q_part_abc_xyz",
+    "q_dq_fd_audit", "q_part_abc_xyz", "q_dq_uniqueness",
+    "q_sample_shuffle", "q_events_burst", "q_text_kl_drift",
+    "q_ts_holt_winters",
     # --- attested green in r4 and byte-identical since ---
     "q_graph_triangles", "q_udaf_grouped", "q_dedup_near",
     "q_dedup_cluster", "q_scan_json",

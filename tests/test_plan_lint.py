@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "q_dq_skew",          # 1-row table-total scalar (permille share)
     "q_bucketize",        # 1-row decile-boundary scalar broadcast
     "q_mixture_report",   # 1-row corpus-total scalar (permille share)
+    "q_text_kl_drift",    # 1-row corpus-token-total scalar (log2 N)
     "q_mixture_temperature",  # 1-row normalizer scalar (Σ√chars)
     "q_dq_freshness",     # 1-row corpus-watermark scalar
     "q_graph_triangles",  # 1-row triangle/wedge/edge scalars
