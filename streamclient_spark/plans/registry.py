@@ -70,9 +70,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_dq_referential (rewritten: zero-join tagged-union audit),
     # q_dedup_substring (rewritten: fused Arrow span pass),
     # q_text_bm25 (per-doc table extracted to shared keyed cache),
-    # q_graph_pagerank (graph-stats memo moved onto the cached frame)
+    # q_graph_pagerank (graph-stats memo moved onto the cached frame),
+    # q_text_normalize (rewritten: fused Arrow bytes.translate pass
+    # replaces the two codegen regex passes — last weak-list entry)
     "q_dq_referential", "q_dedup_substring", "q_text_bm25",
-    "q_graph_pagerank",
+    "q_graph_pagerank", "q_text_normalize",
     # (b) modified, never attested: q_embed_pca_power (r4 rewrite,
     # VERDICT r4 #2), q_sim_rrf (BM25 leg now shares the keyed
     # per-doc table), q_text_bigram_lm (empty-doc guard), and the
@@ -96,14 +98,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_crosstab", "q_text_readability", "q_dedup_source_matrix",
     "q_events_new_returning", "q_events_freq_hist",
     "q_dq_reconcile", "q_events_retention_rolling",
-    "q_graph_assortativity", "q_events_window_funnel",
+    "q_graph_assortativity",
     "q_join_asof_tolerance", "q_knn_classify",
     "q_embed_dim_stats", "q_multimodal_dedup", "q_quality_classifier",
     "q_corpus_report", "q_mixture_epochs", "q_ts_holt",
     # --- ROUND-6 QUEUE: never-attested remainder — rounds 5+6
     # together complete whole-registry attestation. New round-5
-    # queries are appended here as they land. ---
-    "q_events_time_to_convert",
+    # queries are appended here as they land. q_events_window_funnel
+    # slid out of the 50-slot window when q_text_normalize's rewrite
+    # took a modified-after-green slot. ---
+    "q_events_window_funnel", "q_events_time_to_convert",
     "q_graph_modularity", "q_skyline_2d", "q_agg_hll_parity",
     "q_events_ab_test", "q_graph_label_prop", "q_dq_drift",
     "q_ts_stl", "q_events_powerlaw", "q_events_cohort_ltv",
@@ -156,7 +160,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_salted", "q_tpch_q18", "q_win_distribution",
     "q_ts_resample", "q_tpch_q4", "q_tpch_q12", "q_tpch_q14",
     "q_sample_weights", "q_embed_quantize", "q_embed_centroids",
-    "q_text_ngram_top", "q_text_normalize", "q_sample_lengths",
+    "q_text_ngram_top", "q_sample_lengths",
     "q_funnel", "q_cohort_retention", "q_text_surprisal", "q_unpivot",
     "q_agg_salted", "q_dedup_chunks", "q_sample_exact_k",
     "q_scan_events", "q_filter_type", "q_count_where", "q_anti_filter",

@@ -123,6 +123,11 @@ def main() -> int:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "sf1_ratio.json"), "w") as f:
             json.dump(summary, f)
+        # the full per-query race table, committed alongside the
+        # summary (VERDICT r4 #8: the per-query evidence previously
+        # lived in /tmp and died with the box)
+        with open(os.path.join(here, "sf1_ratio_detail.json"), "w") as f:
+            json.dump(out, f, indent=0, sort_keys=True)
     except OSError:
         pass
     if emit_md:
