@@ -1938,3 +1938,70 @@ def q_text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kl_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_lexical_diversity — type-token / hapax profile per source (C-245)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_lexical_diversity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({SQL_TOKENS.format(col="text")}) AS token
+      FROM documents
+    ),
+    st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           count(*) * 1000 // CAST(sum(c) AS BIGINT) AS ttr_permille,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000 // count(*) AS hapax_permille
+    FROM st GROUP BY source
+    """,
+)
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: type-token ratio and
+    hapax-legomenon share, in floored integer permille — the cheap
+    template/boilerplate detector next to q_text_kl_drift (KL says a
+    source's vocabulary DIFFERS from the corpus; a collapsing TTR or
+    vanishing hapax share says it is DEGENERATE — machine-generated,
+    templated, or spam-duplicated — regardless of which words it
+    uses). Standard corpus-QC gate before mixing weights are chosen.
+
+    Plan: one tokenize+explode pass → map-combined (source, token)
+    counts → a |sources|-row rollup; every ratio is integer division
+    on exact counts, so no float can flap. At 100 TB the corpus-scale
+    work is exactly the one token shuffle of the tf family; the vocab
+    table it rolls up is the bounded artifact every quality query in
+    this module already pays for."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    st = (
+        d.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        st.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_vocab",
+            "hapax",
+            F.expr("n_vocab * 1000 div n_tokens").alias("ttr_permille"),
+            F.expr("hapax * 1000 div n_vocab").alias("hapax_permille"),
+        )
+    )

@@ -8464,3 +8464,214 @@ def q_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_burst"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_orders_backlog — sweep-line open-order backlog time series (C-246)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_orders_backlog",
+    oracle="""
+    WITH ends AS (
+      SELECT l_orderkey,
+             CAST(max(CAST(l_shipdate AS TIMESTAMP)) AS DATE)
+               AS last_ship
+      FROM lineitem GROUP BY 1
+    ),
+    deltas AS (
+      SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS day,
+             1 AS d_in, 0 AS d_out
+      FROM orders
+      UNION ALL
+      SELECT last_ship AS day, 0 AS d_in, 1 AS d_out FROM ends
+    ),
+    byday AS (
+      SELECT day, CAST(sum(d_in) AS BIGINT) AS started,
+             CAST(sum(d_out) AS BIGINT) AS shipped
+      FROM deltas GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day, started, shipped,
+           CAST(sum(started - shipped)
+                OVER (ORDER BY day) AS BIGINT) AS backlog
+    FROM byday
+    """,
+)
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog as a daily step function: for every day on
+    which anything changed, how many orders entered the backlog
+    (placed), how many left it (final line item shipped), and the
+    running count still open — the WIP/lead-time monitor an
+    operations dashboard plots. An order is "open" from its order
+    date until the max ship date across its line items.
+
+    This is the sweep-line decomposition of interval counting: instead
+    of joining every order's [start, end) interval against a day spine
+    (the O(|orders| × |days|) shape q_join_interval pays when the
+    QUESTION is per-pair), each interval becomes two ±1 deltas and the
+    answer is one running sum over the distinct delta days — the
+    100 TB-correct plan for "how many intervals cover each instant":
+    two map-combined scans and one calendar-bounded rollup do ALL the
+    corpus-scale work. The running sum itself uses a plain global
+    window ON PURPOSE, not ``scale.running_sum_by_range``: its input
+    is ≤ |distinct days| rows — bounded by the CALENDAR, not the data
+    (a century of any-volume traffic is ≤ 36.5k rows) — so the
+    single-task window can never become the straggler the range
+    decomposition exists to prevent (that helper is for running sums
+    over DATA-scale spines: customers, parts). Day strings ship ISO
+    per the q_islands rule."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    ends = li.groupBy("l_orderkey").agg(
+        F.to_date(F.max("l_shipdate")).alias("day")
+    )
+    # the two delta streams roll up to calendar-bounded day tables
+    # BEFORE they meet: a full-outer join of two ≤|days|-row tables
+    # (BHJ can't do full-outer; the SMJ over 2×|days| rows is free)
+    # replaces a corpus-sized union shuffle
+    started = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("started")
+    )
+    shipped = ends.groupBy("day").agg(
+        F.count(F.lit(1)).alias("shipped")
+    )
+    byday = (
+        started.join(shipped, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("started", F.lit(0)).cast("long").alias("started"),
+            F.coalesce("shipped", F.lit(0)).cast("long").alias("shipped"),
+        )
+    )
+    run = byday.withColumn(
+        "backlog",
+        F.sum(F.col("started") - F.col("shipped")).over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return run.select(
+        F.col("day").cast("string").alias("day"),
+        "started",
+        "shipped",
+        F.col("backlog").cast("long").alias("backlog"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dq_kanon — k-anonymity audit across generalization levels (C-247)
+# ---------------------------------------------------------------------------
+
+#: k-anonymity threshold: a quasi-identifier class smaller than this
+#: re-identifies its members
+_KANON_K = 5
+
+
+@register(
+    "q_dq_kanon",
+    oracle=f"""
+    WITH qi AS (
+      SELECT 'L0:nation+segment+balband' AS level,
+             concat_ws('|', c_nationkey, c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT)
+                         // 100000) AS qi_key
+      FROM customer
+      UNION ALL
+      SELECT 'L1:nation+segment' AS level,
+             concat_ws('|', c_nationkey, c_mktsegment) AS qi_key
+      FROM customer
+      UNION ALL
+      SELECT 'L2:segment' AS level, c_mktsegment AS qi_key
+      FROM customer
+    ),
+    cl AS (
+      SELECT level, qi_key, count(*) AS c FROM qi GROUP BY 1, 2
+    )
+    SELECT level,
+           count(*) AS n_classes,
+           CAST(min(c) AS BIGINT) AS min_class,
+           CAST(max(c) AS BIGINT) AS max_class,
+           CAST(sum(CASE WHEN c < {_KANON_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS classes_below_k,
+           CAST(sum(CASE WHEN c < {_KANON_K} THEN c ELSE 0 END)
+                AS BIGINT) AS rows_below_k,
+           CAST(sum(CASE WHEN c < {_KANON_K} THEN c ELSE 0 END)
+                AS BIGINT) * 1000
+             // CAST(sum(c) AS BIGINT) AS risk_permille
+    FROM cl GROUP BY level
+    """,
+)
+def q_dq_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: for each quasi-identifier generalization
+    level (full granularity → drop the balance band → segment only),
+    the equivalence-class profile and the share of rows sitting in
+    classes smaller than k=5 — the privacy-governance gate next to
+    the PII scrub (scrubbing direct identifiers is not enough: a rare
+    nation×segment×balance combination re-identifies a customer with
+    no name attached, and the generalization ladder shows how much
+    coarsening buys the dataset back under the threshold). The
+    balance band is integer cents // 100k so both engines cut bands
+    identically (both truncate toward zero).
+
+    Plan: ONE customer scan exploded into 3 tagged (level, qi_key)
+    rows per customer (the q_dq_uniqueness fused-audit shape), one
+    map-combined (level, key) count, and a ‖levels‖-row rollup — two
+    linear shuffles total at any scale; all ratios are integer
+    division on exact counts."""
+    c = load(spark, sf_dir, "customer")
+    band = F.expr(
+        "CAST(round(c_acctbal * 100) AS BIGINT) div 100000"
+    )
+    qi = c.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("L0:nation+segment+balband").alias("level"),
+                    F.concat_ws(
+                        "|", "c_nationkey", "c_mktsegment", band
+                    ).alias("qi_key"),
+                ),
+                F.struct(
+                    F.lit("L1:nation+segment").alias("level"),
+                    F.concat_ws(
+                        "|", "c_nationkey", "c_mktsegment"
+                    ).alias("qi_key"),
+                ),
+                F.struct(
+                    F.lit("L2:segment").alias("level"),
+                    F.col("c_mktsegment").alias("qi_key"),
+                ),
+            )
+        ).alias("q")
+    ).select("q.level", "q.qi_key")
+    cl = qi.groupBy("level", "qi_key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    below = F.when(F.col("c") < _KANON_K, F.col("c")).otherwise(0)
+    return (
+        cl.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("c").cast("long").alias("min_class"),
+            F.max("c").cast("long").alias("max_class"),
+            F.sum((F.col("c") < _KANON_K).cast("int"))
+            .cast("long")
+            .alias("classes_below_k"),
+            F.sum(below).cast("long").alias("rows_below_k"),
+            (
+                F.sum(below).cast("long") * 1000
+            ).alias("_rb1000"),
+            F.sum("c").cast("long").alias("_tot"),
+        )
+        .select(
+            "level",
+            "n_classes",
+            "min_class",
+            "max_class",
+            "classes_below_k",
+            "rows_below_k",
+            F.expr("_rb1000 div _tot").alias("risk_permille"),
+        )
+    )

@@ -2604,3 +2604,103 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("forecast7_sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_mk_trend — Mann-Kendall monotonic-trend test (C-244)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_mk_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1
+    ),
+    mk AS (
+      SELECT a.event_type, count(*) AS n_pairs,
+             CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1
+    )
+    SELECT nd.event_type, nd.n_days, mk.n_pairs, mk.s_stat,
+           mk.s_stat * 1000 // mk.n_pairs AS tau_permille,
+           CASE WHEN mk.s_stat > 0 THEN 'up'
+                WHEN mk.s_stat < 0 THEN 'down'
+                ELSE 'flat' END AS trend
+    FROM nd JOIN mk USING (event_type)
+    """,
+)
+def q_ts_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type: S = Σ_{i<j}
+    sign(x_j − x_i) over the daily-revenue series, with Kendall's tau
+    (S over the pair count) as floored integer permille — the
+    distribution-free "is this series drifting?" answer that a slope
+    fit (q_ts_theil_sen gives the magnitude) can't give robustly when
+    the series is non-normal or stepped. Exact integer cents in, sign
+    comparisons and integer division out — nothing can flap.
+
+    Plan: the map-combined daily aggregate collapses the corpus to
+    |types|×|days| rows (150 here; calendar-bounded always), then the
+    i<j pair join runs per type on a broadcast-sized series and the
+    verdict is a |types|-row aggregate. At 100 TB the corpus-sized
+    work is exactly the one daily-rollup shuffle; the O(n²) pair stage
+    never sees the corpus — it is bounded by the calendar window
+    (n=365 → 66k pairs per type). For multi-year windows swap the
+    pair join for the O(n log n) inversion-count decomposition; at
+    this calendar scale the join IS the cheaper plan. Both engines
+    truncate the tau division toward zero (Spark ``div``, DuckDB
+    ``//``) so negative-S series agree bit-for-bit."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)  # pair join + n_days share it
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+    )
+    mk = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(sgn).cast("long").alias("s_stat"),
+        )
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    return nd.join(mk, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        F.expr("s_stat * 1000 div n_pairs").alias("tau_permille"),
+        F.when(F.col("s_stat") > 0, "up")
+        .when(F.col("s_stat") < 0, "down")
+        .otherwise("flat")
+        .alias("trend"),
+    )
