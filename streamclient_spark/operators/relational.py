@@ -8675,3 +8675,151 @@ def q_dq_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_rb1000 div _tot").alias("risk_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_dow_hour_heat — weekly activity heat grid (C-249)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_dow_hour_heat",
+    oracle="""
+    WITH g AS (
+      SELECT isodow(CAST(ts AS TIMESTAMP)) - 1 AS dow_mon0,
+             hour(CAST(ts AS TIMESTAMP)) AS hour,
+             count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow_mon0, hour, n_events, n_users,
+           n_events * 1000
+             // CAST(sum(n_events) OVER () AS BIGINT) AS share_permille
+    FROM g
+    """,
+)
+def q_events_dow_hour_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly activity heat grid: events and distinct users per
+    (day-of-week × hour) cell plus each cell's integer-permille share
+    of all traffic — the capacity-planning / anomaly-eyeballing
+    staple every operations dashboard renders as a 7×24 heatmap
+    (q_events_hourly_rollup gives the longitudinal series; this is
+    the calendar-folded profile that shows weekend troughs and
+    deploy-window load). Day-of-week is Monday=0 on both engines
+    (Spark ``weekday``, DuckDB ``isodow − 1``) — never the
+    locale-dependent ``dayofweek``.
+
+    Plan: ONE map-combined grid aggregate (the grid is ≤ 168 cells at
+    any corpus size; count-distinct users is the only real shuffle)
+    and the share is a window over the 168-row result — calendar-
+    bounded, so the partition-less window can never straggle (the
+    q_orders_backlog doctrine). All ratios integer."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy(
+        F.expr("weekday(ts)").alias("dow_mon0"),
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return g.select(
+        "dow_mon0",
+        "hour",
+        "n_events",
+        "n_users",
+        F.expr(
+            "n_events * CAST(1000 AS BIGINT) div"
+            " sum(n_events) OVER ()"
+        ).alias("share_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_supplier_hhi — market-concentration index per nation (C-250)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    nat AS (
+      SELECT nationkey,
+             count(*) AS n_suppliers,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(sum(CAST(cents AS HUGEINT) * cents)
+                  AS HUGEINT) AS sq
+      FROM rev GROUP BY 1
+    )
+    SELECT n.n_name AS nation, nat.n_suppliers, nat.total_cents,
+           CAST((nat.sq * 10000)
+                // (CAST(nat.total_cents AS HUGEINT)
+                    * nat.total_cents) AS BIGINT) AS hhi_bp
+    FROM nat JOIN nation n ON nat.nationkey = n.n_nationkey
+    """,
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    within each nation, in integer basis points (Σ shareᵢ² × 10⁴; the
+    antitrust-style 'is this market one vendor in a trench coat?'
+    metric — 10000 = monopoly, <1500 = competitive). The procurement
+    risk view next to q_supplier_scorecard's league table and the
+    concentration complement of q_agg_gini (Gini ranks inequality,
+    HHI squares it so the top shares dominate). Exactness: HHI =
+    (Σ cᵢ²·10⁴) / (Σ cᵢ)² over exact revenue cents — numerator and
+    denominator are exact integers (decimal-38 accumulators; cᵢ² of a
+    trillion-cent supplier needs 128 bits) and ONE floored division
+    at the end, so no per-supplier share can round.
+
+    Plan: one fact-table map-combined agg to (nation, supplier)
+    grain, a ‖nations‖-row re-aggregate squaring in-stage, and a
+    broadcast dim join — the same two-linear-shuffle shape at any
+    scale. The supplier dim join is broadcast (it is dimension-sized
+    by definition)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == s.s_suppkey,
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"), "l_suppkey"
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    dec = "decimal(38,0)"
+    nat = rev.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents")).alias("sq"),
+    )
+    return (
+        nat.join(
+            F.broadcast(n),
+            nat.nationkey == n.n_nationkey,
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            "total_cents",
+            F.expr(
+                "CAST((sq * 10000) div"
+                " (CAST(total_cents AS DECIMAL(38,0)) * total_cents)"
+                " AS BIGINT)"
+            ).alias("hhi_bp"),
+        )
+    )
