@@ -8827,3 +8827,170 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hhi_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_orders_aging — as-of open-order aging snapshot (C-251)
+# ---------------------------------------------------------------------------
+
+#: snapshot date for the aging report (mid-corpus; any as-of works)
+_AGING_CUTOFF = "1998-01-01"
+
+
+@register(
+    "q_orders_aging",
+    oracle=f"""
+    WITH ends AS (
+      SELECT l_orderkey,
+             CAST(max(CAST(l_shipdate AS TIMESTAMP)) AS DATE)
+               AS last_ship
+      FROM lineitem GROUP BY 1
+    ),
+    open_orders AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(CAST(o.o_orderdate AS TIMESTAMP)
+                                   AS DATE),
+                       DATE '{_AGING_CUTOFF}') AS age_days,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN ends e ON o.o_orderkey = e.l_orderkey
+      WHERE CAST(CAST(o.o_orderdate AS TIMESTAMP) AS DATE)
+              <= DATE '{_AGING_CUTOFF}'
+        AND e.last_ship > DATE '{_AGING_CUTOFF}'
+    )
+    SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 90 THEN '31-90'
+                WHEN age_days <= 180 THEN '91-180'
+                ELSE '180+' END AS age_bucket,
+           priority,
+           count(*) AS n_orders,
+           CAST(max(age_days) AS BIGINT) AS oldest_days,
+           CAST(sum(cents) AS BIGINT) AS open_value_cents
+    FROM open_orders GROUP BY 1, 2
+    """,
+)
+def q_orders_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of open-order aging: orders placed on or before the snapshot
+    date but not fully shipped by it, bucketed by age × order
+    priority with counts, the oldest age, and the open value in exact
+    cents — the WIP drill-down a dashboard shows when
+    q_orders_backlog's time series spikes (the series says HOW MANY
+    are stuck; this says HOW OLD, HOW URGENT, and HOW MUCH money).
+
+    Plan: the per-order last-ship aggregate (map-combined) meets the
+    orders scan in ONE co-keyed orderkey join — on a cluster both
+    sides hash-partition on the same key, so the join adds no extra
+    exchange beyond the aggregate's own; the date predicates prune
+    rows before the join (pushed to the orders scan) and the bucket
+    rollup is ≤ buckets×priorities rows. Ages are integer day diffs
+    against a literal date — nothing floats."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_AGING_CUTOFF).cast("date")
+    ends = li.groupBy("l_orderkey").agg(
+        F.to_date(F.max("l_shipdate")).alias("last_ship")
+    )
+    open_o = (
+        o.filter(F.to_date("o_orderdate") <= cutoff)
+        .join(
+            ends.filter(F.col("last_ship") > cutoff),
+            o.o_orderkey == ends.l_orderkey,
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(cutoff, F.to_date("o_orderdate")).alias(
+                "age_days"
+            ),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 180, "91-180")
+        .otherwise("180+")
+    )
+    return open_o.groupBy(
+        bucket.alias("age_bucket"), "priority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("age_days").cast("long").alias("oldest_days"),
+        F.sum("cents").cast("long").alias("open_value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_orders_fill_rate — ship-SLA attainment by year and priority (C-252)
+# ---------------------------------------------------------------------------
+
+#: promised ship window in days after the order date
+_SLA_DAYS = 30
+
+
+@register(
+    "q_orders_fill_rate",
+    oracle=f"""
+    SELECT year(CAST(o.o_orderdate AS TIMESTAMP)) AS year,
+           o.o_orderpriority AS priority,
+           count(*) AS n_items,
+           CAST(sum(CASE WHEN date_diff('day',
+                    CAST(CAST(o.o_orderdate AS TIMESTAMP) AS DATE),
+                    CAST(CAST(l.l_shipdate AS TIMESTAMP) AS DATE))
+                    <= {_SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_on_time,
+           CAST(sum(CASE WHEN date_diff('day',
+                    CAST(CAST(o.o_orderdate AS TIMESTAMP) AS DATE),
+                    CAST(CAST(l.l_shipdate AS TIMESTAMP) AS DATE))
+                    <= {_SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000 // count(*) AS on_time_permille
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q_orders_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-SLA attainment: the share of line items shipped within 30
+    days of their order date, by order year × priority, in floored
+    integer permille — the fulfilment scorecard complementing
+    q_lead_time (lead time shows the DISTRIBUTION of delays; this
+    thresholds it into the attainment number an SLA contract and its
+    trend review actually use, and the year×priority grid shows
+    whether urgent orders really ship faster and whether performance
+    is drifting across years).
+
+    Plan: one co-keyed orderkey join (fact⋈fact on the key both sides
+    hash-partition on — no extra exchange beyond the join's own) into
+    a map-combined ≤ years×priorities rollup; the SLA predicate is an
+    integer day diff, the rate an integer division — nothing can
+    flap."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.select("l_orderkey", F.to_date("l_shipdate").alias("ship")).join(
+        o.select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("odate"),
+            F.col("o_orderpriority").alias("priority"),
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    on_time = (
+        F.datediff("ship", "odate") <= _SLA_DAYS
+    ).cast("int")
+    return (
+        j.groupBy(
+            F.year("odate").alias("year"), "priority"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(on_time).cast("long").alias("n_on_time"),
+        )
+        .select(
+            "year",
+            "priority",
+            "n_items",
+            "n_on_time",
+            F.expr("n_on_time * 1000 div n_items").alias(
+                "on_time_permille"
+            ),
+        )
+    )
