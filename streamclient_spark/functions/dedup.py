@@ -188,12 +188,14 @@ def _shingle_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A = np.array(PERM_A, dtype=np.int64)[:, None]
     B = np.array(PERM_B, dtype=np.int64)[:, None]
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
 
     def profiles(batches):
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # NULL text = no tokens, like the oracle
+                    continue
                 toks = [t for t in ws.split(text) if t]
                 if len(toks) >= 5:
                     sh = list(
@@ -481,13 +483,15 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import re
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
     bit_idx = np.arange(_SIMHASH_BITS, dtype=np.int64)
 
     def signatures(batches):
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # NULL text = no tokens, like the oracle
+                    continue
                 toks = [t for t in ws.split(text) if t]
                 if len(toks) >= 5:
                     sh = {
@@ -905,12 +909,14 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     release_managed()
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
 
     def chunk_counts(batches):
         for pdf in batches:
             ids, hs, ks = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # NULL text = no tokens, like the oracle
+                    continue
                 toks = [t for t in ws.split(text) if t]
                 acc: Counter = Counter(
                     hashlib.md5(
@@ -1212,12 +1218,14 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = SPAN_TOKENS
     par = spark.sparkContext.defaultParallelism
     release_managed()
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
 
     def span_counts(batches):
         for pdf in batches:
             ids, hs, cs, ns = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # NULL text = no tokens, like the oracle
+                    continue
                 toks = [t for t in ws.split(text) if t]
                 n = len(toks) - k + 1
                 if n <= 0:
@@ -1607,12 +1615,13 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_near (recall beyond shared heads) and q_dedup_jaccard
     (the all-pairs ground truth this blocking approximates).
 
-    Plan: one scan → prefix block counts (map-combined) → blocks
-    sized [2, cap] keep their members (join on the block key doubles
-    as the semi-join prune: only docs in live blocks ever carry text
-    forward — the cap is the LSH_BUCKET_CAP doctrine: a prefix shared
-    by >256 docs is boilerplate carrying no pair signal, dropped
-    BEFORE any pairing) → ONE block-keyed shuffle into a per-block
+    Plan: ONE scan and ONE hash(p) exchange total — block sizes come
+    from a count window on the same block-keyed distribution the
+    verify needs anyway, the [2, cap] filter drops singletons and
+    boilerplate heads in place (the cap is the LSH_BUCKET_CAP
+    doctrine: a prefix shared by >256 docs is a template header
+    carrying no pair signal, dropped BEFORE any pairing), and the
+    surviving partitions flow straight into a per-block
     ``applyInPandas`` verify computing every within-block pairwise
     trigram Jaccard with C-speed Python set ops (first written as a
     Catalyst self-join + ``array_intersect`` on the ~4k-element gram
@@ -1623,21 +1632,27 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-stable."""
     import pandas as pd
 
+    from pyspark.sql import Window
+
     d = load(spark, sf_dir, "documents").filter(
         F.length("text") >= _PREFIX_LEN
     )
     blk = d.select(
         "doc_id", "text", F.substring("text", 1, _PREFIX_LEN).alias("p")
     )
-    sizes = (
-        blk.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # block sizes via a window on the SAME hash(p) distribution the
+    # Arrow verify needs anyway — one scan, one exchange (a separate
+    # sizes aggregate + join back would scan and prefix the text
+    # column twice)
+    live = (
+        blk.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("p"))
+        )
         .filter(
             (F.col("n") >= 2) & (F.col("n") <= _PREFIX_BLOCK_CAP)
         )
-        .select("p")
+        .select("doc_id", "text", "p")
     )
-    live = blk.join(sizes, "p").select("doc_id", "text", "p")
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         order = pdf["doc_id"].argsort()

@@ -65,7 +65,7 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
 
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
 
     def rows(batches):
         for pdf in batches:
@@ -309,7 +309,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
 
     def stats(batches):
         for pdf in batches:

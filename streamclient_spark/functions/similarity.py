@@ -775,7 +775,7 @@ def q_sim_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
 
     def doc_token_counts(batches):
         for pdf in batches:
@@ -1675,6 +1675,13 @@ def q_sim_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_per_doc,
     )
     from streamclient_spark.functions.vectors import cosine
+
+    from streamclient_spark.cacheutil import release_managed
+
+    # cache-registry user (the shared keyed BM25 per-doc table):
+    # evict the previous query's working set first, like every other
+    # managed-cache builder
+    release_managed()
 
     e = load(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == RRF_QUERY_ID).select(

@@ -470,7 +470,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import re
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
 
     def fingerprints(batches):
         for pdf in batches:
@@ -567,7 +567,7 @@ def q_text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
 
     def count_bigrams(batches):
         for pdf in batches:
@@ -652,7 +652,9 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def norm_pass(batches):
         for pdf in batches:
             norms = [
-                " ".join(
+                None
+                if t is None  # NULL propagates, like the SQL expression
+                else " ".join(
                     t.lower().encode().translate(None, delete).decode().split()
                 )
                 for t in pdf["text"]
@@ -662,7 +664,9 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "lang": pdf["lang"],
                     "norm": norms,
-                    "n_chars_norm": [len(n) for n in norms],
+                    "n_chars_norm": [
+                        None if n is None else len(n) for n in norms
+                    ],
                     "n_chars_raw": pdf["n_chars"],
                 }
             )
@@ -730,7 +734,7 @@ def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamclient_spark.cacheutil import managed_persist, release_managed
 
     release_managed()
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
 
     def doc_token_counts(batches):
         for pdf in batches:
@@ -818,7 +822,7 @@ def q_text_hashvec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
 
     def hash_counts(batches):
         for pdf in batches:
@@ -1230,7 +1234,7 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     from collections import Counter
 
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
 
     def count_bigrams(batches):
         for pdf in batches:

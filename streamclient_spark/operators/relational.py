@@ -4282,10 +4282,23 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         # key shifted by 8: a single 64-bit group key halves the
         # hash-aggregate key width and the shuffle row vs the (int,
         # long) pair (measured 3.49 → 3.00 s at sf1). Safe while
-        # keys < 2^60 and edges < 8.
+        # |keys| < 2^59 and edges < 8. NULL handling mirrors the
+        # oracle's LEFT JOIN semantics: a NULL CHILD key is a real
+        # per-edge group (and always an orphan — NULL never equals a
+        # parent key), so it packs to a reserved per-edge sentinel
+        # instead of NULL-propagating into one cross-edge group; a
+        # NULL PARENT key can never match and stays NULL (dropped
+        # below).
         tagged = [
             F.struct(
-                (F.col(col).cast("long") * 8 + F.lit(i)).alias("ek"),
+                (
+                    F.coalesce(
+                        F.col(col).cast("long") * 8 + F.lit(i),
+                        F.lit(-(2**62) + i),
+                    )
+                    if is_child
+                    else F.col(col).cast("long") * 8 + F.lit(i)
+                ).alias("ek"),
                 F.lit(1 if is_child else 0).alias("c"),
                 F.lit(0 if is_child else 1).alias("p"),
             )
@@ -4303,13 +4316,15 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         u = u.unionAll(p)
 
-    per_key = u.groupBy("ek").agg(
+    per_key = u.filter(F.col("ek").isNotNull()).groupBy("ek").agg(
         F.sum("c").alias("c"), F.max("p").alias("p")
     )
     orphan = F.col("p") == 0
     return (
         per_key.filter(F.col("c") > 0)  # parent-only keys aren't child keys
-        .groupBy(F.expr("CAST(ek % 8 AS INT)").alias("e"))
+        # pmod, not %: the NULL-child sentinel is negative and Java's
+        # % takes the dividend's sign
+        .groupBy(F.expr("CAST(pmod(ek, 8) AS INT)").alias("e"))
         .agg(
             F.count(F.lit(1)).alias("n_child_keys"),
             F.sum("c").cast("long").alias("n_child_rows"),
@@ -8350,10 +8365,24 @@ def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for table, keys in by_table.items():
         src = load(spark, sf_dir, table)
+        # NULL-injective fingerprint: concat_ws SKIPS null args, which
+        # would merge (1, NULL) with (NULL, 1) and NULL with '' — the
+        # exact dirty data a key audit exists to count. Each column
+        # coalesces to a \x00 sentinel (impossible in these numeric
+        # columns) so the fingerprint groups rows exactly like the
+        # oracle's multi-column GROUP BY (which groups NULLs together).
         tagged = [
             F.struct(
                 F.lit(i).alias("e"),
-                F.concat_ws("|", *[F.col(c) for c in cols]).alias("fp"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.coalesce(
+                            F.col(c).cast("string"), F.lit("\x00")
+                        )
+                        for c in cols
+                    ],
+                ).alias("fp"),
             )
             for i, cols in keys
         ]
@@ -8450,7 +8479,9 @@ def q_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("us").rangeBetween(
         -_BURST_US, 0
     )
-    c = e.select("user_id", "us", F.count(F.lit(1)).over(w).alias("c"))
+    c = e.select(
+        "user_id", "us", F.count(F.lit(1)).over(w).alias("c")
+    ).localCheckpoint(eager=False)  # feeds the peak rollup AND the probe
     p = c.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.max("c").alias("peak_1h"),

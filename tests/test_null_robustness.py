@@ -1,0 +1,99 @@
+"""Differential tests on NULL-bearing data.
+
+The driver fixtures carry no NULLs, so the oracle hash-compare never
+exercises NULL key/text paths — exactly the dirty data the audit
+operators exist for. This suite clones the sf0.001 fixture, injects
+NULLs (a NULL document text, NULL FK values, a NULL composite-key
+component), and re-runs the full cross-engine compare for the
+operators whose NULL handling is hand-built:
+
+- q_dq_referential: NULL child FK must stay a per-edge orphan group
+  (the packed-key sentinel), NULL parent keys must match nothing.
+- q_dq_uniqueness: the key fingerprint must keep (1, NULL), (NULL, 1)
+  and NULL-vs-empty distinct (concat_ws alone merges them).
+- q_text_normalize / q_dedup_substring: a NULL text must produce a
+  NULL norm / zero spans, not a crashed job.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from streamclient_spark.plans.registry import load_all
+from streamclient_spark.tables import TABLES
+from tests.oracle import compare
+
+SF_SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def sf_nulls(tmp_path_factory) -> str:
+    """sf0.001 clone with NULLs planted in documents.text,
+    lineitem.l_partkey, and lineitem.l_linenumber."""
+    d = tmp_path_factory.mktemp("sfnull")
+    for t in TABLES:
+        shutil.copy(f"{SF_SRC}/{t}.parquet", d / f"{t}.parquet")
+
+    docs = pq.read_table(d / "documents.parquet")
+    text = docs.column("text").to_pylist()
+    text[0] = None  # one NULL document
+    docs = docs.set_column(
+        docs.schema.get_field_index("text"), "text", pa.array(text)
+    )
+    pq.write_table(docs, d / "documents.parquet")
+
+    li = pq.read_table(d / "lineitem.parquet")
+    pk = li.column("l_partkey").to_pylist()
+    ln = li.column("l_linenumber").to_pylist()
+    pk[0] = None  # NULL FK on one edge...
+    pk[1] = None  # ...twice, so the NULL group has c=2
+    ln[2] = None  # NULL component of the composite candidate key
+    li = li.set_column(
+        li.schema.get_field_index("l_partkey"),
+        "l_partkey",
+        pa.array(pk, type=li.schema.field("l_partkey").type),
+    )
+    li = li.set_column(
+        li.schema.get_field_index("l_linenumber"),
+        "l_linenumber",
+        pa.array(ln, type=li.schema.field("l_linenumber").type),
+    )
+    pq.write_table(li, d / "lineitem.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_dq_referential",
+        "q_dq_uniqueness",
+        "q_text_normalize",
+        "q_dedup_substring",
+    ],
+)
+def test_null_bearing_fixture_still_hash_matches(spark, sf_nulls, name):
+    spec = load_all()[name]
+    rep = compare(spec.builder(spark, sf_nulls), spec.oracle, sf_nulls)
+    assert not rep["errors"], (name, rep["errors"])
+
+
+def test_referential_reports_null_fk_as_orphans(spark, sf_nulls):
+    """The two NULL l_partkey rows must surface as ONE orphan key with
+    two orphan rows under the lineitem->part edge (the oracle's LEFT
+    JOIN semantics: NULL matches no parent), not vanish or merge
+    across edges."""
+    rows = {
+        r["fk_edge"]: r
+        for r in load_all()["q_dq_referential"]
+        .builder(spark, sf_nulls)
+        .collect()
+    }
+    edge = rows["lineitem.l_partkey->part.p_partkey"]
+    assert edge["n_orphan_keys"] >= 1
+    assert edge["n_orphan_rows"] >= 2
+    clean = rows["lineitem.l_suppkey->supplier.s_suppkey"]
+    assert clean["n_orphan_keys"] == 0
