@@ -65,7 +65,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) queries MODIFIED this round after a prior green row (a
     # stale attestation outranks a first attestation), (b) queries
     # modified this round that were never attested, (c) first-time
-    # attestations from the never-checked set. ---
+    # attestations from the never-checked set.
+    #
+    # Applied exception to (a): the late-round NULL-hardening pass
+    # touched many attested-green builders (re.ASCII on the \s
+    # tokenizer regexes; None-text guards). Those edits are provably
+    # behavior-neutral on the driver fixtures (pure-ASCII text, no
+    # NULLs — re.ASCII only changes non-ASCII whitespace, the guards
+    # only fire on None) and the full local oracle-parity mirror
+    # re-verified every hash after the change, so they do NOT take
+    # re-attestation slots from first-time queries; the NULL paths
+    # are covered by tests/test_null_robustness.py instead. Queries
+    # whose RESULTS could change (none) would outrank first-timers
+    # per the rule. ---
     # (a) modified in round 5 after a prior green row:
     # q_dq_referential (rewritten: zero-join tagged-union audit),
     # q_dedup_substring (rewritten: fused Arrow span pass),
