@@ -266,3 +266,67 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json(F.col("value"), schema).alias("r")
     )
     return parsed.select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# q_scan_merge_schema — schema-evolution parquet scan (C-253)
+# ---------------------------------------------------------------------------
+
+
+def _stage_evolved(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage the documents table as two parquet generations with
+    DIFFERENT schemas — the old generation (even doc_ids) predates the
+    ``source`` column, the new one (odd doc_ids) carries it — the
+    on-disk layout every long-lived lakehouse table accretes."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"{_STAGE_ROOT}/{tag}/documents_evolved"
+    old, new = f"{out}/v1", f"{out}/v2"
+    if not (
+        os.path.exists(f"{old}/_SUCCESS") and os.path.exists(f"{new}/_SUCCESS")
+    ):
+        d = load(spark, sf_dir, "documents")
+        d.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "n_chars"
+        ).coalesce(1).write.mode("overwrite").parquet(old)
+        d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "source", "n_chars"
+        ).coalesce(1).write.mode("overwrite").parquet(new)
+    return old, new
+
+
+@register(
+    "q_scan_merge_schema",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 1 THEN source ELSE NULL END AS source,
+           n_chars
+    FROM documents
+    """,
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: one logical table whose parquet files
+    were written across a schema change (a ``source`` column added
+    mid-life), read back as a single DataFrame with
+    ``mergeSchema=true`` — old files surface NULL for the column they
+    predate. This is the read posture every long-lived lakehouse
+    table needs (backfills rewrite nothing; readers reconcile), and
+    the staging makes it checkable: the staged generations are
+    LOSSLESS projections of the fixture, so the DuckDB oracle
+    computes the merged result from the ORIGINAL table (the
+    q_scan_json staging doctrine — the oracle never reads the
+    builder's own artifact).
+
+    Scale notes (100 TB): schema merge is a FOOTER operation — Spark
+    reconciles N file schemas, not N rows; the scan itself stays
+    columnar with pushdown/pruning intact on the shared columns.
+    Keep generations coarse (schema-per-partition-era, not
+    schema-per-file) so footer reconciliation stays cheap, and
+    backfill-to-latest only when the NULL semantics stop being
+    acceptable to readers."""
+    old, new = _stage_evolved(spark, sf_dir)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(old, new)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    return merged

@@ -133,7 +133,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_holt_winters", "q_ts_mk_trend", "q_text_lexical_diversity",
     "q_orders_backlog", "q_dq_kanon", "q_dedup_prefix",
     "q_events_dow_hour_heat", "q_supplier_hhi", "q_orders_aging",
-    "q_orders_fill_rate",
+    "q_orders_fill_rate", "q_scan_merge_schema",
     # --- attested green in r4 and byte-identical since ---
     "q_graph_triangles", "q_udaf_grouped", "q_dedup_near",
     "q_dedup_cluster", "q_scan_json",
