@@ -61,41 +61,64 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Bui
 # first 50 registry entries in insertion order. Rotated every round — see the
 # segment comments inside the tuple.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- ROUND-5 WINDOW (first 50). Order of evidentiary value:
+    # --- ROUND-6 WINDOW (first 50). Order of evidentiary value:
     # (a) queries MODIFIED this round after a prior green row (a
     # stale attestation outranks a first attestation), (b) queries
     # modified this round that were never attested, (c) first-time
     # attestations from the never-checked set.
     #
-    # Applied exception to (a): the late-round NULL-hardening pass
-    # touched many attested-green builders (re.ASCII on the \s
-    # tokenizer regexes; None-text guards). Those edits are provably
-    # behavior-neutral on the driver fixtures (pure-ASCII text, no
-    # NULLs — re.ASCII only changes non-ASCII whitespace, the guards
-    # only fire on None) and the full local oracle-parity mirror
-    # re-verified every hash after the change, so they do NOT take
-    # re-attestation slots from first-time queries; the NULL paths
-    # are covered by tests/test_null_robustness.py instead. Queries
-    # whose RESULTS could change (none) would outrank first-timers
-    # per the rule. ---
-    # (a) modified in round 5 after a prior green row:
-    # q_dq_referential (rewritten: zero-join tagged-union audit),
-    # q_dedup_substring (rewritten: fused Arrow span pass),
-    # q_text_bm25 (per-doc table extracted to shared keyed cache),
-    # q_graph_pagerank (graph-stats memo moved onto the cached frame),
-    # q_text_normalize (rewritten: fused Arrow bytes.translate pass
-    # replaces the two codegen regex passes — last weak-list entry)
-    "q_dq_referential", "q_dedup_substring", "q_text_bm25",
+    # (a) modified in round 6 after a green r5 row:
+    # q_text_bigram_lm (rewritten: fused Arrow pre-combined bigram
+    # pass replaces the interpreted zip_with explode — VERDICT r5
+    # weak list), q_dedup_substring (span fingerprint widened 64→128
+    # bit per ADVICE r5 — collision margin at corpus scale)
+    "q_text_bigram_lm", "q_dedup_substring",
+    # (b) modified in round 6, never attested: q_dq_fd_audit
+    # (rewritten: fused tagged-union single-exchange + shared
+    # audit-scan cache — VERDICT r5 #4), q_dq_uniqueness (rides the
+    # shared audit-scan cache — VERDICT r5 #4), q_part_abc_xyz
+    # (rewritten: single lineitem exchange, revenue + CV moments
+    # re-aggregated from the (partkey, wk) table — VERDICT r5 #2)
+    "q_dq_fd_audit", "q_dq_uniqueness", "q_part_abc_xyz",
+    # (c) first-time attestations. q_mixture_temperature leads: it is
+    # the oldest never-attested query in the registry — it had been
+    # MIS-FILED in the attested-green-r4 block since round 4 despite
+    # appearing in no CORRECTNESS file (VERDICT r5 #1, the rescue).
+    # Then the former ROUND-6 QUEUE in its standing order.
+    "q_mixture_temperature",
+    "q_join_asof_tolerance", "q_knn_classify",
+    "q_embed_dim_stats", "q_multimodal_dedup", "q_quality_classifier",
+    "q_corpus_report", "q_mixture_epochs", "q_ts_holt",
+    "q_events_window_funnel", "q_events_time_to_convert",
+    "q_graph_modularity", "q_skyline_2d", "q_agg_hll_parity",
+    "q_events_ab_test", "q_graph_label_prop", "q_dq_drift",
+    "q_ts_stl", "q_events_powerlaw", "q_events_cohort_ltv",
+    "q_agg_countmin", "q_embed_recall", "q_agg_bloom",
+    "q_pipeline_funnel", "q_graph_hits", "q_ts_forecast_eval",
+    "q_agg_hll_merge", "q_sim_mmr", "q_embed_hard_negatives",
+    "q_events_growth_accounting", "q_embed_triplets",
+    "q_events_rolling_wau", "q_text_fertility", "q_supplier_scorecard",
+    "q_sample_shuffle", "q_events_burst", "q_text_kl_drift",
+    "q_ts_holt_winters", "q_ts_mk_trend", "q_text_lexical_diversity",
+    "q_orders_backlog", "q_dq_kanon", "q_dedup_prefix",
+    "q_events_dow_hour_heat", "q_supplier_hhi",
+    # --- ROUND-7 QUEUE: never-attested remainder. Arithmetic against
+    # the CORRECTNESS ledger: 230 attested r1∪…∪r5 + 50 in the
+    # round-6 window above + the 3 sliders below + 5 rows-only by
+    # contract (pinned dead last, never windowed) = 282 + new round-6
+    # queries, which are appended here as they land. The 3 sliders
+    # (q_orders_aging, q_orders_fill_rate, q_scan_merge_schema — the
+    # queue tail) slid when the five round-6 rewrites + the
+    # q_mixture_temperature rescue took 6 window slots against the
+    # 47 remaining queue names; they head the round-7 window, after
+    # any round-7 modified-after-green re-attests, and whole-registry
+    # attestation completes when this block is exhausted. ---
+    "q_orders_aging", "q_orders_fill_rate", "q_scan_merge_schema",
+    # --- attested green in r5 and byte-identical since ---
+    "q_dq_referential", "q_text_bm25",
     "q_graph_pagerank", "q_text_normalize",
-    # (b) modified, never attested: q_embed_pca_power (r4 rewrite,
-    # VERDICT r4 #2), q_sim_rrf (BM25 leg now shares the keyed
-    # per-doc table), q_text_bigram_lm (empty-doc guard), and the
-    # staged scans' first FULL value oracles (VERDICT r4 #7 — were
-    # rows-only; lossless-staging projection)
-    "q_embed_pca_power", "q_sim_rrf", "q_text_bigram_lm",
+    "q_embed_pca_power", "q_sim_rrf",
     "q_scan_csv", "q_scan_orc",
-    # (c) first-time attestations (q_graph_bfs leads: its builder was
-    # touched and reverted this round — attest it now)
     "q_graph_bfs",
     "q_ts_acf", "q_ts_cross_corr", "q_graph_degree_dist",
     "q_graph_jaccard", "q_graph_kcore", "q_join_spatial", "q_text_zipf",
@@ -111,29 +134,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_new_returning", "q_events_freq_hist",
     "q_dq_reconcile", "q_events_retention_rolling",
     "q_graph_assortativity",
-    "q_join_asof_tolerance", "q_knn_classify",
-    "q_embed_dim_stats", "q_multimodal_dedup", "q_quality_classifier",
-    "q_corpus_report", "q_mixture_epochs", "q_ts_holt",
-    # --- ROUND-6 QUEUE: never-attested remainder — rounds 5+6
-    # together complete whole-registry attestation. New round-5
-    # queries are appended here as they land. q_events_window_funnel
-    # slid out of the 50-slot window when q_text_normalize's rewrite
-    # took a modified-after-green slot. ---
-    "q_events_window_funnel", "q_events_time_to_convert",
-    "q_graph_modularity", "q_skyline_2d", "q_agg_hll_parity",
-    "q_events_ab_test", "q_graph_label_prop", "q_dq_drift",
-    "q_ts_stl", "q_events_powerlaw", "q_events_cohort_ltv",
-    "q_agg_countmin", "q_embed_recall", "q_agg_bloom",
-    "q_pipeline_funnel", "q_graph_hits", "q_ts_forecast_eval",
-    "q_agg_hll_merge", "q_sim_mmr", "q_embed_hard_negatives",
-    "q_events_growth_accounting", "q_embed_triplets",
-    "q_events_rolling_wau", "q_text_fertility", "q_supplier_scorecard",
-    "q_dq_fd_audit", "q_part_abc_xyz", "q_dq_uniqueness",
-    "q_sample_shuffle", "q_events_burst", "q_text_kl_drift",
-    "q_ts_holt_winters", "q_ts_mk_trend", "q_text_lexical_diversity",
-    "q_orders_backlog", "q_dq_kanon", "q_dedup_prefix",
-    "q_events_dow_hour_heat", "q_supplier_hhi", "q_orders_aging",
-    "q_orders_fill_rate", "q_scan_merge_schema",
     # --- attested green in r4 and byte-identical since ---
     "q_graph_triangles", "q_udaf_grouped", "q_dedup_near",
     "q_dedup_cluster", "q_scan_json",
@@ -150,7 +150,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_moments34", "q_udf_arrow", "q_join_null_aware",
     "q_events_markov", "q_agg_weighted", "q_dq_freshness",
     "q_embed_outliers", "q_market_basket", "q_text_chunker",
-    "q_dedup_containment", "q_mixture_temperature",
+    "q_dedup_containment",
     # --- attested green in r1-r3 and byte-identical since ---
     "q_multimodal_meta", "q_join_range", "q_tpch_q5", "q_join_outer",
     "q_agg_tpch_q1", "q_tpch_q3", "q_agg_cube", "q_agg_rollup",
