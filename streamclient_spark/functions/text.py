@@ -1748,46 +1748,64 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact and order-independent; the single avg division is the
     only float op and runs identically on both engines.
 
-    Plan: one bigram explode (adjacent-token zip in codegen), the
-    bigram-count and context-count aggregates riding the SAME w1-hash
-    family, then two co-keyed joins back onto the exploded stream and
-    a per-source rollup — the token volume flows through linear
-    shuffles exactly like the tf/BM25 family; the model tables are
-    vocabulary-sized. At 100 TB the model aggregates ARE the cost;
-    everything downstream is vocab- or source-sized."""
-    d = load(spark, sf_dir, "documents")
-    ts = (
-        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", "source", tokens("text").alias("ts"))
-    )
-    # size(ts) < 2 → slice length ≤ 0, which Spark rejects at runtime
-    # (ADVICE r4: one empty document would crash the query). The filter
-    # is semantically a no-op: such docs contribute zero bigrams.
-    bg = ts.filter(F.size("ts") >= 2).select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("ts"), 1, F.size("ts") - 1),
-                F.slice(F.col("ts"), 2, F.size("ts") - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    Plan: ONE fused Arrow pass tokenizes and emits bigrams PRE-COUNTED
+    per (source, w1, w2) batch — the same split-recovered
+    ``mapInPandas`` pre-count recipe that took the unigram tf pass
+    from 5.0 s to 1.5 s at sf1 (the r4/r5 Catalyst ``zip_with``
+    explode this replaces is interpreted, not codegen, and shuffled
+    one row per bigram OCCURRENCE; VERDICT r5 weak list). The
+    context- and bigram-count models then need NO joins at all: after
+    one hash(w1) exchange of the counted stream, both c(w1) and
+    c(w1, w2) are window sums over prefixes of the same (w1, w2) sort
+    — hash(w1) clusters both window keys, so the two model passes and
+    the score projection run in a single exchange-free stage, and the
+    rollup re-weights by k (exact: the bit cost depends only on
+    (w1, w2)). At 100 TB the one model exchange carries distinct
+    (source, w1, w2) triples per Arrow batch, never token volume."""
+    import re
+    from collections import Counter
+
+    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+
+    def bigram_counts(batches):
+        for pdf in batches:
+            srcs, w1s, w2s, ks = [], [], [], []
+            acc: Counter = Counter()
+            for source, text in zip(pdf["source"], pdf["text"]):
+                if text is None:
+                    continue
+                ts = [t for t in ws.split(text) if t]
+                acc.update(zip([source] * (len(ts) - 1), ts, ts[1:]))
+            for (source, w1, w2), k in acc.items():
+                srcs.append(source)
+                w1s.append(w1)
+                w2s.append(w2)
+                ks.append(k)
+            yield pd.DataFrame(
+                {"source": srcs, "w1": w1s, "w2": w2s, "k": ks}
             )
-        ).alias("b"),
-    ).select("doc_id", "source", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    bic = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    bits = (F.length(F.bin("c1")) - 1) - (F.length(F.bin("c2")) - 1)
-    scored = (
-        bg.join(uni, "w1")
-        .join(bic, ["w1", "w2"])
-        .select("source", bits.alias("bits"))
+
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    bg = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            bigram_counts, "source string, w1 string, w2 string, k long"
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "w1")
     )
+    w_uni = Window.partitionBy("w1")
+    w_bic = Window.partitionBy("w1", "w2")
+    bits = (
+        F.length(F.bin(F.sum("k").over(w_uni))) - 1
+    ) - (F.length(F.bin(F.sum("k").over(w_bic))) - 1)
+    scored = bg.select("source", "k", bits.alias("bits"))
     return scored.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("bits").cast("long").alias("total_bits"),
-        (F.sum("bits").cast("double") / F.count(F.lit(1))).alias(
-            "avg_bits"
-        ),
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("bits")).cast("long").alias("total_bits"),
+        (
+            F.sum(F.col("k") * F.col("bits")).cast("double")
+            / F.sum("k")
+        ).alias("avg_bits"),
     )
 
 
