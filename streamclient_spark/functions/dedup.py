@@ -1190,11 +1190,11 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape (the q_dedup_chunks recipe, which races 1.7×): ONE fused
     Arrow pass tokenizes, slides the span window, and emits ``(doc_id,
     span_fp, cnt, n_spans)`` with within-document repeats already
-    Counter-combined and the span collapsed to a 64-bit blake2b
-    fingerprint — the per-(doc, span) collapse that used to be its own
-    span-string shuffle now costs nothing, and the one shuffle that
-    remains (the cross-doc span frequency) moves 8-byte ints, not
-    ~40-byte span strings. The posting side is df-floored to nd ≥ 2
+    Counter-combined and the span collapsed to a 128-bit blake2b
+    fingerprint carried as two longs — the per-(doc, span) collapse
+    that used to be its own span-string shuffle now costs nothing,
+    and the one shuffle that remains (the cross-doc span frequency)
+    moves 16-byte int pairs, not ~40-byte span strings. The posting side is df-floored to nd ≥ 2
     BEFORE the mark join back (dup spans are a small fraction of the
     span vocabulary), and both per-doc outputs (total spans carried
     from the pass, duplicated positions = Σcnt over marked spans) fall
@@ -1205,10 +1205,11 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     as every fused token pass. At 100 TB: span fingerprints are
     uniform, so the frequency shuffle has no skew; the mark join
     inherits LSH-style bucketing for mega-frequent boilerplate spans
-    (cap df, the q_sim_sparse hub rule). The 64-bit fingerprint is
+    (cap df, the q_sim_sparse hub rule). The 128-bit fingerprint is
     internal only — both engines still agree on exact span equality
-    semantics (collision odds ~1e-7 at 1e9 distinct spans; widen to
-    128-bit at corpus scale)."""
+    semantics; at 128 bits a cross-document collision is ~1e-20 even
+    at 1e9 distinct spans (widened from 64 bits per ADVICE r5, which
+    was ~1e-7 — real odds to bet an 'exact' contract on)."""
     import hashlib
     import re
     from collections import Counter
@@ -1222,7 +1223,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def span_counts(batches):
         for pdf in batches:
-            ids, hs, cs, ns = [], [], [], []
+            ids, h1s, h2s, cs, ns = [], [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:  # NULL text = no tokens, like the oracle
                     continue
@@ -1230,24 +1231,32 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = len(toks) - k + 1
                 if n <= 0:
                     continue  # oracle's len(toks) >= k gate
-                acc: Counter = Counter(
-                    int.from_bytes(
-                        hashlib.blake2b(
-                            " ".join(toks[i : i + k]).encode(),
-                            digest_size=8,
-                        ).digest(),
-                        "big",
-                    )
-                    - (1 << 63)
-                    for i in range(n)
-                )
-                for h, c in acc.items():
+                acc: Counter = Counter()
+                for i in range(n):
+                    d = hashlib.blake2b(
+                        " ".join(toks[i : i + k]).encode(),
+                        digest_size=16,
+                    ).digest()
+                    acc[
+                        (
+                            int.from_bytes(d[:8], "big") - (1 << 63),
+                            int.from_bytes(d[8:], "big") - (1 << 63),
+                        )
+                    ] += 1
+                for (h1, h2), c in acc.items():
                     ids.append(doc_id)
-                    hs.append(h)
+                    h1s.append(h1)
+                    h2s.append(h2)
                     cs.append(c)
                     ns.append(n)
             yield pd.DataFrame(
-                {"doc_id": ids, "h": hs, "cnt": cs, "n_spans": ns}
+                {
+                    "doc_id": ids,
+                    "h1": h1s,
+                    "h2": h2s,
+                    "cnt": cs,
+                    "n_spans": ns,
+                }
             )
 
     # split recovery (near-unsplittable fixture file, CPU-bound pass);
@@ -1257,17 +1266,18 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(par)
         .mapInPandas(
-            span_counts, "doc_id bigint, h bigint, cnt long, n_spans long"
+            span_counts,
+            "doc_id bigint, h1 bigint, h2 bigint, cnt long, n_spans long",
         )
     )
     dup = (
-        spans.groupBy("h")
+        spans.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)  # df-floor BEFORE the join back
-        .select("h", F.lit(1).alias("is_dup"))
+        .select("h1", "h2", F.lit(1).alias("is_dup"))
     )
     return (
-        spans.join(dup, "h", "left")
+        spans.join(dup, ["h1", "h2"], "left")
         .groupBy("doc_id")
         .agg(
             F.first("n_spans").alias("n_spans"),
