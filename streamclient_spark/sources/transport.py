@@ -167,6 +167,11 @@ class WebsocketJournalFeeder:
         self._dir = journal_dir
         self._n_shards = n_shards
         self._types = event_types
+        #: events dropped for lack of a routable key (missing or
+        #: non-numeric user_id). Exposed so supervisors can alert on
+        #: upstream key regressions instead of seeing silent data loss
+        #: (ADVICE r5); a rate-limited WARN fires alongside.
+        self.dropped_unroutable = 0
 
     def _subscribe_frame(self) -> str:
         return json.dumps(
@@ -208,7 +213,22 @@ class WebsocketJournalFeeder:
                 try:
                     shard = int(uid) % self._n_shards
                 except (TypeError, ValueError):
-                    continue  # no routable key: drop, never crash ingest
+                    # no routable key: drop, never crash ingest — but
+                    # COUNT it and warn on a power-of-two / per-1000
+                    # cadence so upstream key regressions surface as a
+                    # signal, not as unexplained loss (ADVICE r5)
+                    self.dropped_unroutable += 1
+                    n = self.dropped_unroutable
+                    if n & (n - 1) == 0 or n % 1000 == 0:
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "dropped %d event(s) with missing/"
+                            "non-numeric user_id (latest event_type=%r)",
+                            n,
+                            etype,
+                        )
+                    continue
 
                 if shard not in files:
                     files[shard] = open(
