@@ -853,3 +853,89 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("variance_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_isotropy — embedding-space anisotropy audit (round 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embed_isotropy",
+    oracle="""
+    WITH fx AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                  + 0.5) AS BIGINT) AS fp
+      FROM embeddings
+    ),
+    sd AS (
+      SELECT label, d, CAST(SUM(fp) AS BIGINT) AS s
+      FROM fx GROUP BY 1, 2
+    ),
+    num AS (
+      SELECT label, SUM(CAST(s AS HUGEINT) * s) AS ssq
+      FROM sd GROUP BY 1
+    ),
+    den AS (
+      SELECT label,
+             CAST(count(*) // 64 AS BIGINT) AS n,
+             SUM(CAST(fp AS HUGEINT) * fp) AS q
+      FROM fx GROUP BY 1
+    )
+    SELECT num.label,
+           den.n AS n_vecs,
+           CAST(num.ssq * 1000 // (den.n * den.q) AS BIGINT)
+             AS aniso_permille,
+           round(sqrt(CAST(den.q AS DOUBLE) / den.n) / 1000000.0, 6)
+             AS rms_norm
+    FROM num JOIN den USING (label)
+    """,
+)
+def q_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit per label: ``‖μ‖² / E‖v‖²``
+    in exact permille — THE health check for representation collapse
+    ("all my embeddings point the same way"), the degenerate geometry
+    that silently breaks cosine retrieval and clustering (an isotropic
+    cloud scores ≈ 1/n; a collapsed one approaches 1000‰) — plus the
+    RMS vector norm. Elements land on the module's 1e-6 fixed-point
+    grid, so the mean-vector and second-moment sums are exact integers
+    (the squares accumulate in decimal/HUGEINT: per-dimension sums
+    square past int64 at ~10k vectors per label); the single sqrt is
+    IEEE-correctly-rounded on identical inputs.
+
+    Plan: one posexplode (rows × dims, codegen) feeding two
+    map-combined aggregates — per-(label, dim) sums (|labels|·dims
+    exchange rows) and per-label second moments (|labels| rows) — and
+    a |labels|-row join. Nothing downstream of the explode exceeds
+    |labels| × dims at any corpus size."""
+    fx = (
+        load(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("d", "v"))
+        .select(
+            "label",
+            "d",
+            F.floor(F.col("v").cast("double") * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    sd = fx.groupBy("label", "d").agg(F.sum("fp").alias("s"))
+    num = sd.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ssq")
+    )
+    den = fx.groupBy("label").agg(
+        F.expr("count(1) div 64").cast("long").alias("n"),
+        F.sum(F.col("fp").cast("decimal(38,0)") * F.col("fp")).alias("q"),
+    )
+    return num.join(den, "label").select(
+        "label",
+        F.col("n").alias("n_vecs"),
+        F.expr("CAST(ssq * 1000 div (n * q) AS BIGINT)").alias(
+            "aniso_permille"
+        ),
+        F.round(
+            F.sqrt(F.col("q").cast("double") / F.col("n")) / 1000000.0, 6
+        ).alias("rms_norm"),
+    )

@@ -1331,3 +1331,183 @@ def q_sample_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("grk") - F.col("r0") + 1).cast("long").alias("pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_feature_pit — point-in-time feature backfill (round 6)
+# ---------------------------------------------------------------------------
+
+#: trailing lookback window in days (strictly BEFORE the observation day)
+_PIT_LOOKBACK = 7
+
+
+@register(
+    "q_feature_pit",
+    oracle=f"""
+    WITH evd AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '1970-01-01',
+                  CAST(ts AS TIMESTAMP)::DATE) AS BIGINT) AS d,
+             count(*) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT user_id, d AS day_num,
+           CAST(n AS BIGINT) AS n_today,
+           CAST(coalesce(SUM(n) OVER w, 0) AS BIGINT) AS n_ev_7d,
+           CAST(coalesce(SUM(v) OVER w, 0) AS BIGINT) AS val_7d_cents,
+           CAST(count(*) OVER w AS BIGINT) AS active_days_7d,
+           CAST(coalesce(d - max(d) OVER w, -1) AS BIGINT)
+             AS days_since_last
+    FROM evd
+    WINDOW w AS (PARTITION BY user_id ORDER BY d
+                 RANGE BETWEEN {_PIT_LOOKBACK} PRECEDING
+                 AND 1 PRECEDING)
+    """,
+)
+def q_feature_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature backfill — the leak-safe feature table a
+    training pipeline materializes before fitting anything: for every
+    (entity, observation day), trailing-window features computed from
+    STRICTLY EARLIER activity only (events of the observation day
+    itself are the label side, never the feature side — the classic
+    time-travel/label-leakage rule of feature stores). Features per
+    (user, day): event count and exact cent-value over the trailing
+    {_PIT_LOOKBACK} days, active-day count, and recency (days since
+    last activity, -1 for a cold entity).
+
+    Plan: ONE fact-scale exchange — events repartitioned by user feed
+    the (user, day) daily aggregate AND the per-user RANGE frame
+    exchange-free (hash(user) satisfies both the grouping and the
+    window clustering; the within-partition day sort is bounded by
+    each user's active-day count, never corpus-wide). Unkeyed rows
+    (NULL user/ts) are excluded by contract on BOTH engines — a
+    feature table without an entity key or a time axis is
+    meaningless. At 100 TB this is the canonical backfill shape:
+    entity-hash partitioning, per-entity time sort, zero joins."""
+    par = spark.sparkContext.defaultParallelism
+    evd = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)"
+            ).alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        )
+        .repartition(par, "user_id")
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vc").alias("v"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rangeBetween(-_PIT_LOOKBACK, -1)
+    )
+    return evd.select(
+        "user_id",
+        F.col("d").alias("day_num"),
+        F.col("n").cast("long").alias("n_today"),
+        F.coalesce(F.sum("n").over(w), F.lit(0))
+        .cast("long")
+        .alias("n_ev_7d"),
+        F.coalesce(F.sum("v").over(w), F.lit(0))
+        .cast("long")
+        .alias("val_7d_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("active_days_7d"),
+        F.coalesce(F.col("d") - F.max("d").over(w), F.lit(-1))
+        .cast("long")
+        .alias("days_since_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sample_bootstrap — deterministic half-sample bootstrap (round 6)
+# ---------------------------------------------------------------------------
+
+#: bootstrap replicates — one per bit of the 32-bit row hash
+_BOOT_B = 32
+
+
+@register(
+    "q_sample_bootstrap",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS mask,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+      FROM orders
+    ),
+    r AS (
+      SELECT b,
+             CAST(SUM((mask >> CAST(b AS INTEGER)) & 1) AS BIGINT) AS n,
+             CAST(SUM(((mask >> CAST(b AS INTEGER)) & 1) * pc) AS BIGINT)
+               AS s
+      FROM m, unnest(range(0, {_BOOT_B})) AS t(b)
+      GROUP BY b
+    )
+    SELECT CAST(b AS BIGINT) AS replicate,
+           n AS n_rows,
+           s AS sum_cents,
+           round(CAST(s AS DOUBLE) / (n * 100), 6) AS mean_price
+    FROM r
+    """,
+)
+def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half-sample bootstrap of the order-value mean —
+    the uncertainty estimate a pipeline attaches to any corpus
+    statistic WITHOUT a second pass or an RNG: replicate ``b``
+    includes a row iff bit ``b`` of its content-stable 32-bit row
+    hash is set (each replicate is an independent ~half-sample;
+    the spread of the {_BOOT_B} replicate means estimates the
+    sampling error of the full-corpus mean). ``rand()`` bootstraps
+    break under task retries; the hash form is reproducible across
+    runs, engines, and topologies (the q_sample_split doctrine,
+    extended from membership to REPLICATION).
+
+    Plan: one scan, one map-side-combined global aggregate producing
+    all {2 * _BOOT_B} partial sums at once (each row updates
+    {_BOOT_B} accumulator pairs in-register — no row explosion, no
+    shuffle beyond {_BOOT_B} pairs of longs per task), then a 1-row
+    explode to long form. At 100 TB the entire exchange is
+    |tasks| × {_BOOT_B} × 16 bytes."""
+    mask = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    m = load(spark, sf_dir, "orders").select(
+        mask.alias("mask"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("pc"),
+    )
+    aggs = []
+    for b in range(_BOOT_B):
+        bit = F.expr(f"shiftright(mask, {b}) & 1")
+        aggs.append(F.sum(bit).alias(f"n{b}"))
+        aggs.append(F.sum(bit * F.col("pc")).alias(f"s{b}"))
+    one = m.agg(*aggs)
+    reps = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("replicate"),
+                F.col(f"n{b}").cast("long").alias("n_rows"),
+                F.col(f"s{b}").cast("long").alias("sum_cents"),
+            )
+            for b in range(_BOOT_B)
+        ]
+    )
+    return (
+        one.select(F.explode(reps).alias("t"))
+        .select("t.replicate", "t.n_rows", "t.sum_cents")
+        .withColumn(
+            "mean_price",
+            F.round(
+                F.col("sum_cents").cast("double")
+                / (F.col("n_rows") * 100),
+                6,
+            ),
+        )
+    )

@@ -9133,3 +9133,109 @@ def q_orders_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_part_price_index — fixed-base (Laspeyres) monthly price index (round 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_part_price_index",
+    oracle="""
+    WITH li AS MATERIALIZED (
+      SELECT l_partkey AS pk,
+             CAST(EXTRACT(year FROM CAST(l_shipdate AS TIMESTAMP)) * 12
+                  + EXTRACT(month FROM CAST(l_shipdate AS TIMESTAMP)) - 1
+                  AS BIGINT) AS mn,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS ec,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qc
+      FROM lineitem
+    ),
+    pm AS (
+      SELECT pk, mn,
+             CAST(SUM(ec) AS BIGINT) AS e,
+             CAST(SUM(qc) AS BIGINT) AS q
+      FROM li GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT pk, e * 1000 // q AS up_b, q AS qb
+      FROM pm WHERE mn = (SELECT min(mn) FROM pm)
+    )
+    SELECT pm.mn AS month_num,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM((pm.e * 1000 // pm.q) * base.qb) * 1000
+                // SUM(base.up_b * base.qb) AS BIGINT)
+             AS index_permille
+    FROM pm JOIN base USING (pk)
+    GROUP BY 1
+    """,
+)
+def q_part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-base Laspeyres price index per month — the canonical
+    "are prices rising, holding the basket constant" metric: each
+    month's per-part unit price (exact integer milli-price,
+    ``Σcents·1000 div Σcenti-qty``) is weighted by the part's
+    BASE-month quantity, and the index is the permille ratio of the
+    reweighted current basket to the base basket, over the parts
+    present in both. All-integer cross-multiplication; the one
+    division per side is exact truncating div on both engines
+    (decimal ``div`` on Spark, HUGEINT ``//`` in DuckDB — never
+    DECIMAL ``//``, which ROUNDS in DuckDB, the q_supplier_hhi
+    lesson).
+
+    Plan: ONE fact-scale exchange — the (part, month) aggregate —
+    localCheckpoint'd so the base-month scalar, the base slice, and
+    the index join all reuse it; the base month arrives as a 1-row
+    broadcast, the base slice is month-pruned and joins back
+    part-keyed (AQE broadcasts it at fixture scale; at 100 TB it is
+    a |parts|-row co-keyed shuffle join), and the final rollup is
+    |months| groups."""
+    pm = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("pk"),
+            (
+                F.year(F.to_date("l_shipdate")) * 12
+                + F.month(F.to_date("l_shipdate"))
+                - 1
+            )
+            .cast("bigint")
+            .alias("mn"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("ec"),
+            F.round(F.col("l_quantity") * 100).cast("bigint").alias("qc"),
+        )
+        .groupBy("pk", "mn")
+        .agg(F.sum("ec").alias("e"), F.sum("qc").alias("q"))
+        .localCheckpoint(eager=False)  # base scalar + slice + join reuse
+    )
+    mn0 = pm.agg(F.min("mn").alias("mn0"))
+    base = (
+        pm.crossJoin(F.broadcast(mn0))
+        .filter(F.col("mn") == F.col("mn0"))
+        .select(
+            "pk",
+            F.expr("e * 1000 div q").alias("up_b"),
+            F.col("q").alias("qb"),
+        )
+    )
+    return (
+        pm.join(base, "pk")
+        .select(
+            "mn",
+            (F.expr("e * 1000 div q") * F.col("qb"))
+            .cast("decimal(38,0)")
+            .alias("cur_w"),
+            (F.col("up_b") * F.col("qb")).cast("decimal(38,0)").alias(
+                "base_w"
+            ),
+        )
+        .groupBy(F.col("mn").alias("month_num"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.expr("CAST(sum(cur_w) * 1000 div sum(base_w) AS BIGINT)")
+            .alias("index_permille"),
+        )
+    )

@@ -13,6 +13,13 @@ operators whose NULL handling is hand-built:
   and NULL-vs-empty distinct (concat_ws alone merges them).
 - q_text_normalize / q_dedup_substring: a NULL text must produce a
   NULL norm / zero spans, not a crashed job.
+- q_dq_fd_audit: a NULL lhs must form its own per-FD group on both
+  engines and a NULL rhs must be SKIPPED by count(DISTINCT) on both
+  (the NULL-guarded struct — count(DISTINCT a, b) over the typed
+  column pair would otherwise drop every row).
+- q_feature_pit: unkeyed events (NULL user_id or ts) are excluded by
+  contract on BOTH engines; a NULL value must not poison the window
+  sums (both engines skip NULL in SUM).
 """
 
 from __future__ import annotations
@@ -63,6 +70,35 @@ def sf_nulls(tmp_path_factory) -> str:
         pa.array(ln, type=li.schema.field("l_linenumber").type),
     )
     pq.write_table(li, d / "lineitem.parquet")
+
+    # events: NULL user_id / ts / value (feature_pit exclusion contract
+    # + FD-audit lhs NULL group), NULL event_type (FD rhs NULL skip)
+    ev = pq.read_table(d / "events.parquet")
+    cols = {c: ev.column(c).to_pylist() for c in
+            ("user_id", "ts", "value", "event_type")}
+    cols["user_id"][0] = None
+    cols["ts"][1] = None
+    cols["value"][2] = None
+    cols["event_type"][3] = None
+    for c, vals in cols.items():
+        ev = ev.set_column(
+            ev.schema.get_field_index(c),
+            c,
+            pa.array(vals, type=ev.schema.field(c).type),
+        )
+    pq.write_table(ev, d / "events.parquet")
+
+    # part: NULL p_brand — a NULL STRING lhs for part.p_brand->p_type
+    # and a NULL rhs for part.p_partkey->p_brand in one plant
+    pt = pq.read_table(d / "part.parquet")
+    brand = pt.column("p_brand").to_pylist()
+    brand[0] = None
+    pt = pt.set_column(
+        pt.schema.get_field_index("p_brand"),
+        "p_brand",
+        pa.array(brand, type=pt.schema.field("p_brand").type),
+    )
+    pq.write_table(pt, d / "part.parquet")
     return str(d)
 
 
@@ -71,8 +107,10 @@ def sf_nulls(tmp_path_factory) -> str:
     [
         "q_dq_referential",
         "q_dq_uniqueness",
+        "q_dq_fd_audit",
         "q_text_normalize",
         "q_dedup_substring",
+        "q_feature_pit",
     ],
 )
 def test_null_bearing_fixture_still_hash_matches(spark, sf_nulls, name):

@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "q_mixture_report",   # 1-row corpus-total scalar (permille share)
     "q_text_kl_drift",    # 1-row corpus-token-total scalar (log2 N)
     "q_mixture_temperature",  # 1-row normalizer scalar (Σ√chars)
+    "q_part_price_index",  # 1-row base-month scalar broadcast
     "q_dq_freshness",     # 1-row corpus-watermark scalar
     "q_graph_triangles",  # 1-row triangle/wedge/edge scalars
     "q_market_basket",    # 1-row corpus-size scalar (lift)
