@@ -9239,3 +9239,406 @@ def q_part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("index_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_part_supplier_concentration — sourcing-concentration risk (round 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_part_supplier_concentration",
+    oracle="""
+    WITH psup AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rc
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pp AS (
+      SELECT pk,
+             CAST(SUM(rc) AS BIGINT) AS total,
+             CAST(max(rc) AS BIGINT) AS top1,
+             count(*) AS ns
+      FROM psup GROUP BY 1
+    )
+    SELECT CAST(top1 * 10 // total AS BIGINT) AS top_share_decile,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(total) AS BIGINT) AS revenue_cents,
+           CAST(SUM(ns) * 1000 // count(*) AS BIGINT)
+             AS avg_suppliers_permille
+    FROM pp GROUP BY 1
+    """,
+)
+def q_part_supplier_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sourcing-concentration risk: per part, the TOP supplier's share
+    of that part's revenue, histogrammed in exact deciles with the
+    revenue at stake and the average nominal supplier count per
+    bucket. Nominal supplier counts hide captivity — a part with 20
+    suppliers where one ships 90% of the value is effectively
+    single-sourced — so procurement reviews cut by dominant-share,
+    not by count (the per-part refinement of q_supplier_hhi's
+    nation-level concentration).
+
+    Plan: the q_events_dau_mau two-level re-aggregation — one
+    map-combined fact aggregate to (part, supplier) grain, a
+    part-grain re-aggregate (sum + max + count ride the same group),
+    and a ≤10-cell rollup. One fact-scale exchange; the (part,
+    supplier) exchange volume is the distinct pair count."""
+    psup = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("rc")
+        )
+    )
+    pp = psup.groupBy("pk").agg(
+        F.sum("rc").alias("total"),
+        F.max("rc").alias("top1"),
+        F.count(F.lit(1)).alias("ns"),
+    )
+    return (
+        pp.groupBy(
+            F.expr("CAST(top1 * 10 div total AS BIGINT)").alias(
+                "top_share_decile"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("total").cast("long").alias("revenue_cents"),
+            F.expr("CAST(sum(ns) * 1000 div count(1) AS BIGINT)").alias(
+                "avg_suppliers_permille"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dq_completeness — whole-schema NULL-rate audit (round 6)
+# ---------------------------------------------------------------------------
+
+
+#: the declared fixture schema the completeness audit sweeps — a
+#: literal map (stable across sf dirs) shared verbatim by the builder
+#: and the oracle generator so the two can never drift. A
+#: schema-pinning test compares it against the live parquet schemas.
+_COMPLETENESS_COLS = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"),
+    "supplier": ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part": ("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"),
+    "orders": ("o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey",
+                 "l_linenumber", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_returnflag",
+                 "l_linestatus", "l_shipdate"),
+    "events": ("event_id", "ts", "user_id", "event_type", "value",
+               "props"),
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "embedding", "label"),
+}
+
+
+def _sql_completeness() -> str:
+    """One SELECT per column keeps the oracle ANSI-plain — DuckDB
+    prunes each to a single-column scan."""
+    sel = []
+    for t, cols in _COMPLETENESS_COLS.items():
+        for c in cols:
+            sel.append(f"""
+    SELECT '{t}.{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),
+                0) AS BIGINT) AS n_null,
+           CAST(CASE WHEN count(*) = 0 THEN 0
+                ELSE SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                     * 1000 // count(*) END AS BIGINT) AS null_permille
+    FROM {t}""")
+    return " UNION ALL ".join(sel)
+
+
+@register("q_dq_completeness", oracle=_sql_completeness())
+def q_dq_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema completeness audit: NULL count and integer
+    permille NULL rate for EVERY column of every table — the fourth
+    sibling of the DQ family (referential = FK edges, uniqueness =
+    candidate keys, FD = dependencies, completeness = presence), and
+    the first report a lakehouse ingest publishes: which fields can a
+    downstream model actually rely on. The clean fixtures score zero
+    everywhere by construction; the planted-NULL differential suite
+    is what exercises the non-zero paths.
+
+    Plan: ZERO heavy exchanges — each table contributes ONE
+    map-combined aggregate row carrying count(*) plus one
+    null-counter per column (no explode, no union volume: the
+    fused-audit tagged-union trick is WRONG here because nothing
+    needs row-level grouping), and the per-table rows explode to
+    (column, metrics) long form driver-free. |columns| output rows
+    at any corpus size."""
+    parts = []
+    for t, cols in _COMPLETENESS_COLS.items():
+        src = load(spark, sf_dir, t)
+        agg = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col(c).isNull().cast("long")).alias(f"z{i}")
+                for i, c in enumerate(cols)
+            ],
+        )
+        reps = F.array(
+            *[
+                F.struct(
+                    F.lit(f"{t}.{c}").alias("column_name"),
+                    F.col("n").cast("long").alias("n_rows"),
+                    F.col(f"z{i}").cast("long").alias("n_null"),
+                )
+                for i, c in enumerate(cols)
+            ]
+        )
+        parts.append(
+            agg.select(F.explode(reps).alias("r")).select(
+                "r.column_name", "r.n_rows", "r.n_null"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.withColumn(
+        "null_permille",
+        F.expr("CASE WHEN n_rows = 0 THEN 0 "
+               "ELSE n_null * 1000 div n_rows END").cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_customer_migration — period-over-period segment transition matrix
+# ---------------------------------------------------------------------------
+
+#: period split: orders strictly before this year are P1, the rest P2
+_MIGRATE_SPLIT_YEAR = 1998
+
+
+@register(
+    "q_customer_migration",
+    oracle=f"""
+    WITH cp AS (
+      SELECT o_custkey AS cust,
+             CASE WHEN EXTRACT(year FROM CAST(o_orderdate AS TIMESTAMP))
+                       < {_MIGRATE_SPLIT_YEAR} THEN 0 ELSE 1 END AS p,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rc
+      FROM orders GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT cust, p,
+             CAST((row_number() OVER
+                     (PARTITION BY p ORDER BY rc DESC, cust) - 1) * 3
+                  // (count(*) OVER (PARTITION BY p)) AS BIGINT) AS s
+      FROM cp
+    )
+    SELECT coalesce(a.s, -1) AS seg_p1,
+           coalesce(b.s, -1) AS seg_p2,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT cust, s FROM seg WHERE p = 0) a
+    FULL JOIN (SELECT cust, s FROM seg WHERE p = 1) b USING (cust)
+    GROUP BY 1, 2
+    """,
+)
+def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment migration matrix: customers terciled by
+    exact revenue within each of two periods (pre-/post-1998, the
+    corpus midpoint; 0 = top third), and the 4×4 transition counts
+    between the periods
+    — including the ``-1`` churned/new margins (active in only one
+    period). This is the retention-economics view behind "did my best
+    customers stay my best customers", one level up from
+    q_cohort_retention's activity counts: it tracks VALUE RANK, not
+    presence.
+
+    Terciles are RANK-based on both engines — ``(row_number−1)·3 div
+    n_period`` over (revenue desc, cust) — never NTILE (engines
+    distribute NTILE remainders differently than this floor form, and
+    the floor form is the one that stays exact under re-partitioning).
+
+    Plan: one orders-scale exchange to (cust, period) grain; the
+    global rank runs `scale.ranked_by_range` over the total order
+    (period, revenue desc, cust) — range partition, NO single-task
+    window sort — rebased per period by a 2-row broadcast of period
+    offsets/sizes; the transition join is a cust-keyed full-outer SMJ
+    of two |custs|-row slices; 16-cell rollup."""
+    from streamclient_spark.scale import ranked_by_range
+
+    cp = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.year(F.to_date("o_orderdate")) >= _MIGRATE_SPLIT_YEAR)
+            .cast("int")
+            .alias("p"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("rc"),
+        )
+        .groupBy("cust", "p")
+        .agg(F.sum("rc").alias("rc"))
+    )
+    ranked = ranked_by_range(
+        cp, ["p", F.desc("rc"), F.asc("cust")], rank_col="grk"
+    )
+    bounds = ranked.groupBy(F.col("p").alias("p0")).agg(
+        F.min("grk").alias("r0"), F.count(F.lit(1)).alias("np")
+    )
+    seg = (
+        ranked.join(F.broadcast(bounds), F.col("p") == F.col("p0"))
+        .select(
+            "cust",
+            "p",
+            F.expr("(grk - r0) * 3 div np").cast("long").alias("s"),
+        )
+        .localCheckpoint(eager=False)  # both period slices read it
+    )
+    a = seg.filter(F.col("p") == 0).select("cust", F.col("s").alias("sa"))
+    b = seg.filter(F.col("p") == 1).select("cust", F.col("s").alias("sb"))
+    return (
+        a.join(b, "cust", "full_outer")
+        .groupBy(
+            F.coalesce(F.col("sa"), F.lit(-1)).alias("seg_p1"),
+            F.coalesce(F.col("sb"), F.lit(-1)).alias("seg_p2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_graph_closeness — per-seed closeness/eccentricity profile (round 6)
+# ---------------------------------------------------------------------------
+
+#: per-seed BFS sources (top hubs) and the oracle's relaxation unroll.
+#: A SINGLE seed's eccentricity exceeds the seed-SET fixpoint of
+#: q_graph_bfs (the set converges in <=6 rounds measured; one source
+#: must walk the whole component alone), so the margin is wider; a
+#: convergence test pins engine rounds <= _CLOSE_ROUNDS.
+_CLOSE_SEEDS = 8
+_CLOSE_ROUNDS = 16
+
+
+def _sql_closeness_oracle() -> str:
+    """Per-seed min-relaxation replay over (seed, node) state — the
+    q_graph_bfs oracle lifted to one distance table per source."""
+    sql = [
+        f"WITH {_SQL_COPURCHASE_E0}",
+        """
+    , adj AS MATERIALIZED (SELECT a0 AS u, b0 AS v FROM e0
+               UNION ALL SELECT b0, a0 FROM e0)
+    , d0 AS MATERIALIZED (
+        SELECT u AS s, u AS node, 0 AS d FROM adj GROUP BY u
+        ORDER BY count(*) DESC, u ASC LIMIT {seeds}
+    )""".format(seeds=_CLOSE_SEEDS),
+    ]
+    prev = "d0"
+    for i in range(1, _CLOSE_ROUNDS + 1):
+        sql.append(f"""
+    , d{i} AS MATERIALIZED (
+        SELECT s, node, min(d) AS d FROM (
+          SELECT s, node, d FROM {prev}
+          UNION ALL
+          SELECT {prev}.s, adj.v, {prev}.d + 1 FROM adj
+          JOIN {prev} ON adj.u = {prev}.node
+        ) GROUP BY s, node
+    )""")
+        prev = f"d{i}"
+    sql.append(f"""
+    SELECT s AS seed,
+           CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(SUM(d) AS BIGINT) AS total_dist,
+           CAST(max(d) AS BIGINT) AS eccentricity,
+           CAST(SUM(d) * 1000 // count(*) AS BIGINT)
+             AS avg_dist_permille
+    FROM {prev} GROUP BY s
+    """)
+    return "".join(sql)
+
+
+@register("q_graph_closeness", oracle=_sql_closeness_oracle())
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed closeness profile: for each of the top-{_CLOSE_SEEDS}
+    hub nodes, how much of the co-purchase graph it reaches, the total
+    and average hop distance (exact integer permille), and its
+    eccentricity — the centrality scorecard behind "which hub is the
+    best broadcast point" and the per-source refinement of
+    q_graph_bfs's distance-to-set histogram (the set collapses all
+    seeds into one frontier; this keeps them apart).
+
+    Engine: the layered Pregel BFS kernel lifted to (seed, node)
+    state — per round one join of the composite frontier onto the
+    node-partitioned adjacency, a distinct, and an anti-join against
+    the settled (seed, node) set, every step riding the node hash.
+    Each node is settled at most once PER SEED, so total work is
+    O(seeds·|E|) across all rounds; layers are eagerly
+    localCheckpoint-ed (the q_graph_bfs lineage-doubling lesson —
+    plannings, not jobs, were the cost). The oracle unrolls
+    {_CLOSE_ROUNDS} relaxation rounds; a convergence test pins the
+    engine fixpoint within that margin."""
+    dist, _rounds = _closeness_layers(spark, sf_dir)
+    return dist.groupBy(F.col("s").alias("seed")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum("d").cast("long").alias("total_dist"),
+        F.max("d").cast("long").alias("eccentricity"),
+        F.expr("CAST(sum(d) * 1000 div count(1) AS BIGINT)").alias(
+            "avg_dist_permille"
+        ),
+    )
+
+
+def _closeness_layers(spark: SparkSession, sf_dir: str):
+    """Layered per-seed BFS over the co-purchase graph. Returns
+    ``(dist, rounds)``: the settled (s, node, d) table and the number
+    of expansion rounds to fixpoint (tests pin
+    ``rounds <= _CLOSE_ROUNDS``)."""
+    e = _copurchase_edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("u"), F.col("v"))
+        .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(8, "u")
+        .localCheckpoint()
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    seeds = (
+        deg.orderBy(F.desc("d"), F.asc("u"))
+        .limit(_CLOSE_SEEDS)
+        .select(F.col("u").alias("s"), F.col("u").alias("node"),
+                F.lit(0).alias("d"))
+        .localCheckpoint()
+    )
+    dist = seeds
+    frontier = seeds
+    r = 0
+    while True:
+        r += 1
+        nxt = (
+            adj.join(
+                frontier.select("s", F.col("node").alias("u")), "u"
+            )
+            .select("s", F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("s", "node"), ["s", "node"], "left_anti")
+            .select("s", "node", F.lit(r).alias("d"))
+            .localCheckpoint()  # eager: truncate lineage, settle layer
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt)
+        frontier = nxt
+        if r > 64:  # safety valve; small-world bounded
+            break
+    return dist, r - 1

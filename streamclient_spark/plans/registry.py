@@ -116,7 +116,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_orders_aging", "q_orders_fill_rate", "q_scan_merge_schema",
     # round-6 additions (never attested; verified by the local mirror):
     "q_feature_pit", "q_sample_bootstrap", "q_part_price_index",
-    "q_embed_isotropy",
+    "q_embed_isotropy", "q_part_supplier_concentration",
+    "q_dq_completeness", "q_customer_migration", "q_graph_closeness",
     # --- attested green in r5 and byte-identical since ---
     "q_dq_referential", "q_text_bm25",
     "q_graph_pagerank", "q_text_normalize",

@@ -88,3 +88,43 @@ def test_orders_backlog_conserves_flow(spark, sf_oracle):
     assert sum(r["shipped"] for r in rows) == n_with_items
     assert rows[-1]["backlog"] == n_orders - n_with_items
     assert all(r["backlog"] >= 0 for r in rows)
+
+
+def test_completeness_schema_map_matches_live_parquet(spark):
+    """q_dq_completeness sweeps a LITERAL schema map (shared by the
+    builder and the oracle generator). Pin it against the live parquet
+    schemas so a regenerated fixture can't silently drop a column from
+    the audit."""
+    from streamclient_spark.operators.relational import _COMPLETENESS_COLS
+    from streamclient_spark.tables import TABLES, load
+
+    assert set(_COMPLETENESS_COLS) == set(TABLES)
+    for t in TABLES:
+        live = [c for c, _ in load(spark, "/root/testdata/sf0.001", t).dtypes]
+        assert list(_COMPLETENESS_COLS[t]) == live, t
+
+
+def test_audit_scan_cache_serves_both_audits(spark):
+    """VERDICT r5 #4: one scan per table per session serves the FD and
+    uniqueness audits. After either audit materializes the keyed
+    auditscan:* projections, the OTHER audit's executed plan must read
+    every one of its tables from InMemoryTableScan."""
+    import re
+
+    from streamclient_spark.cacheutil import release_all
+    from streamclient_spark.plans.registry import load_all
+
+    release_all()
+    sf = "/root/testdata/sf0.001"
+    specs = load_all()
+    specs["q_dq_fd_audit"].builder(spark, sf).collect()  # materializes
+    plan = (
+        specs["q_dq_uniqueness"]
+        .builder(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # uniqueness audits 8 tables; each must come from the shared cache
+    assert len(re.findall(r"InMemoryTableScan", plan)) == 8, plan
+    release_all()

@@ -634,3 +634,21 @@ def test_bfs_seed_rows_are_distance_zero_and_partition(spark, sf_oracle):
         .count()
     )
     assert sum(rows.values()) == n_nodes
+
+
+def test_closeness_converges_within_oracle_unroll(spark, sf_oracle):
+    # q_graph_closeness's oracle unrolls _CLOSE_ROUNDS per-seed
+    # min-relaxation rounds; the engine expands (seed, node) frontiers
+    # to fixpoint. A single seed must walk its component alone, so its
+    # round count exceeds the seed-SET fixpoint of q_graph_bfs — pin
+    # convergence within the wider margin.
+    from streamclient_spark.operators.relational import (
+        _CLOSE_ROUNDS,
+        _closeness_layers,
+    )
+
+    _dist, rounds = _closeness_layers(spark, sf_oracle)
+    assert rounds <= _CLOSE_ROUNDS, (
+        f"per-seed BFS needed {rounds} rounds; oracle unrolls only "
+        f"{_CLOSE_ROUNDS} — widen _CLOSE_ROUNDS"
+    )
