@@ -1511,3 +1511,108 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_text_template_detection — templated-document share (round 6)
+# ---------------------------------------------------------------------------
+
+#: docs on this id rule get deterministic template text planted (the
+#: q_text_scrub doctrine: the fixture's word soup has no organic
+#: templates, so the op plants what it must then find — identically on
+#: both engines)
+_TEMPLATE_MOD = 11
+#: a skeleton shared by at least this many docs marks them templated
+_TEMPLATE_MIN_DF = 5
+
+
+@register(
+    "q_text_template_detection",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % {_TEMPLATE_MOD} = 0 THEN
+               'Invoice ' || CAST(doc_id AS VARCHAR) || ' for order '
+               || CAST(doc_id * 7 % 9973 AS VARCHAR) || ' total '
+               || CAST(doc_id * 13 % 99991 AS VARCHAR)
+               || ' thank you for your purchase'
+             ELSE text END AS text
+      FROM documents
+    ),
+    sk AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(text), '[0-9]+', '#', 'g')) AS h
+      FROM planted
+    ),
+    marked AS (
+      SELECT source,
+             (count(*) OVER (PARTITION BY h)) >= {_TEMPLATE_MIN_DF}
+               AS is_templated
+      FROM sk
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_templated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_templated,
+           CAST(SUM(CASE WHEN is_templated THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS templated_permille
+    FROM marked GROUP BY source
+    """,
+)
+def q_text_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated-document share per source — the boilerplate-page
+    detector (RefinedWeb/CCNet drop templated pages before training:
+    invoices, listings, auto-generated forms differ only in their
+    numbers): normalize each document to a digit-collapsed lowercase
+    skeleton, and mark documents whose skeleton is shared by ≥
+    {_TEMPLATE_MIN_DF} docs. The fixture's word soup has no organic
+    templates, so the op PLANTS deterministic invoice text on a
+    doc_id rule — identically on both engines — and must find exactly
+    those (the q_text_scrub doctrine).
+
+    Plan: one codegen projection (concat/lower/regexp/md5 — no
+    Python), one skeleton-hash exchange for the document-frequency
+    window, one |sources| rollup. Shuffles carry 16-byte digests,
+    never text. At 100 TB the skeleton-df table IS the template
+    catalog a pipeline would persist."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % _TEMPLATE_MOD == 0,
+            F.concat(
+                F.lit("Invoice "),
+                F.col("doc_id").cast("string"),
+                F.lit(" for order "),
+                (F.col("doc_id") * 7 % 9973).cast("string"),
+                F.lit(" total "),
+                (F.col("doc_id") * 13 % 99991).cast("string"),
+                F.lit(" thank you for your purchase"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sk = d.select(
+        "source",
+        F.md5(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#")
+        ).alias("h"),
+    )
+    marked = sk.select(
+        "source",
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("h"))
+            >= _TEMPLATE_MIN_DF
+        ).alias("is_templated"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("is_templated").cast("long"))
+        .cast("long")
+        .alias("n_templated"),
+        F.expr(
+            "CAST(sum(CAST(is_templated AS LONG)) * 1000 div count(1) "
+            "AS BIGINT)"
+        ).alias("templated_permille"),
+    )

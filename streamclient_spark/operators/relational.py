@@ -9642,3 +9642,107 @@ def _closeness_layers(spark: SparkSession, sf_dir: str):
         if r > 64:  # safety valve; small-world bounded
             break
     return dist, r - 1
+
+
+# ---------------------------------------------------------------------------
+# q_events_bot_detection — automated-traffic heuristic audit (round 6)
+# ---------------------------------------------------------------------------
+
+#: integer thresholds for the three bot signals (chosen non-degenerate
+#: on the fixture: 54/89/17 of 150 users trip them at sf0.01)
+_BOT_MIN_EVENTS = 70
+_BOT_MIN_ACTIVE_DAYS = 29
+
+
+@register(
+    "q_events_bot_detection",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s,
+             CAST(date_diff('day', DATE '1970-01-01',
+                  CAST(ts AS TIMESTAMP)::DATE) AS BIGINT) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id, d,
+             s - lag(s) OVER (PARTITION BY user_id ORDER BY s) AS gap
+      FROM e
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT d) AS BIGINT) AS nd,
+             CAST(count(gap) AS HUGEINT) AS ng,
+             CAST(coalesce(SUM(gap), 0) AS HUGEINT) AS sx,
+             coalesce(SUM(CAST(gap AS HUGEINT) * gap), 0) AS sxx
+      FROM g GROUP BY 1
+    )
+    SELECT (n >= {_BOT_MIN_EVENTS}) AS high_volume,
+           (ng > 1 AND ng * sxx - sx * sx <= sx * sx) AS metronomic,
+           (nd >= {_BOT_MIN_ACTIVE_DAYS}) AS always_on,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM u GROUP BY 1, 2, 3
+    """,
+)
+def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated-traffic heuristic audit — the bot-filtering cut a
+    training pipeline runs before any engagement data is trusted:
+    users flagged on three integer signals (high volume, metronomic
+    timing — population CV of inter-arrival seconds ≤ 1, decided by
+    the cross-multiplied moment inequality ng·Σg² − (Σg)² ≤ (Σg)², no
+    float CV — and always-on presence), rolled up to the 8-cell flag
+    cube with user and event counts. Moments accumulate in
+    decimal/HUGEINT: second-granularity gaps square safely, but a
+    year-long history at event rates would not fit int64 cross terms.
+
+    Plan: ONE fact-scale exchange — events repartitioned by user feed
+    the lag window AND the per-user aggregate exchange-free (the
+    q_feature_pit recipe); the flag cube is an 8-group rollup.
+    Unkeyed rows (NULL user/ts) are excluded by contract on both
+    engines."""
+    par = spark.sparkContext.defaultParallelism
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 1000000").alias("s"),
+            F.expr(
+                "CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)"
+            ).alias("d"),
+        )
+        .repartition(par, "user_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("s")
+    g = e.select(
+        "user_id", "d", (F.col("s") - F.lag("s").over(w)).alias("gap")
+    )
+    dec = "decimal(38,0)"
+    u = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("d").alias("nd"),
+        F.count("gap").cast(dec).alias("ng"),
+        F.coalesce(F.sum("gap"), F.lit(0)).cast(dec).alias("sx"),
+        F.coalesce(
+            F.sum(F.col("gap").cast(dec) * F.col("gap")), F.lit(0)
+        ).alias("sxx"),
+    )
+    return (
+        u.groupBy(
+            (F.col("n") >= _BOT_MIN_EVENTS).alias("high_volume"),
+            (
+                (F.col("ng") > 1)
+                & (
+                    F.col("ng") * F.col("sxx") - F.col("sx") * F.col("sx")
+                    <= F.col("sx") * F.col("sx")
+                )
+            ).alias("metronomic"),
+            (F.col("nd") >= _BOT_MIN_ACTIVE_DAYS).alias("always_on"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+    )

@@ -118,6 +118,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_feature_pit", "q_sample_bootstrap", "q_part_price_index",
     "q_embed_isotropy", "q_part_supplier_concentration",
     "q_dq_completeness", "q_customer_migration", "q_graph_closeness",
+    "q_events_bot_detection", "q_text_template_detection",
     # --- attested green in r5 and byte-identical since ---
     "q_dq_referential", "q_text_bm25",
     "q_graph_pagerank", "q_text_normalize",

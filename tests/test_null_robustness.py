@@ -111,6 +111,8 @@ def sf_nulls(tmp_path_factory) -> str:
         "q_text_normalize",
         "q_dedup_substring",
         "q_feature_pit",
+        "q_events_bot_detection",
+        "q_text_template_detection",
     ],
 )
 def test_null_bearing_fixture_still_hash_matches(spark, sf_nulls, name):
