@@ -939,3 +939,126 @@ def q_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("q").cast("double") / F.col("n")) / 1000000.0, 6
         ).alias("rms_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_pair_margin — class-separability audit (round 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embed_pair_margin",
+    oracle="""
+    WITH fx AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                  + 0.5) AS BIGINT) AS fp
+      FROM embeddings
+    ),
+    sd AS (
+      SELECT label, d, CAST(SUM(fp) AS BIGINT) AS s
+      FROM fx GROUP BY 1, 2
+    ),
+    gd AS (SELECT d, CAST(SUM(s) AS BIGINT) AS gs FROM sd GROUP BY 1),
+    nl AS (
+      SELECT label,
+             CAST(count(*) // 64 AS BIGINT) AS n,
+             SUM(CAST(fp AS HUGEINT) * fp) AS q
+      FROM fx GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM nl),
+    dots AS (
+      SELECT sd.label,
+             SUM(CAST(sd.s AS HUGEINT) * sd.s) AS ss,
+             SUM(CAST(sd.s AS HUGEINT) * (gd.gs - sd.s)) AS sc
+      FROM sd JOIN gd USING (d) GROUP BY 1
+    )
+    SELECT nl.label,
+           nl.n AS n_vecs,
+           CAST((dots.ss - nl.q) // (CAST(nl.n AS HUGEINT) * (nl.n - 1))
+                // 1000000 AS BIGINT) AS intra_dot_micro,
+           CAST(dots.sc // (CAST(nl.n AS HUGEINT) * (tot.nt - nl.n))
+                // 1000000 AS BIGINT) AS cross_dot_micro,
+           CAST((dots.ss - nl.q) // (CAST(nl.n AS HUGEINT) * (nl.n - 1))
+                // 1000000
+                - dots.sc // (CAST(nl.n AS HUGEINT) * (tot.nt - nl.n))
+                // 1000000 AS BIGINT) AS margin_micro
+    FROM nl JOIN dots USING (label) CROSS JOIN tot
+    WHERE nl.n > 1 AND tot.nt > nl.n
+    """,
+)
+def q_embed_pair_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability audit: per label, the mean pairwise dot
+    product WITHIN the label vs the mean dot product to vectors of
+    OTHER labels, and the margin between them — the Fisher-style
+    "are my classes actually separated in embedding space" check
+    behind classifier-probe sanity, hard-negative mining budgets, and
+    SemDeDup cell quality. Computed WITHOUT any pairwise join: on the
+    1e-6 fixed-point grid, Σ-of-pair-dots algebra reduces every mean
+    to per-(label, dim) sums — intra = (‖S_l‖² − Σ‖v‖²)/(n_l(n_l−1)),
+    cross = S_l·(S − S_l)/(n_l(n − n_l)) — all exact integers in
+    decimal/HUGEINT. Pair sums can be NEGATIVE (embeddings are
+    centered around zero), so the micro-unit division must truncate
+    identically on both engines: Spark decimal ``div`` and DuckDB
+    integer ``//`` both truncate toward zero (the q_supplier_hhi
+    lore), and the margin subtracts the two already-truncated terms,
+    so rounding can never diverge. Labels with a single vector are
+    excluded on both sides (n(n−1) = 0 would divide by zero — an
+    error in DuckDB but NULL in non-ANSI Spark, the one place the
+    engines would disagree).
+
+    Plan: one posexplode feeding the per-(label, dim) sums and the
+    per-label second moments (the q_embed_isotropy frames), a 64-row
+    global-dim broadcast join, and |labels|-row arithmetic. Nothing
+    pairwise, nothing beyond |labels|×dims after the explode."""
+    fx = (
+        load(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("d", "v"))
+        .select(
+            "label",
+            "d",
+            F.floor(F.col("v").cast("double") * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    dec = "decimal(38,0)"
+    sd = fx.groupBy("label", "d").agg(F.sum("fp").alias("s"))
+    sd = sd.localCheckpoint(eager=False)  # gd + dots reuse (tiny)
+    gd = sd.groupBy("d").agg(F.sum("s").alias("gs"))
+    nl = fx.groupBy("label").agg(
+        F.expr("count(1) div 64").cast("long").alias("n"),
+        F.sum(F.col("fp").cast(dec) * F.col("fp")).alias("q"),
+    )
+    tot = nl.agg(F.sum("n").cast("long").alias("nt"))
+    dots = (
+        sd.join(F.broadcast(gd), "d")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s").cast(dec) * F.col("s")).alias("ss"),
+            F.sum(
+                F.col("s").cast(dec) * (F.col("gs") - F.col("s"))
+            ).alias("sc"),
+        )
+    )
+    intra = F.expr(
+        "CAST((ss - q) div (CAST(n AS DECIMAL(38,0)) * (n - 1)) "
+        "div 1000000 AS BIGINT)"
+    )
+    cross = F.expr(
+        "CAST(sc div (CAST(n AS DECIMAL(38,0)) * (nt - n)) "
+        "div 1000000 AS BIGINT)"
+    )
+    return (
+        nl.join(dots, "label")
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("n") > 1) & (F.col("nt") > F.col("n")))
+        .select(
+            "label",
+            F.col("n").alias("n_vecs"),
+            intra.alias("intra_dot_micro"),
+            cross.alias("cross_dot_micro"),
+            (intra - cross).alias("margin_micro"),
+        )
+    )

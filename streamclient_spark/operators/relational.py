@@ -9746,3 +9746,101 @@ def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_orders_repeat_interval — repeat-purchase latency histogram (round 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_orders_repeat_interval",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS c,
+             CAST(date_diff('day', DATE '1970-01-01',
+                  CAST(o_orderdate AS TIMESTAMP)::DATE) AS BIGINT) AS d,
+             o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS tc
+      FROM orders
+    ),
+    g AS (
+      SELECT c, tc,
+             d - lag(d) OVER (PARTITION BY c ORDER BY d, k) AS gap
+      FROM o
+    ),
+    b AS (
+      SELECT CASE WHEN gap <= 7 THEN '0-7d'
+                  WHEN gap <= 30 THEN '8-30d'
+                  WHEN gap <= 90 THEN '31-90d'
+                  ELSE '91d+' END AS bucket,
+             tc
+      FROM g WHERE gap IS NOT NULL
+    ),
+    tot AS (SELECT count(*) AS t FROM b)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_repeats,
+           CAST(SUM(tc) AS BIGINT) AS repeat_cents,
+           CAST(count(*) * 1000 // tot.t AS BIGINT) AS share_permille
+    FROM b CROSS JOIN tot GROUP BY 1, tot.t
+    """,
+)
+def q_orders_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase latency: the distribution of day gaps between a
+    customer's consecutive orders, bucketed with repeat revenue and
+    integer share — the metric behind replenishment-cycle estimation
+    and "is my repeat window 7 or 90 days" lifecycle marketing, and
+    the orders-side complement of q_events_inter_arrival (which is
+    event-time, not business-cadence). Ties on a day break by
+    orderkey so the lag is total-ordered and deterministic.
+
+    Plan: ONE orders-scale exchange — hash(cust) feeds the per-
+    customer lag window directly (no pre-aggregate: the observation
+    grain IS the order); a 4-bucket rollup with a 1-row total
+    broadcast. Per-customer sort is bounded by order counts, never
+    corpus-wide."""
+    par = spark.sparkContext.defaultParallelism
+    o = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.expr(
+                "CAST(datediff(to_date(o_orderdate), DATE '1970-01-01')"
+                " AS BIGINT)"
+            ).alias("d"),
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("tc"),
+        )
+        .repartition(par, "c")
+    )
+    w = Window.partitionBy("c").orderBy("d", "k")
+    g = o.select(
+        "tc", (F.col("d") - F.lag("d").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    b = g.select(
+        F.when(F.col("gap") <= 7, "0-7d")
+        .when(F.col("gap") <= 30, "8-30d")
+        .when(F.col("gap") <= 90, "31-90d")
+        .otherwise("91d+")
+        .alias("bucket"),
+        "tc",
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("bucket", "t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_repeats"),
+            F.sum("tc").cast("long").alias("repeat_cents"),
+        )
+        .select(
+            "bucket",
+            "n_repeats",
+            F.col("repeat_cents"),
+            F.expr("n_repeats * 1000 div t")
+            .cast("long")
+            .alias("share_permille"),
+        )
+    )

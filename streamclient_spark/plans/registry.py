@@ -119,6 +119,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embed_isotropy", "q_part_supplier_concentration",
     "q_dq_completeness", "q_customer_migration", "q_graph_closeness",
     "q_events_bot_detection", "q_text_template_detection",
+    "q_orders_repeat_interval", "q_embed_pair_margin",
     # --- attested green in r5 and byte-identical since ---
     "q_dq_referential", "q_text_bm25",
     "q_graph_pagerank", "q_text_normalize",

@@ -39,6 +39,8 @@ BNLJ_ALLOWED = {
     "q_text_kl_drift",    # 1-row corpus-token-total scalar (log2 N)
     "q_mixture_temperature",  # 1-row normalizer scalar (Σ√chars)
     "q_part_price_index",  # 1-row base-month scalar broadcast
+    "q_orders_repeat_interval",  # 1-row repeat-total scalar (share)
+    "q_embed_pair_margin",  # 1-row corpus-count scalar (cross term)
     "q_dq_freshness",     # 1-row corpus-watermark scalar
     "q_graph_triangles",  # 1-row triangle/wedge/edge scalars
     "q_market_basket",    # 1-row corpus-size scalar (lift)
