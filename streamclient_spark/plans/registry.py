@@ -103,16 +103,27 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_orders_backlog", "q_dq_kanon", "q_dedup_prefix",
     "q_events_dow_hour_heat", "q_supplier_hhi",
     # --- ROUND-7 QUEUE: never-attested remainder. Arithmetic against
-    # the CORRECTNESS ledger: 230 attested r1∪…∪r5 + 50 in the
-    # round-6 window above + the 3 sliders below + 5 rows-only by
-    # contract (pinned dead last, never windowed) = 282 + new round-6
-    # queries, which are appended here as they land. The 3 sliders
-    # (q_orders_aging, q_orders_fill_rate, q_scan_merge_schema — the
-    # queue tail) slid when the five round-6 rewrites + the
-    # q_mixture_temperature rescue took 6 window slots against the
-    # 47 remaining queue names; they head the round-7 window, after
-    # any round-7 modified-after-green re-attests, and whole-registry
-    # attestation completes when this block is exhausted. ---
+    # the CORRECTNESS ledger (r1∪…∪r5 = 230 attested, which INCLUDES
+    # the 4 rows-only-by-contract attestations and the 2 green queries
+    # re-attesting at the window head after round-6 rewrites):
+    #   282 pre-round-6 queries
+    #     = 230 attested
+    #     + 48 never-attested in the round-6 window above
+    #     +  3 never-attested sliders below
+    #     +  1 never-windowed rows-only (q_agg_approx_pct, dead last
+    #          by contract — it completes the 5-name rows-only block
+    #          with the 4 already-attested ones)
+    #   294 total = 282 + 12 round-6 additions (appended below as
+    #   they landed, each verified by the local oracle mirror).
+    # The 3 sliders (q_orders_aging, q_orders_fill_rate,
+    # q_scan_merge_schema — the queue tail) slid when the round-6
+    # rewrites + the q_mixture_temperature rescue took 6 window slots
+    # against the 47 remaining queue names. Round-7 window plan: any
+    # round-7 modified-after-green re-attests first, then the 3
+    # sliders, then the 12 round-6 additions — 15 never-attested
+    # names in all, so one round-7 window completes whole-registry
+    # attestation with ~35 slots to spare for re-attests and round-7
+    # additions. ---
     "q_orders_aging", "q_orders_fill_rate", "q_scan_merge_schema",
     # round-6 additions (never attested; verified by the local mirror):
     "q_feature_pit", "q_sample_bootstrap", "q_part_price_index",
