@@ -1469,7 +1469,7 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     extended from membership to REPLICATION).
 
     Plan: one scan, one map-side-combined global aggregate producing
-    all {2 * _BOOT_B} partial sums at once (each row updates
+    all 2×_BOOT_B partial sums at once (each row updates
     {_BOOT_B} accumulator pairs in-register — no row explosion, no
     shuffle beyond {_BOOT_B} pairs of longs per task), then a 1-row
     explode to long form. At 100 TB the entire exchange is

@@ -470,6 +470,10 @@ def test_websocket_feeder_drives_live_source_end_to_end(spark, tmp_path):
     )
     n = feeder.run()
     assert n == 3 and sock.connected and sock.closed
+    # ADVICE r5: the two unroutable frames above must be COUNTED, not
+    # silently swallowed — a routable-key regression upstream should
+    # surface as a signal, never as unexplained data loss
+    assert feeder.dropped_unroutable == 2
     # the subscribe frame carried the requested types (server-side
     # pushdown, the reference's typed trigger registration)
     sub = _json.loads(sock.sent[0])
