@@ -1062,3 +1062,125 @@ def q_embed_pair_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (intra - cross).alias("margin_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_centroid_drift — embedding-distribution drift monitor (round 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embed_centroid_drift",
+    oracle="""
+    WITH fx AS (
+      SELECT label,
+             CAST(vec_id % 2 AS BIGINT) AS half,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                  + 0.5) AS BIGINT) AS fp
+      FROM embeddings
+    ),
+    sd AS (
+      SELECT label, half, d,
+             CAST(SUM(fp) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS nr
+      FROM fx GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT a.label, a.d,
+             a.s AS s0, b.s AS s1, a.nr AS n0, b.nr AS n1
+      FROM (SELECT * FROM sd WHERE half = 0) a
+      JOIN (SELECT * FROM sd WHERE half = 1) b
+        ON a.label = b.label AND a.d = b.d
+    ),
+    agg AS (
+      SELECT label,
+             any_value(n0) AS n0, any_value(n1) AS n1,
+             SUM(CAST(s0 AS HUGEINT) * s1) AS dot01,
+             SUM(CAST(s0 AS HUGEINT) * s0) AS dot00,
+             SUM(CAST(s1 AS HUGEINT) * s1) AS dot11
+      FROM w GROUP BY 1
+    )
+    SELECT label,
+           n0 AS n_even, n1 AS n_odd,
+           round(CAST(dot01 AS DOUBLE)
+                 / (sqrt(CAST(dot00 AS DOUBLE))
+                    * sqrt(CAST(dot11 AS DOUBLE))), 6)
+             AS centroid_cosine
+    FROM agg WHERE dot00 > 0 AND dot11 > 0
+    """,
+)
+def q_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per label, the cosine
+    between the centroid of one corpus half and the centroid of the
+    other (halves split deterministically by vec_id parity — in
+    production, by ingestion batch or date). A cosine near 1 means
+    the label's embedding distribution is stable across the split; a
+    drop is the upstream-encoder-changed / population-shift alarm
+    that silently degrades every ANN index and classifier probe built
+    on the column — the embedding-space sibling of q_text_kl_drift's
+    vocabulary test. Centroid COSINE is scale-invariant, so the
+    per-half mean division cancels and the whole statistic reduces to
+    per-(label, half, dim) fixed-point sums: cos = S0·S1/(‖S0‖‖S1‖).
+    Sums are exact integers on the 1e-6 grid (HUGEINT/decimal cross
+    terms); the two sqrts and one division are single IEEE ops on
+    identical doubles, rounded at 1e-6 (the libm convention).
+    Degenerate all-zero halves are excluded identically on both
+    engines.
+
+    Plan: one posexplode feeding a per-(label, half, dim) sum
+    (|labels|·2·dims exchange rows), a co-keyed self-pair on
+    (label, dim), and a |labels|-row rollup. Nothing downstream of
+    the explode exceeds |labels|×dims at any corpus size."""
+    fx = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "label",
+            (F.col("vec_id") % 2).cast("bigint").alias("half"),
+            F.posexplode("embedding").alias("d", "v"),
+        )
+        .select(
+            "label",
+            "half",
+            "d",
+            F.floor(F.col("v").cast("double") * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    sd = (
+        fx.groupBy("label", "half", "d")
+        .agg(F.sum("fp").alias("s"), F.count(F.lit(1)).alias("nr"))
+        .localCheckpoint(eager=False)  # both half-slices read it
+    )
+    dec = "decimal(38,0)"
+    a = sd.filter(F.col("half") == 0).select(
+        "label", "d", F.col("s").alias("s0"), F.col("nr").alias("n0")
+    )
+    b = sd.filter(F.col("half") == 1).select(
+        "label", "d", F.col("s").alias("s1"), F.col("nr").alias("n1")
+    )
+    agg = (
+        a.join(b, ["label", "d"])
+        .groupBy("label")
+        .agg(
+            F.first("n0").alias("n_even"),
+            F.first("n1").alias("n_odd"),
+            F.sum(F.col("s0").cast(dec) * F.col("s1")).alias("dot01"),
+            F.sum(F.col("s0").cast(dec) * F.col("s0")).alias("dot00"),
+            F.sum(F.col("s1").cast(dec) * F.col("s1")).alias("dot11"),
+        )
+    )
+    return agg.filter((F.col("dot00") > 0) & (F.col("dot11") > 0)).select(
+        "label",
+        "n_even",
+        "n_odd",
+        F.round(
+            F.col("dot01").cast("double")
+            / (
+                F.sqrt(F.col("dot00").cast("double"))
+                * F.sqrt(F.col("dot11").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+    )

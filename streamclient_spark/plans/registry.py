@@ -113,14 +113,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #     +  1 never-windowed rows-only (q_agg_approx_pct, dead last
     #          by contract — it completes the 5-name rows-only block
     #          with the 4 already-attested ones)
-    #   294 total = 282 + 12 round-6 additions (appended below as
+    #   295 total = 282 + 13 round-6 additions (appended below as
     #   they landed, each verified by the local oracle mirror).
     # The 3 sliders (q_orders_aging, q_orders_fill_rate,
     # q_scan_merge_schema — the queue tail) slid when the round-6
     # rewrites + the q_mixture_temperature rescue took 6 window slots
     # against the 47 remaining queue names. Round-7 window plan: any
     # round-7 modified-after-green re-attests first, then the 3
-    # sliders, then the 12 round-6 additions — 15 never-attested
+    # sliders, then the 13 round-6 additions — 16 never-attested
     # names in all, so one round-7 window completes whole-registry
     # attestation with ~35 slots to spare for re-attests and round-7
     # additions. ---
@@ -131,6 +131,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dq_completeness", "q_customer_migration", "q_graph_closeness",
     "q_events_bot_detection", "q_text_template_detection",
     "q_orders_repeat_interval", "q_embed_pair_margin",
+    "q_embed_centroid_drift",
     # --- attested green in r5 and byte-identical since ---
     "q_dq_referential", "q_text_bm25",
     "q_graph_pagerank", "q_text_normalize",
