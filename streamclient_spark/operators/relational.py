@@ -8170,6 +8170,16 @@ def q_dq_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.col(col)
         if dtypes[col] == "string":
             return F.lit(None).cast("long"), c
+        # The long cast is only lossless for integral inputs; a future
+        # decimal/date/double candidate would silently merge distinct
+        # values through truncation and corrupt the distinct counts.
+        # Guard like the uniqueness audit's arity assert.
+        assert dtypes[col] in ("tinyint", "smallint", "int", "bigint"), (
+            f"q_dq_fd_audit: column {col!r} has non-integral dtype "
+            f"{dtypes[col]!r}; the typed-pair encoding only supports "
+            "string and integral FD columns — widen the pair instead "
+            "of casting"
+        )
         return c.cast("long"), F.lit(None).cast("string")
 
     parts = []
@@ -9391,7 +9401,12 @@ def q_dq_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = src.agg(
             F.count(F.lit(1)).alias("n"),
             *[
-                F.sum(F.col(c).isNull().cast("long")).alias(f"z{i}")
+                # coalesce matches the oracle's coalesce(SUM(...), 0):
+                # on an EMPTY table SUM is NULL but the report should
+                # say 0 nulls, not NULL.
+                F.coalesce(
+                    F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+                ).alias(f"z{i}")
                 for i, c in enumerate(cols)
             ],
         )
@@ -9482,8 +9497,16 @@ def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .select(
             F.col("o_custkey").alias("cust"),
-            (F.year(F.to_date("o_orderdate")) >= _MIGRATE_SPLIT_YEAR)
-            .cast("int")
+            # Explicit NULL rule mirroring the oracle's CASE: a NULL
+            # o_orderdate fails the `< split` test and lands in the
+            # ELSE branch (period 1) on BOTH engines. The bare
+            # `(year >= split).cast(int)` form yielded p=NULL and the
+            # period filters then silently dropped those customers.
+            F.when(
+                F.year(F.to_date("o_orderdate")) < _MIGRATE_SPLIT_YEAR,
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
             .alias("p"),
             F.round(F.col("o_totalprice") * 100)
             .cast("bigint")
@@ -9826,7 +9849,9 @@ def q_orders_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("91d+")
         .alias("bucket"),
         "tc",
-    )
+    ).localCheckpoint(eager=False)  # the 1-row total AND the rollup
+    # both read this frame — without the checkpoint the orders scan
+    # and the per-customer lag window sort would run twice.
     tot = b.agg(F.count(F.lit(1)).alias("t"))
     return (
         b.crossJoin(F.broadcast(tot))

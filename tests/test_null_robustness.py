@@ -20,6 +20,9 @@ operators whose NULL handling is hand-built:
 - q_feature_pit: unkeyed events (NULL user_id or ts) are excluded by
   contract on BOTH engines; a NULL value must not poison the window
   sums (both engines skip NULL in SUM).
+- q_customer_migration: a NULL o_orderdate must land in period 1 (the
+  oracle CASE's ELSE branch) on both engines, never silently drop the
+  customer's revenue from the tercile rank.
 """
 
 from __future__ import annotations
@@ -99,6 +102,19 @@ def sf_nulls(tmp_path_factory) -> str:
         pa.array(brand, type=pt.schema.field("p_brand").type),
     )
     pq.write_table(pt, d / "part.parquet")
+
+    # orders: NULL o_orderdate — q_customer_migration's period CASE
+    # must route NULL dates to the ELSE branch (period 1) on both
+    # engines instead of silently dropping those customers.
+    od = pq.read_table(d / "orders.parquet")
+    dates = od.column("o_orderdate").to_pylist()
+    dates[0] = None
+    od = od.set_column(
+        od.schema.get_field_index("o_orderdate"),
+        "o_orderdate",
+        pa.array(dates, type=od.schema.field("o_orderdate").type),
+    )
+    pq.write_table(od, d / "orders.parquet")
     return str(d)
 
 
@@ -113,6 +129,7 @@ def sf_nulls(tmp_path_factory) -> str:
         "q_feature_pit",
         "q_events_bot_detection",
         "q_text_template_detection",
+        "q_customer_migration",
     ],
 )
 def test_null_bearing_fixture_still_hash_matches(spark, sf_nulls, name):

@@ -13,11 +13,23 @@ import time
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # Accept both ``--runs=N`` and ``--runs N`` (the usage line shows the
+    # space form; the = form is what bench notes historically used).
+    argv = sys.argv[1:]
     runs = 3
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--runs"):
-            runs = int(a.split("=", 1)[1])
+            if "=" in a:
+                runs = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                runs = int(argv[i])
+        else:
+            args.append(a)
+        i += 1
     sf_dir, names = args[0], args[1:]
 
     sys.path.insert(0, "/root/repo")
