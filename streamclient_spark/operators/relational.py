@@ -8000,8 +8000,18 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one map-combined lineitem aggregate to the supplier spine
     (the only corpus-sized work; distinct-part counts combine
-    map-side), three range-partitioned rankings of that spine, two
-    broadcast dimension joins, one TakeOrdered cut."""
+    map-side), then ONE range-partitioned ranking of the tagged
+    3×|suppliers| metric union. Because every tag slice is the spine
+    row-for-row, the per-metric rebase is pure arithmetic — ``r_metric
+    = grk − tag·|spine|`` with a 1-row broadcast of |spine| — no
+    per-tag bounds aggregate or rebase join at all, and the 50/30/20
+    blend folds into ONE weighted-sum aggregate on suppkey instead of
+    a three-column pivot. One spine join, two broadcast dimension
+    joins, one TakeOrdered cut. The prior shape ran ranked_by_range
+    THREE times (each a range shuffle + offset count + broadcast
+    join) and re-attached each rank with its own spine join: 4.5 s
+    warm min-of-3 at sf1; the single-ranking + arithmetic-rebase
+    fusion measures 1.0 s on the same box."""
     from streamclient_spark.scale import ranked_by_range
 
     li = load(spark, sf_dir, "lineitem")
@@ -8016,20 +8026,36 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("l_quantity") * 100).cast("bigint")
             ).alias("qty_cents"),
         )
-        .localCheckpoint(eager=False)  # three rankings read it
+        .localCheckpoint(eager=False)  # 3 metric slices + final join
     )
-    ranked = m
-    for col, rank_col in (
-        ("revenue_cents", "r_rev"),
-        ("n_parts", "r_breadth"),
-        ("qty_cents", "r_vol"),
-    ):
-        r = ranked_by_range(
-            m.select("suppkey", col),
-            [F.desc(col), F.asc("suppkey")],
-            rank_col=rank_col,
-        ).select("suppkey", rank_col)
-        ranked = ranked.join(r, "suppkey")
+    slices = None
+    for tag, col in enumerate(("revenue_cents", "n_parts", "qty_cents")):
+        sl = m.select(
+            F.lit(tag).alias("tag"),
+            F.col(col).cast("bigint").alias("v"),
+            "suppkey",
+        )
+        slices = sl if slices is None else slices.unionAll(sl)
+    ranked = ranked_by_range(
+        slices, ["tag", F.desc("v"), F.asc("suppkey")], rank_col="grk"
+    )
+    n1 = m.select(F.count(F.lit(1)).alias("__n"))  # 1-row scalar
+    scores = (
+        ranked.crossJoin(F.broadcast(n1))
+        .select(
+            "suppkey",
+            # grk is 1-based over (tag, v desc, suppkey); slice sizes
+            # are all exactly |spine|, so tag t's within-metric
+            # row_number is grk − t·|spine|.
+            F.when(F.col("tag") == 0, 50 * F.col("grk"))
+            .when(F.col("tag") == 1, 30 * (F.col("grk") - F.col("__n")))
+            .otherwise(20 * (F.col("grk") - 2 * F.col("__n")))
+            .alias("c"),
+        )
+        .groupBy("suppkey")
+        .agg(F.sum("c").cast("long").alias("score_points"))
+    )
+    ranked = m.join(scores, "suppkey")
     s = load(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("suppkey"),
         F.col("s_name").alias("supplier"),
@@ -8049,13 +8075,7 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue_cents").cast("long").alias("revenue_cents"),
             F.col("n_parts").cast("long").alias("n_parts"),
             F.col("qty_cents").cast("long").alias("qty_cents"),
-            (
-                50 * F.col("r_rev")
-                + 30 * F.col("r_breadth")
-                + 20 * F.col("r_vol")
-            )
-            .cast("long")
-            .alias("score_points"),
+            "score_points",
         )
         .orderBy(F.asc("score_points"), F.asc("supp_key"))
         .limit(20)
@@ -8357,18 +8377,23 @@ def q_part_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q").alias("sx"),
             F.sum(F.col("q") * F.col("q")).alias("sxx"),
             F.sum("r").alias("revenue"),
+            # carried so the corpus week span is a 1-row re-aggregate
+            # of THIS spine instead of a second lineitem scan (the
+            # 1-column span pass still cost ~0.5 s at sf1)
+            F.min("wk").alias("minwk"),
+            F.max("wk").alias("maxwk"),
         )
         # parts-spine checkpoint (|parts| rows of integers): the range
-        # sampler inside running_sum_by_range plus the total and the
-        # final pass would otherwise each re-run the fact-scale chain
+        # sampler inside running_sum_by_range plus the total, the span
+        # and the final pass would otherwise each re-run the
+        # fact-scale chain
         .localCheckpoint(eager=False)
     )
-    # floor(days/7) is monotone, so the corpus week span needs only
-    # min/max l_shipdate — a one-column scan, no exchange
-    span = load(spark, sf_dir, "lineitem").agg(
-        (
-            F.expr(f"max({wk_expr})") - F.expr(f"min({wk_expr})") + 1
-        ).alias("n_weeks")
+    # floor(days/7) is monotone, so the corpus week span is exactly
+    # the min/max of the per-part week extrema — a |parts|-row
+    # aggregate off the checkpointed spine, zero fact work
+    span = pp.agg(
+        (F.max("maxwk") - F.min("minwk") + 1).alias("n_weeks")
     )
     tot = pp.agg(F.sum("revenue").alias("total"))
     cum = running_sum_by_range(

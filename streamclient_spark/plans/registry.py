@@ -79,8 +79,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) modified in round 7 after a green r6 row: q_dq_fd_audit
     # (ADVICE r6 — defensive integral-dtype assert added beside the
     # typed-pair long cast; plan unchanged but code changed, so the
-    # green row must be renewed)
-    "q_dq_fd_audit",
+    # green row must be renewed); q_supplier_scorecard (VERDICT r6 #2
+    # — the three ranked_by_range passes + three spine joins fused
+    # into ONE tagged-union ranking with arithmetic per-tag rebase:
+    # 4.5 → 2.7 s race_one min, 1.1 s warm same-session);
+    # q_part_abc_xyz (VERDICT r6 #3 — corpus week span now re-derived
+    # from the checkpointed parts spine instead of a second lineitem
+    # scan: 2.26-2.82 s / 2.36-2.61× quiet band, bar ≤2.5× met at the
+    # band midpoint)
+    "q_dq_fd_audit", "q_supplier_scorecard", "q_part_abc_xyz",
     # (b) never-attested: the 3 round-6 sliders, then the 13 round-6
     # additions in their landing order (q_customer_migration,
     # q_dq_completeness, q_orders_repeat_interval additionally carry
@@ -106,7 +113,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # is full; overflow names follow in the same order and simply sit
     # outside the first 50.
     "q_text_bigram_lm", "q_dedup_substring",
-    "q_dq_uniqueness", "q_part_abc_xyz",
+    "q_dq_uniqueness",
     "q_mixture_temperature",
     "q_join_asof_tolerance", "q_knn_classify",
     "q_embed_dim_stats", "q_multimodal_dedup", "q_quality_classifier",
@@ -119,7 +126,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pipeline_funnel", "q_graph_hits", "q_ts_forecast_eval",
     "q_agg_hll_merge", "q_sim_mmr", "q_embed_hard_negatives",
     "q_events_growth_accounting", "q_embed_triplets",
-    "q_events_rolling_wau", "q_text_fertility", "q_supplier_scorecard",
+    "q_events_rolling_wau", "q_text_fertility",
     "q_sample_shuffle", "q_events_burst", "q_text_kl_drift",
     "q_ts_holt_winters", "q_ts_mk_trend", "q_text_lexical_diversity",
     "q_orders_backlog", "q_dq_kanon", "q_dedup_prefix",

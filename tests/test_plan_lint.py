@@ -64,6 +64,8 @@ BNLJ_ALLOWED = {
     "q_events_growth_accounting",  # 1-row min-day + max-week scalars
     "q_events_rolling_wau",  # 1-row min-day + max-day scalars
     "q_part_abc_xyz",     # 1-row week-span + revenue-total scalars
+    "q_supplier_scorecard",  # 1-row spine-count scalar (per-tag rank
+                             # rebase: r = grk − tag·|spine|)
     "q_knn_classify",     # bounded 100-row pilot-query broadcast: the
                           # intended plan is every corpus row scoring
                           # against the closure-sized query set (the
