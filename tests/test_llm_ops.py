@@ -566,6 +566,34 @@ def test_approx_percentile_rank_error_bound(spark, sf_oracle):
             )
 
 
+def test_approx_count_distinct_relative_error_bound(spark, sf_oracle):
+    """q_agg_approx_cd's promise (its docstring cites this test): the
+    HLL++ estimate at rsd=0.02 must land within 5·rsd of the exact
+    per-group distinct count. Spark's sketch is deterministic, so this
+    is a fixed property of the fixture, not a flaky statistical
+    assertion — 5·rsd (10%) is the conventional safety multiple for a
+    guaranteed-pass bound at ~3σ."""
+    from streamclient_spark.plans.registry import load_all
+    from streamclient_spark.tables import load
+
+    got = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in load_all()["q_agg_approx_cd"]
+        .builder(spark, sf_oracle)
+        .collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in load(spark, sf_oracle, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= 0.10 * exact[k], (k, est, exact[k])
+
+
 def test_sim_ivfpq_adc_approximates_ivf(spark, sf_oracle):
     """IVF-PQ invariants: (a) neighbors come only from the query's
     probe cells (same coarse path as q_sim_ivf); (b) ADC distances are

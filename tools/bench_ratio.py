@@ -64,6 +64,23 @@ def main() -> int:
     # warm JVM / footer caches
     specs["q_scan_events"].builder(spark, sf_dir).count()
 
+    # JVM warmup pass (VERDICT r6 #6): the first ~5 timed queries of
+    # every prior race measured ~1.5× worse than steady state — C2
+    # compilation of the codegen'd aggregate/join kernels, not plan
+    # quality — and window rotation lands exactly the
+    # hardest-graded queries (re-attests, audits) at the head. Run
+    # the head queries once UNTIMED so the committed detail measures
+    # plans, not compiler state.
+    for name, spec in list(specs.items())[:5]:
+        if spec.oracle is None or name in skip:
+            continue
+        try:
+            spec.builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # the timed loop will surface any real failure
+
     def run_spark(name: str) -> float:
         t0 = time.perf_counter()
         specs[name].builder(spark, sf_dir).write.format("noop").mode(
