@@ -755,3 +755,39 @@ def test_label_prop_communities_partition_the_nodes(spark, sf_oracle):
     assert any(r["n_nodes"] >= 2 for r in rows)
     for r in rows:
         assert r["rep_node"] is not None
+
+
+def test_embed_sim_hist_sample_contract_bounds_pair_space(spark, sf_oracle):
+    """q_embed_sim_hist's pilot-sample predicate (vec_id < 1000 OR
+    vec_id % 101 == 0) is load-bearing for the quadratic-pair bound at
+    100 TB (VERDICT r7 #5): the within-label pair join is O(sample²),
+    so the sample must stay ~(1000 + N/101) regardless of corpus
+    growth, and the histogram's total pair count must equal
+    Σ_label C(n_label, 2) over the SAMPLE — never over the corpus.
+    Pin both: (a) the sample size matches the predicate computed
+    independently over the raw parquet; (b) the histogram's n_pairs
+    sums exactly to the per-label pair formula, i.e. the operator
+    scored every sampled pair once and nothing outside the sample."""
+    from collections import Counter
+
+    from streamclient_spark.plans.registry import load_all
+
+    table = pq.read_table(
+        f"{sf_oracle}/embeddings.parquet", columns=["vec_id", "label"]
+    ).to_pylist()
+    sampled = [
+        r for r in table if r["vec_id"] < 1000 or r["vec_id"] % 101 == 0
+    ]
+    n, n_sample = len(table), len(sampled)
+    # (a) bounded pilot sample: ~1000 head ids + the 1/101 tail
+    assert n_sample <= 1000 + n // 101 + 1
+    per_label = Counter(r["label"] for r in sampled)
+    expected_pairs = sum(k * (k - 1) // 2 for k in per_label.values())
+    rows = (
+        load_all()["q_embed_sim_hist"].builder(spark, sf_oracle).collect()
+    )
+    got_pairs = sum(r["n_pairs"] for r in rows)
+    # (b) exactly the sample's within-label pairs — O(sample²), not
+    # O(corpus²): every sampled pair scored once, none outside
+    assert got_pairs == expected_pairs
+    assert all(-20 <= r["sim_bin"] <= 20 for r in rows)

@@ -22,14 +22,29 @@ def main() -> int:
     while i < len(argv):
         a = argv[i]
         if a.startswith("--runs"):
-            if "=" in a:
-                runs = int(a.split("=", 1)[1])
-            else:
-                i += 1
-                runs = int(argv[i])
+            try:
+                if "=" in a:
+                    runs = int(a.split("=", 1)[1])
+                else:
+                    i += 1
+                    if i >= len(argv):
+                        raise ValueError("--runs requires a value")
+                    runs = int(argv[i])
+            except ValueError as exc:
+                print(f"error: {exc}\n{__doc__}", file=sys.stderr)
+                return 2
+        elif a.startswith("--"):
+            # Unknown flags must not leak into positionals (a typo like
+            # ``--run=6`` would otherwise become sf_dir or a query name).
+            print(f"error: unrecognized flag {a!r}\n{__doc__}", file=sys.stderr)
+            return 2
         else:
             args.append(a)
         i += 1
+    if len(args) < 2:
+        print(f"error: need sf_dir and at least one query\n{__doc__}",
+              file=sys.stderr)
+        return 2
     sf_dir, names = args[0], args[1:]
 
     sys.path.insert(0, "/root/repo")
