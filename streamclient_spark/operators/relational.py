@@ -4672,31 +4672,44 @@ def q_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = lt.groupBy("o_orderpriority", "days").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # NULL discipline (matches both engines' aggregate semantics on a
+    # NULL-bearing o_orderdate/l_shipdate): COUNT(*) counts NULL gaps,
+    # but PERCENTILE_DISC / MIN / MAX skip them — so the rank
+    # denominator is the NON-NULL count and NULL-day histogram rows
+    # contribute 0 to the cumulative rank (they sort first under
+    # Spark's ASC NULLS FIRST, before any rank threshold).
+    cnt_nn = F.when(F.col("days").isNotNull(), F.col("cnt")).otherwise(
+        F.lit(0)
+    )
     wcum = (
         Window.partitionBy("o_orderpriority")
-        .orderBy("days")
+        .orderBy(F.asc_nulls_first("days"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wall = Window.partitionBy("o_orderpriority")
     cum = hist.select(
         "o_orderpriority",
         "days",
-        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum(cnt_nn).over(wcum).alias("cum_nn"),
         F.sum("cnt").over(wall).alias("n"),
+        F.sum(cnt_nn).over(wall).alias("n_nn"),
         F.min("days").over(wall).alias("min_days"),
         F.max("days").over(wall).alias("max_days"),
     )
+    pct = F.col("days").isNotNull() & (F.col("n_nn") > 0)
     return cum.groupBy("o_orderpriority").agg(
         F.first("n").alias("n"),
         F.first("min_days").alias("min_days"),
         F.min(
             F.when(
-                F.col("cum") >= F.lit(0.5) * F.col("n"), F.col("days")
+                pct & (F.col("cum_nn") >= F.lit(0.5) * F.col("n_nn")),
+                F.col("days"),
             )
         ).alias("p50_days"),
         F.min(
             F.when(
-                F.col("cum") >= F.lit(0.9) * F.col("n"), F.col("days")
+                pct & (F.col("cum_nn") >= F.lit(0.9) * F.col("n_nn")),
+                F.col("days"),
             )
         ).alias("p90_days"),
         F.first("max_days").alias("max_days"),

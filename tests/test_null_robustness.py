@@ -130,6 +130,15 @@ def sf_nulls(tmp_path_factory) -> str:
         "q_events_bot_detection",
         "q_text_template_detection",
         "q_customer_migration",
+        # round-8 rewrites: the NULL o_orderdate plant exercises
+        # q_lead_time's NULL-gap rank discipline (COUNT(*) includes
+        # NULL gaps, percentiles/min/max skip them) and q_tpch_q10's
+        # quarter-filter NULL exclusion; the NULL document text
+        # exercises q_quality_cut's NULL alpha_permille ordering
+        # (DESC NULLS LAST on both engines).
+        "q_lead_time",
+        "q_tpch_q10",
+        "q_quality_cut",
     ],
 )
 def test_null_bearing_fixture_still_hash_matches(spark, sf_nulls, name):
