@@ -4660,12 +4660,21 @@ def q_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the join is the cost and it is the canonical
     co-partitioned fact join (bucket both sides on orderkey — C-26 —
     and it collapses to zero-Exchange); the histogram agg is
-    bounded by |priorities|×|days|, not |rows|."""
+    bounded by |priorities|×|days|, not |rows|. The SHUFFLE_HASH hint
+    on the orders side came from the sf10 sweep: the unhinted plan
+    went sort-merge there (10.7 s — two full 60M/15M-row sorts whose
+    only consumer is an equi-match), while a shuffled hash build on
+    the smaller orders slice streams the probe side unsorted (5.0 s).
+    Per-partition build memory is |orders|/shuffle-partitions — the
+    same bound the bucketed form has per bucket — and nothing
+    downstream wants the sort order (the histogram agg hashes)."""
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    lt = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+    lt = l.join(
+        o.hint("SHUFFLE_HASH"), l["l_orderkey"] == o["o_orderkey"]
+    ).select(
         "o_orderpriority",
         F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
     )
