@@ -165,6 +165,13 @@ class _LiveStreamReader(DataSourceStreamReader):
         self._start_latest = (
             options.get("starting_offsets", "earliest") == "latest"
         )
+        # per-trigger intake cap (the maxOffsetsPerTrigger analog):
+        # each microbatch advances every shard by at most this many
+        # sequence numbers, so a deep journal backlog drains as
+        # bounded-size batches instead of one giant first batch
+        cap = options.get("max_per_shard_batch")
+        self._cap = int(cap) if cap is not None else None
+        self._last_end: dict | None = None
 
     def initialOffset(self) -> dict:
         ends = self._transport.latest()
@@ -173,7 +180,17 @@ class _LiveStreamReader(DataSourceStreamReader):
         return {str(s): 0 for s in ends}
 
     def latestOffset(self) -> dict:
-        return {str(s): e for s, e in self._transport.latest().items()}
+        ends = {str(s): e for s, e in self._transport.latest().items()}
+        if self._cap is None:
+            return ends
+        if self._last_end is None:
+            self._last_end = self.initialOffset()
+        out = {
+            s: min(e, int(self._last_end.get(s, 0)) + self._cap)
+            for s, e in ends.items()
+        }
+        self._last_end = dict(out)
+        return out
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         parts: list[InputPartition] = []
@@ -185,6 +202,15 @@ class _LiveStreamReader(DataSourceStreamReader):
                         int(shard), lo, int(hi), self._options
                     )
                 )
+        if self._cap is not None:
+            # authoritative position for the next cap window: the
+            # checkpointed start can be AHEAD of a freshly-restarted
+            # reader's first capped guess — never let the cap base
+            # move backwards past offsets Spark already planned
+            self._last_end = {
+                s: max(int(start.get(s, 0)), int(end.get(s, 0)))
+                for s in set(start) | set(end)
+            }
         # Spark requires ≥1 partition per planned batch; an empty batch
         # plans one empty range on shard 0
         return parts or [_LiveShardPartition(0, 0, 0, self._options)]
@@ -211,7 +237,9 @@ class EventReplayDataSource(DataSource):
 
     Options: ``path`` (events parquet), ``batches`` (microbatch count,
     default 10), ``event_type`` (source-side filter pushdown),
-    ``mode`` ('replay' | 'live').
+    ``mode`` ('replay' | 'live'), ``max_per_shard_batch`` (live mode:
+    per-trigger intake cap per shard — the maxOffsetsPerTrigger
+    analog; a deep backlog drains as bounded microbatches).
     """
 
     @classmethod

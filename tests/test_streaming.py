@@ -551,6 +551,61 @@ def test_live_source_subscription_filter_pushdown(spark, tmp_path):
     assert {r["event_type"] for r in rows} == {"signup"}
 
 
+def test_live_source_per_trigger_cap_drains_backlog_in_bounded_batches(
+    spark, tmp_path
+):
+    """max_per_shard_batch (the maxOffsetsPerTrigger analog): a deep
+    pre-existing backlog must drain as MULTIPLE bounded microbatches —
+    each trigger advances a shard by at most the cap — and still
+    deliver every event exactly once into the sink table."""
+    journal = tmp_path / "journal"
+    journal.mkdir()
+    n_per_shard = 7
+    for shard in (0, 1):
+        (journal / f"shard-{shard}.jsonl").write_text(
+            "".join(
+                _journal_event(shard * 100 + i, shard * 100 + i, "signup", i)
+                + "\n"
+                for i in range(n_per_shard)
+            )
+        )
+    spark.dataSource.register(EventReplayDataSource)
+    stream = (
+        spark.readStream.format("event_replay")
+        .option("mode", "live")
+        .option("transport", TRANSPORT)
+        .option("journal_dir", str(journal))
+        .option("max_per_shard_batch", "2")
+        .load()
+    )
+    batch_sizes = []
+
+    def sink(df, batch_id):
+        rows = df.collect()
+        if rows:
+            batch_sizes.append(rows)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    _drain(
+        q,
+        lambda: sum(len(b) for b in batch_sizes) >= 2 * n_per_shard,
+    )
+    got = sorted(r["event_id"] for b in batch_sizes for r in b)
+    assert got == sorted(
+        [i for i in range(n_per_shard)]
+        + [100 + i for i in range(n_per_shard)]
+    )  # exactly once, nothing dropped
+    # bounded intake: no batch may exceed cap × shards rows, and the
+    # 7-per-shard backlog at cap 2 cannot fit in fewer than 4 batches
+    assert all(len(b) <= 2 * 2 for b in batch_sizes)
+    assert len(batch_sizes) >= 4
+
+
 def test_live_source_restart_resumes_from_checkpoint(spark, tmp_path):
     """Effectively-once evidence: stop a live query, append more events,
     restart with the SAME checkpoint — the source must resume from the

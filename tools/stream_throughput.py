@@ -13,7 +13,12 @@ the measurement is pipeline throughput, not producer speed; shards are
 read in parallel by the partitioned source (one task per shard slice).
 
 Usage:
-    python tools/stream_throughput.py [sf_dir] [n_shards]
+    python tools/stream_throughput.py [sf_dir] [n_shards] [cap]
+
+``cap`` (default 1000) is the per-shard per-trigger intake cap
+(``max_per_shard_batch``), so the pre-written backlog drains as
+bounded microbatches — the steady-state shape — instead of one giant
+batch; pass 0 to disable the cap and measure single-batch drain.
 
 Emits one JSON line:
     {"rows": N, "wall_sec": s, "rows_per_sec": r, "batches": b,
@@ -33,6 +38,7 @@ import time
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_shards = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    cap = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
 
     sys.path.insert(0, "/root/repo")
     from streamclient_spark.session import get_spark
@@ -88,7 +94,7 @@ def main() -> int:
 
     # ---- run the live pipeline until the journal is drained ----
     spark.dataSource.register(EventReplayDataSource)
-    stream = (
+    reader = (
         spark.readStream.format("event_replay")
         .option("mode", "live")
         .option(
@@ -96,8 +102,10 @@ def main() -> int:
             "streamclient_spark.sources.transport:file_journal_transport",
         )
         .option("journal_dir", journal)
-        .load()
     )
+    if cap:
+        reader = reader.option("max_per_shard_batch", str(cap))
+    stream = reader.load()
     metrics = PipelineMetrics()
     t0 = time.perf_counter()
     q = metagame_pipeline(
@@ -110,7 +118,16 @@ def main() -> int:
         open_state="signup",
         metrics=metrics,
     )
-    batch_secs: list[float] = []
+    batch_secs: dict[str, float] = {}
+
+    def harvest() -> None:
+        for p in q.recentProgress:
+            if p.get("numInputRows"):
+                d = p.get("durationMs") or {}
+                batch_secs[str(p.get("batchId"))] = (
+                    float(d.get("triggerExecution", 0)) / 1e3
+                )
+
     try:
         deadline = time.monotonic() + 600
         while metrics.total_events < n_rows:
@@ -118,26 +135,24 @@ def main() -> int:
                 raise TimeoutError(
                     f"drained {metrics.total_events}/{n_rows} in 600 s"
                 )
+            harvest()
             time.sleep(0.2)
         wall = time.perf_counter() - t0
-        for p in q.recentProgress:
-            d = p.get("durationMs") or {}
-            if p.get("numInputRows"):
-                batch_secs.append(float(d.get("triggerExecution", 0)) / 1e3)
+        harvest()
     finally:
         q.stop()
         q.awaitTermination(30)
 
     n_state = read_state_store(spark, os.path.join(work, "store")).count()
+    secs = list(batch_secs.values())
     out = {
         "rows": metrics.total_events,
         "wall_sec": round(wall, 2),
         "rows_per_sec": round(metrics.total_events / wall),
         "batches": metrics.batches,
-        "mean_batch_sec": round(
-            sum(batch_secs) / len(batch_secs), 3
-        ) if batch_secs else None,
-        "max_batch_sec": round(max(batch_secs), 3) if batch_secs else None,
+        "mean_batch_sec": round(sum(secs) / len(secs), 3) if secs else None,
+        "max_batch_sec": round(max(secs), 3) if secs else None,
+        "cap_per_shard": cap or None,
         "shards": n_shards,
         "state_rows": n_state,
         "sf_dir": sf_dir,
