@@ -1130,8 +1130,14 @@ def q_text_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a stateless projection that explodes ~len/stride× — exactly the
     fan-out an embedding stage consumes in place). Chunk math is
     integer on both engines; DuckDB's 1-based inclusive slice mirrors
-    Spark's 1-based ``slice`` length form."""
-    d = load(spark, sf_dir, "documents")
+    Spark's 1-based ``slice`` length form. The split-recovery
+    repartition is the text.py:553 fixture trade (r8: without it the
+    whole tokenize+slice projection ran in ONE task — 2.07 s warm at
+    sf1 vs 1.06 s repartitioned; at 100 TB the scan parallelism is
+    natural and the exchange is the line you delete)."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = tokens("text")
     n_chunks = F.when(
         F.size(toks) <= CHUNK_TOKENS, F.lit(1)

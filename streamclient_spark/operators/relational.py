@@ -1058,35 +1058,41 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-semi-join on the fact table, then customer/order detail for
     the qualifying orders, global top-100 by order value.
 
-    100 TB plan: the qualifying-order set (sum(qty) > 300 is ~1% of
-    orders) comes from one partial+final aggregate of lineitem on
-    l_orderkey; joining it back to lineitem is a *semi* join on the
-    same key — with lineitem bucketed by orderkey both sides of both
-    joins co-locate and the whole query runs with one shuffle (the
-    aggregate's). The qualifying set is NOT broadcast-hinted: at scale
-    it is fact-derived and AQE decides. Top-100 is
-    TakeOrderedAndProject with o_orderkey as the unique tie-break."""
+    100 TB plan (round-8 single-pass rewrite): the per-order quantity
+    sums that decide qualification (sum(qty) > 300, ~1% of orders) ARE
+    the query's output aggregate — the final group key
+    (c_name, custkey, orderkey, orderdate, totalprice) is per-order
+    and orders/customer are PK-unique on their join keys, so joining
+    raw lineitem back (the textbook Q18 and this operator's r1 shape)
+    re-scans and re-shuffles the whole fact to recompute numbers the
+    HAVING aggregate already holds. One partial+final aggregate of
+    lineitem on l_orderkey, filter, then the ~1%-of-orders survivor
+    set joins orders and customer (AQE picks the strategy; with
+    lineitem bucketed by orderkey the aggregate itself is
+    shuffle-free). Exactness: the decimal sum is computed once and
+    cast to double once — same expression the oracle groups by.
+    Top-100 is TakeOrderedAndProject with o_orderkey as the unique
+    tie-break. Warm sf1 A/B: 1.06 s single-pass vs 2.04 s two-pass."""
     from streamclient_spark.compat import DEC
 
     l = load(spark, sf_dir, "lineitem")
-    qualifying = (
+    per_order = (
         l.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_q"))
         .filter(F.col("_q") > 300)
-        .select("l_orderkey")
     )
-    o = load(spark, sf_dir, "orders").join(
-        qualifying, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
-    c = load(spark, sf_dir, "customer")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
+        .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             "o_totalprice",
+            F.col("_q").cast("double").alias("sum_qty"),
         )
-        .agg(dec_sum("l_quantity").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )

@@ -88,7 +88,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_dq_fd_audit (ADVICE r7 — the integral-dtype guard became a
     # TypeError so it survives python -O; plan unchanged, code
     # changed, green row renewed)
+    # q_tpch_q18 (r8 second wave — the two-pass fact self-join
+    # collapsed to the single HAVING aggregate + PK joins: 2.04 →
+    # 1.06 s sf1 warm); q_text_chunker (r8 second wave — the
+    # text.py:553 split-recovery repartition it never had: 2.07 →
+    # 1.06 s sf1 warm)
     "q_embed_sim_hist", "q_tpch_q10", "q_quality_cut", "q_lead_time",
+    "q_tpch_q18", "q_text_chunker",
     # --- ROUND-7 WINDOW (rotates through as re-attests) — the
     # whole-registry closing
     # window. Ledger arithmetic against CORRECTNESS r1∪…∪r6 (verified
@@ -195,7 +201,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fn_variant", "q_ts_wow", "q_scan_text", "q_sim_matryoshka",
     "q_agg_moments34", "q_udf_arrow", "q_join_null_aware",
     "q_events_markov", "q_agg_weighted", "q_dq_freshness",
-    "q_embed_outliers", "q_market_basket", "q_text_chunker",
+    "q_embed_outliers", "q_market_basket",
     "q_dedup_containment",
     # --- attested green in r1-r3 and byte-identical since ---
     "q_multimodal_meta", "q_join_range", "q_tpch_q5", "q_join_outer",
@@ -218,7 +224,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_udtf_explode", "q_fn_json", "q_sample_split",
     "q_text_contamination", "q_text_scrub", "q_text_repetition",
     "q_sample_stratified", "q_pack_sequences", "q_agg_grouping_sets",
-    "q_join_salted", "q_tpch_q18", "q_win_distribution",
+    "q_join_salted", "q_win_distribution",
     "q_ts_resample", "q_tpch_q4", "q_tpch_q12", "q_tpch_q14",
     "q_sample_weights", "q_embed_quantize", "q_embed_centroids",
     "q_text_ngram_top", "q_sample_lengths",
