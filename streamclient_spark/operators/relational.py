@@ -8582,10 +8582,14 @@ def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for table, keys in by_table.items():
         src = _audit_scan(spark, sf_dir, table)
-        assert all(len(cols) <= 2 for _, cols in keys), (
-            "fixed-arity key pair: widen k1/k2 before declaring a "
-            "3-column candidate key"
-        )
+        if not all(len(cols) <= 2 for _, cols in keys):
+            # ValueError (not assert) so the guard survives python -O:
+            # a silently-dropped third key column would corrupt the
+            # distinct counts (same class as the fd_audit dtype guard).
+            raise ValueError(
+                "fixed-arity key pair: widen k1/k2 before declaring a "
+                "3-column candidate key"
+            )
         tagged = [
             F.struct(
                 F.lit(i).alias("e"),
