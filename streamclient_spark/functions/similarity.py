@@ -1384,20 +1384,47 @@ def q_embed_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join is quadratic in cluster size: 2.5e8 pairs already at
         # sf1). Both engines apply the identical arithmetic filter.
         .filter((F.col("vec_id") < 1000) | (F.col("vec_id") % 101 == 0))
+        # NULL labels pair with NOTHING in the oracle's equi-join —
+        # a groupBy would instead form a NULL cell and score it
+        .filter(F.col("label").isNotNull())
     )
 
     def cell_cosines(pdf: pd.DataFrame):
-        if len(pdf) < 2:
+        # Dirty-data parity with the oracle's arithmetic: a NULL
+        # embedding joins (label matches) but its cosine is NULL, and
+        # a zero-quantized vector divides by zero, which DuckDB
+        # defines as NULL — numpy would instead raise on np.stack /
+        # produce NaN·inf, so both cases are routed to explicit NULL
+        # rows (nullable Float64 → Spark NULL double, never NaN).
+        n = len(pdf)
+        if n < 2:
             return pd.DataFrame({"c6": pd.Series([], dtype="float64")})
-        X = np.stack(pdf["embedding"].to_numpy()).astype(
-            "float64", copy=False
-        )
-        G = np.floor(X * 1e6 + 0.5)  # exact 1e-6 grid, same as oracle
-        dots = G @ G.T  # exact: every partial sum is an integer < 2^53
-        rn = np.sqrt(np.diag(dots))  # IEEE sqrt of exact integers
-        i, j = np.triu_indices(len(pdf), k=1)
-        c = dots[i, j] / (rn[i] * rn[j])
-        return pd.DataFrame({"c6": c})
+        ok = pdf["embedding"].notna().to_numpy()
+        valid = pdf[ok]
+        nv = len(valid)
+        n_null_pairs = n * (n - 1) // 2 - nv * (nv - 1) // 2
+        if nv >= 2:
+            X = np.stack(valid["embedding"].to_numpy()).astype(
+                "float64", copy=False
+            )
+            G = np.floor(X * 1e6 + 0.5)  # exact 1e-6 grid, as oracle
+            dots = G @ G.T  # exact: every partial sum is an int < 2^53
+            rn = np.sqrt(np.diag(dots))  # IEEE sqrt of exact integers
+            i, j = np.triu_indices(nv, k=1)
+            bad = (rn[i] == 0.0) | (rn[j] == 0.0)  # /0 → NULL in duck
+            if not bad.any() and n_null_pairs == 0:
+                # hot path: clean cell, plain float64, no null column
+                c = dots[i, j] / (rn[i] * rn[j])
+                return pd.DataFrame({"c6": c})
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = dots[i, j] / (rn[i] * rn[j])
+            vals = [
+                None if b else float(x) for x, b in zip(c, bad)
+            ]
+        else:
+            vals = []
+        vals.extend([None] * n_null_pairs)
+        return pd.DataFrame({"c6": pd.array(vals, dtype="Float64")})
 
     # per-label GEMM; rounding stays Catalyst-side (F.round = HALF_UP,
     # matching DuckDB round() on the bit-identical input double —

@@ -168,10 +168,19 @@ class _LiveStreamReader(DataSourceStreamReader):
         # per-trigger intake cap (the maxOffsetsPerTrigger analog):
         # each microbatch advances every shard by at most this many
         # sequence numbers, so a deep journal backlog drains as
-        # bounded-size batches instead of one giant first batch
+        # bounded-size batches instead of one giant first batch.
+        # 0 disables the cap; negative caps would move offsets
+        # BACKWARDS (re-delivery) and are rejected outright.
         cap = options.get("max_per_shard_batch")
         self._cap = int(cap) if cap is not None else None
+        if self._cap is not None and self._cap < 0:
+            raise ValueError(
+                f"max_per_shard_batch must be >= 0, got {self._cap}"
+            )
+        if self._cap == 0:
+            self._cap = None
         self._last_end: dict | None = None
+        self._floor: dict[str, int] = {}
 
     def initialOffset(self) -> dict:
         ends = self._transport.latest()
@@ -184,6 +193,13 @@ class _LiveStreamReader(DataSourceStreamReader):
         if self._cap is None:
             return ends
         if self._last_end is None:
+            # first trigger on this instance: cap relative to the
+            # configured start. On a RESTART whose checkpoint is ahead
+            # of this guess, Spark plans one empty regressed batch —
+            # partitions() detects it (start > end), records the
+            # committed start as a re-delivery FLOOR, and the stream
+            # self-heals forward without duplicating a single row (see
+            # partitions(); unit-tested in test_streaming.py).
             self._last_end = self.initialOffset()
         out = {
             s: min(e, int(self._last_end.get(s, 0)) + self._cap)
@@ -193,9 +209,26 @@ class _LiveStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # Re-delivery floor (cap-restart safety): `start` offsets come
+        # from Spark's offset log, i.e. they were durably planned —
+        # nothing below a seen start may ever be read again. After a
+        # capped restart guesses low and the offset log briefly
+        # regresses, this clamp is what keeps the recovery batch from
+        # re-reading the committed range. Residual window: a SECOND
+        # crash between the regressed plan and the next commit loses
+        # the in-memory floor; the offset log then replays from the
+        # regressed position (at-least-once for that window only —
+        # the idempotent state sink converges, the bus contract is
+        # at-least-once anyway).
+        for s, lo in start.items():
+            prev = self._floor.get(s, 0)
+            if int(lo) > prev:
+                self._floor[s] = int(lo)
         parts: list[InputPartition] = []
         for shard, hi in end.items():
-            lo = int(start.get(shard, 0))
+            lo = max(
+                int(start.get(shard, 0)), self._floor.get(shard, 0)
+            )
             if int(hi) > lo:
                 parts.append(
                     _LiveShardPartition(
@@ -203,10 +236,8 @@ class _LiveStreamReader(DataSourceStreamReader):
                     )
                 )
         if self._cap is not None:
-            # authoritative position for the next cap window: the
-            # checkpointed start can be AHEAD of a freshly-restarted
-            # reader's first capped guess — never let the cap base
-            # move backwards past offsets Spark already planned
+            # authoritative cap base for the next trigger: never
+            # behind offsets Spark already planned
             self._last_end = {
                 s: max(int(start.get(s, 0)), int(end.get(s, 0)))
                 for s in set(start) | set(end)

@@ -103,6 +103,31 @@ def sf_nulls(tmp_path_factory) -> str:
     )
     pq.write_table(pt, d / "part.parquet")
 
+    # embeddings: a NULL label, a NULL embedding, and an all-zero
+    # vector, all on SAMPLED vec_ids (< 1000) — q_embed_sim_hist must
+    # (a) exclude the NULL label from pairing (the oracle's equi-join
+    # matches nothing on NULL), (b) emit NULL cosines for pairs
+    # involving the NULL embedding, and (c) emit NULL for the
+    # zero-norm vector's pairs (DuckDB defines x/0 as NULL; numpy
+    # would produce NaN/inf, which hash differently).
+    em = pq.read_table(d / "embeddings.parquet")
+    lab = em.column("label").to_pylist()
+    vecs = em.column("embedding").to_pylist()
+    lab[0] = None
+    vecs[1] = None
+    vecs[2] = [0.0] * len(vecs[2])
+    em = em.set_column(
+        em.schema.get_field_index("label"),
+        "label",
+        pa.array(lab, type=em.schema.field("label").type),
+    )
+    em = em.set_column(
+        em.schema.get_field_index("embedding"),
+        "embedding",
+        pa.array(vecs, type=em.schema.field("embedding").type),
+    )
+    pq.write_table(em, d / "embeddings.parquet")
+
     # orders: NULL o_orderdate — q_customer_migration's period CASE
     # must route NULL dates to the ELSE branch (period 1) on both
     # engines instead of silently dropping those customers.
@@ -139,6 +164,10 @@ def sf_nulls(tmp_path_factory) -> str:
         "q_lead_time",
         "q_tpch_q10",
         "q_quality_cut",
+        # r8 review finding: the GEMM rewrite must keep the oracle's
+        # dirty-embedding arithmetic — NULL label pairs with nothing,
+        # NULL embedding and zero-norm vectors yield NULL cosines.
+        "q_embed_sim_hist",
     ],
 )
 def test_null_bearing_fixture_still_hash_matches(spark, sf_nulls, name):

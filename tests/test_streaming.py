@@ -391,6 +391,151 @@ def test_live_source_end_to_end_through_pipeline(spark, tmp_path):
     assert got == {"11", "12"}
 
 
+def test_live_source_cap_restart_does_not_redeliver(spark, tmp_path):
+    """Review finding (r8): with a cap set, a restart must NOT
+    re-deliver committed events. The reader cannot know the
+    checkpointed position before Spark's first planning call, so the
+    first capped offset guess can land behind the checkpoint; the
+    partitions()-side re-delivery floor is what guarantees no row
+    crosses the sink twice. Every event must be delivered exactly
+    once across the restart."""
+    journal = tmp_path / "journal"
+    journal.mkdir()
+    (journal / "shard-0.jsonl").write_text(
+        "".join(
+            _journal_event(i, i, "signup", i) + "\n" for i in range(6)
+        )
+    )
+    spark.dataSource.register(EventReplayDataSource)
+
+    def start(got):
+        stream = (
+            spark.readStream.format("event_replay")
+            .option("mode", "live")
+            .option("transport", TRANSPORT)
+            .option("journal_dir", str(journal))
+            .option("max_per_shard_batch", "2")
+            .load()
+        )
+
+        def sink(df, batch_id):
+            got.extend(r["event_id"] for r in df.collect())
+
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    got1: list = []
+    q = start(got1)
+    assert _wait_for(lambda: len(got1) >= 6)
+    q.stop()
+    q.awaitTermination(30)
+    assert sorted(got1) == list(range(6))
+
+    # live append while down, then restart from the same checkpoint
+    with open(journal / "shard-0.jsonl", "a") as f:
+        for i in range(6, 9):
+            f.write(_journal_event(i, i, "signup", i) + "\n")
+    got2: list = []
+    q = start(got2)
+    try:
+        assert _wait_for(lambda: len(got2) >= 3)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    # exactly the appended events — nothing before the checkpoint is
+    # re-delivered, nothing is skipped
+    assert sorted(got2) == [6, 7, 8]
+
+
+def test_live_source_cap_regressed_restart_never_redelivers_protocol():
+    """Deterministic protocol-level replay of the fully-committed
+    restart hazard (r8 review finding): a fresh capped reader's first
+    latestOffset guesses below the checkpoint, Spark plans one
+    regressed batch (start > end), and the re-delivery floor must (a)
+    plan NOTHING for that batch and (b) clamp the next batch's range
+    so the committed prefix is never read again."""
+    import json as _json
+
+    from streamclient_spark.sources.replay import _LiveStreamReader
+
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    jd = os.path.join(d, "journal")
+    os.makedirs(jd)
+    with open(os.path.join(jd, "shard-0.jsonl"), "w") as f:
+        for i in range(9):
+            f.write(
+                _json.dumps(
+                    {
+                        "event_id": i,
+                        "ts": 1700000000 + i,
+                        "user_id": i,
+                        "event_type": "signup",
+                        "value": 1.0,
+                        "props": None,
+                    }
+                )
+                + "\n"
+            )
+    r = _LiveStreamReader(
+        {
+            "transport": TRANSPORT,
+            "journal_dir": jd,
+            "max_per_shard_batch": "2",
+        }
+    )
+    # fully-committed restart: Spark's first call is latestOffset; the
+    # checkpointed position is {"0": 6} but the reader can't know that
+    first = r.latestOffset()
+    assert first == {"0": 2}  # the low guess
+    # Spark plans the regressed batch start=committed(6), end=guess(2)
+    parts = r.partitions({"0": 6}, {"0": 2})
+    planned = [(p.shard, p.lo, p.hi) for p in parts if p.hi > p.lo]
+    assert planned == []  # nothing re-read in the regressed batch
+    # next trigger: cap base advanced to the committed position
+    nxt = r.latestOffset()
+    assert nxt == {"0": 8}
+    # Spark's offset log briefly says 2 — the floor must clamp 2..6
+    parts = r.partitions({"0": 2}, {"0": 8})
+    planned = [(p.shard, p.lo, p.hi) for p in parts if p.hi > p.lo]
+    assert planned == [(0, 6, 8)]  # only the never-delivered range
+    # and the stream continues normally
+    assert r.latestOffset() == {"0": 9}
+
+
+def test_live_source_cap_zero_means_uncapped_and_negative_rejected(
+    spark, tmp_path
+):
+    """Review finding (r8): cap=0 is the documented 'disable' value
+    (it must NOT stall the stream at the initial offset), and a
+    negative cap is rejected outright (it would move offsets
+    backwards)."""
+    import pytest
+
+    from streamclient_spark.sources.replay import _LiveStreamReader
+
+    journal = tmp_path / "journal"
+    journal.mkdir()
+    (journal / "shard-0.jsonl").write_text(
+        _journal_event(1, 1, "signup", 0) + "\n"
+    )
+    opts = {
+        "transport": TRANSPORT,
+        "journal_dir": str(journal),
+        "max_per_shard_batch": "0",
+    }
+    r = _LiveStreamReader(opts)
+    r.initialOffset()
+    assert r.latestOffset() == {"0": 1}  # advances — not stalled
+    with pytest.raises(ValueError):
+        _LiveStreamReader({**opts, "max_per_shard_batch": "-1"})
+
+
 class _FakeSocket:
     """Scripted websocket stand-in: connect/send are recorded, recv
     replays the frame script, None-terminated."""
