@@ -1418,13 +1418,18 @@ def q_embed_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return pd.DataFrame({"c6": c})
             with np.errstate(divide="ignore", invalid="ignore"):
                 c = dots[i, j] / (rn[i] * rn[j])
-            vals = [
-                None if b else float(x) for x, b in zip(c, bad)
-            ]
+            # vectorized masked build — one NULL in a big cell must
+            # not demote O(n²) clean pairs to a Python loop
+            vals = np.where(bad, 0.0, c)
+            mask = bad
         else:
-            vals = []
-        vals.extend([None] * n_null_pairs)
-        return pd.DataFrame({"c6": pd.array(vals, dtype="Float64")})
+            vals = np.empty(0)
+            mask = np.empty(0, dtype=bool)
+        vals = np.concatenate([vals, np.zeros(n_null_pairs)])
+        mask = np.concatenate([mask, np.ones(n_null_pairs, dtype=bool)])
+        return pd.DataFrame(
+            {"c6": pd.arrays.FloatingArray(vals, mask)}
+        )
 
     # per-label GEMM; rounding stays Catalyst-side (F.round = HALF_UP,
     # matching DuckDB round() on the bit-identical input double —

@@ -193,14 +193,19 @@ class _LiveStreamReader(DataSourceStreamReader):
         if self._cap is None:
             return ends
         if self._last_end is None:
-            # first trigger on this instance: cap relative to the
-            # configured start. On a RESTART whose checkpoint is ahead
-            # of this guess, Spark plans one empty regressed batch —
-            # partitions() detects it (start > end), records the
-            # committed start as a re-delivery FLOOR, and the stream
-            # self-heals forward without duplicating a single row (see
-            # partitions(); unit-tested in test_streaming.py).
-            self._last_end = self.initialOffset()
+            # first trigger on this instance: guess ZEROS regardless
+            # of starting_offsets — seeding from initialOffset() in
+            # ``latest`` mode would read the CURRENT journal tip and
+            # plan a restart's whole backlog as one uncapped batch
+            # (r8 review finding). Whenever the true position (the
+            # checkpointed start in any mode, or the start-time tip
+            # in fresh ``latest`` mode) is ahead of this guess, Spark
+            # plans one empty regressed batch — partitions() detects
+            # it (start > end), records the planned start as a
+            # re-delivery FLOOR, and the stream self-heals forward
+            # without duplicating a single row (unit-tested in
+            # test_streaming.py).
+            self._last_end = {s: 0 for s in ends}
         out = {
             s: min(e, int(self._last_end.get(s, 0)) + self._cap)
             for s, e in ends.items()

@@ -451,44 +451,33 @@ def test_live_source_cap_restart_does_not_redeliver(spark, tmp_path):
     assert sorted(got2) == [6, 7, 8]
 
 
-def test_live_source_cap_regressed_restart_never_redelivers_protocol():
+def test_live_source_cap_regressed_restart_never_redelivers_protocol(
+    tmp_path,
+):
     """Deterministic protocol-level replay of the fully-committed
     restart hazard (r8 review finding): a fresh capped reader's first
     latestOffset guesses below the checkpoint, Spark plans one
     regressed batch (start > end), and the re-delivery floor must (a)
     plan NOTHING for that batch and (b) clamp the next batch's range
-    so the committed prefix is never read again."""
-    import json as _json
-
+    so the committed prefix is never read again. The same machinery
+    also bounds a ``latest``-mode restart backlog (review finding:
+    seeding the guess from initialOffset would plan it as one
+    uncapped batch)."""
     from streamclient_spark.sources.replay import _LiveStreamReader
 
-    import tempfile, os
-
-    d = tempfile.mkdtemp()
-    jd = os.path.join(d, "journal")
-    os.makedirs(jd)
-    with open(os.path.join(jd, "shard-0.jsonl"), "w") as f:
-        for i in range(9):
-            f.write(
-                _json.dumps(
-                    {
-                        "event_id": i,
-                        "ts": 1700000000 + i,
-                        "user_id": i,
-                        "event_type": "signup",
-                        "value": 1.0,
-                        "props": None,
-                    }
-                )
-                + "\n"
-            )
-    r = _LiveStreamReader(
-        {
-            "transport": TRANSPORT,
-            "journal_dir": jd,
-            "max_per_shard_batch": "2",
-        }
+    journal = tmp_path / "journal"
+    journal.mkdir()
+    (journal / "shard-0.jsonl").write_text(
+        "".join(
+            _journal_event(i, i, "signup", i) + "\n" for i in range(9)
+        )
     )
+    opts = {
+        "transport": TRANSPORT,
+        "journal_dir": str(journal),
+        "max_per_shard_batch": "2",
+    }
+    r = _LiveStreamReader(opts)
     # fully-committed restart: Spark's first call is latestOffset; the
     # checkpointed position is {"0": 6} but the reader can't know that
     first = r.latestOffset()
@@ -507,6 +496,16 @@ def test_live_source_cap_regressed_restart_never_redelivers_protocol():
     # and the stream continues normally
     assert r.latestOffset() == {"0": 9}
 
+    # latest-mode restart: same zero guess (NOT the journal tip — that
+    # would plan the whole committed backlog as one uncapped batch)
+    r2 = _LiveStreamReader({**opts, "starting_offsets": "latest"})
+    assert r2.latestOffset() == {"0": 2}
+    r2.partitions({"0": 6}, {"0": 2})  # regressed; floor learns 6
+    assert r2.latestOffset() == {"0": 8}
+    parts = r2.partitions({"0": 2}, {"0": 8})
+    planned = [(p.shard, p.lo, p.hi) for p in parts if p.hi > p.lo]
+    assert planned == [(0, 6, 8)]
+
 
 def test_live_source_cap_zero_means_uncapped_and_negative_rejected(
     spark, tmp_path
@@ -515,8 +514,6 @@ def test_live_source_cap_zero_means_uncapped_and_negative_rejected(
     (it must NOT stall the stream at the initial offset), and a
     negative cap is rejected outright (it would move offsets
     backwards)."""
-    import pytest
-
     from streamclient_spark.sources.replay import _LiveStreamReader
 
     journal = tmp_path / "journal"
