@@ -814,7 +814,9 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = sum(x * x for x in v)
     tr = sum(cm[i][i] for i in range(n_dims))
     top_dim = min(range(n_dims), key=lambda i: (-abs(v[i]), i))
-    assert n_dims == 64  # fixture embedding width (docstring contract)
+    if n_dims != 64:  # fixture embedding width (docstring contract);
+        # a raise, not assert — data guards must survive ``python -O``
+        raise ValueError(f"expected 64-dim embeddings, got {n_dims}")
 
     # the rounding epilogue stays IN SPARK so decimal→double casts and
     # HALF_UP rounds match every other query's convention exactly

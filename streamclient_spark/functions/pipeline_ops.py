@@ -907,14 +907,16 @@ def q_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         "source",
+        # the length difference is cast to LONG **before** the ×1000
+        # (ADVICE r8): int×int would wrap past ~2.1M alnum chars per
+        # document, while the DuckDB oracle computes in BIGINT
         (
             (
                 F.length("text")
                 - F.length(F.translate("text", alnum, ""))
-            )
+            ).cast("long")
             * F.lit(1000)
         )
-        .cast("long")
         .alias("_alnum_k"),
         "n_chars",
     ).select(

@@ -1321,6 +1321,14 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_embed_sim_hist — embedding-space similarity histogram (round 4)
 # ---------------------------------------------------------------------------
 
+#: per-cell GEMM tile budget in ELEMENTS (block_rows ≈ budget/nv ⇒ one
+#: ~32 MB float64 tile in flight regardless of cell size) and the hard
+#: per-cell pair-count guard (≈1.3 GB of output values+mask) — above it
+#: the operator raises a sizing error instead of OOMing an Arrow
+#: worker (ADVICE r8)
+_SIM_HIST_GEMM_BLOCK = 1 << 22
+_SIM_HIST_MAX_CELL_PAIRS = 1 << 27
+
 
 @register(
     "q_embed_sim_hist",
@@ -1396,6 +1404,16 @@ def q_embed_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         # defines as NULL — numpy would instead raise on np.stack /
         # produce NaN·inf, so both cases are routed to explicit NULL
         # rows (nullable Float64 → Spark NULL double, never NaN).
+        #
+        # r9 (ADVICE r8): the GEMM is TILED over row blocks — the old
+        # dense nv×nv Gram plus full triu index arrays peaked at ~5×
+        # the output size in one Arrow worker; a dominant label cell
+        # in the sample (which grows as N/101) could OOM it. Working
+        # memory is now output + one B×nv tile, and a cell whose pair
+        # count would exceed the hard guard raises a sizing error
+        # instead of dying in the allocator. Blocked and unblocked
+        # GEMMs are bit-identical here because every partial sum is an
+        # exact integer (1e-6 grid, < 2^53).
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"c6": pd.Series([], dtype="float64")})
@@ -1403,25 +1421,47 @@ def q_embed_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid = pdf[ok]
         nv = len(valid)
         n_null_pairs = n * (n - 1) // 2 - nv * (nv - 1) // 2
+        n_valid_pairs = nv * (nv - 1) // 2
+        if n_valid_pairs + n_null_pairs > _SIM_HIST_MAX_CELL_PAIRS:
+            raise ValueError(
+                f"q_embed_sim_hist: label cell with {n} sampled vectors "
+                f"implies {n_valid_pairs + n_null_pairs} pairs, above the "
+                f"{_SIM_HIST_MAX_CELL_PAIRS} per-cell guard — tighten "
+                "the pilot sample for this corpus"
+            )
         if nv >= 2:
             X = np.stack(valid["embedding"].to_numpy()).astype(
                 "float64", copy=False
             )
             G = np.floor(X * 1e6 + 0.5)  # exact 1e-6 grid, as oracle
-            dots = G @ G.T  # exact: every partial sum is an int < 2^53
-            rn = np.sqrt(np.diag(dots))  # IEEE sqrt of exact integers
-            i, j = np.triu_indices(nv, k=1)
-            bad = (rn[i] == 0.0) | (rn[j] == 0.0)  # /0 → NULL in duck
-            if not bad.any() and n_null_pairs == 0:
-                # hot path: clean cell, plain float64, no null column
-                c = dots[i, j] / (rn[i] * rn[j])
-                return pd.DataFrame({"c6": c})
+            # row norms from exact self-dots (≡ diag of the full Gram)
+            rn = np.sqrt(np.einsum("ij,ij->i", G, G))
+            vals = np.empty(n_valid_pairs)
+            mask = np.zeros(n_valid_pairs, dtype=bool)
+            any_zero = bool((rn == 0.0).any())  # /0 → NULL in duck
+            blk = max(1, _SIM_HIST_GEMM_BLOCK // max(1, nv))
+            pos = 0
+            cols = np.arange(nv)
             with np.errstate(divide="ignore", invalid="ignore"):
-                c = dots[i, j] / (rn[i] * rn[j])
-            # vectorized masked build — one NULL in a big cell must
-            # not demote O(n²) clean pairs to a Python loop
-            vals = np.where(bad, 0.0, c)
-            mask = bad
+                for r0 in range(0, nv - 1, blk):
+                    r1 = min(r0 + blk, nv - 1)
+                    dots = G[r0:r1] @ G.T  # (r1-r0)×nv exact tile
+                    # strict upper-triangle coordinates of this tile
+                    bi, bj = np.nonzero(
+                        cols[None, :] > np.arange(r0, r1)[:, None]
+                    )
+                    c = dots[bi, bj] / (rn[r0 + bi] * rn[bj])
+                    m = pos + len(bi)
+                    vals[pos:m] = c
+                    if any_zero:
+                        mask[pos:m] = (rn[r0 + bi] == 0.0) | (
+                            rn[bj] == 0.0
+                        )
+                    pos = m
+            if not any_zero and n_null_pairs == 0:
+                # hot path: clean cell, plain float64, no null column
+                return pd.DataFrame({"c6": vals})
+            vals[mask] = 0.0
         else:
             vals = np.empty(0)
             mask = np.empty(0, dtype=bool)

@@ -4661,8 +4661,14 @@ def q_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows and the discrete percentiles become exact integer rank
     arithmetic over a cumulative window: PERCENTILE_DISC(q) is by
     definition the smallest value whose cumulative count reaches
-    q·n — both engines follow the SQL-standard CUME_DIST form, and
-    cum ≥ q·n compares a bigint against one exact double product.
+    q·n — both engines follow the SQL-standard CUME_DIST form. The
+    rank test is INTEGER-EXACT (r9, ADVICE r8): ``cum·2 ≥ n`` and
+    ``cum·10 ≥ 9·n`` — the literal-double form ``cum ≥ 0.9·n`` is
+    NOT exact (binary 0.9 rounds up by 2.2e-17, so any group with
+    n_nn divisible by 10 whose histogram row closes exactly at rank
+    0.9·n would pick the next gap value, disagreeing with DuckDB's
+    exact-rational boundary, probed: percentile_disc(0.9) over 1..10
+    is 9, not 10).
     At 100 TB: the join is the cost and it is the canonical
     co-partitioned fact join (bucket both sides on orderkey — C-26 —
     and it collapses to zero-Exchange); the histogram agg is
@@ -4717,13 +4723,13 @@ def q_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("min_days").alias("min_days"),
         F.min(
             F.when(
-                pct & (F.col("cum_nn") >= F.lit(0.5) * F.col("n_nn")),
+                pct & (F.col("cum_nn") * 2 >= F.col("n_nn")),
                 F.col("days"),
             )
         ).alias("p50_days"),
         F.min(
             F.when(
-                pct & (F.col("cum_nn") >= F.lit(0.9) * F.col("n_nn")),
+                pct & (F.col("cum_nn") * 10 >= F.col("n_nn") * 9),
                 F.col("days"),
             )
         ).alias("p90_days"),

@@ -5,6 +5,7 @@ planted duplicates, and LSH bucketing self-consistency."""
 from __future__ import annotations
 
 import pyarrow.parquet as pq
+import pytest
 from pyspark.sql import functions as F
 
 from streamclient_spark.functions.dedup import q_dedup_near
@@ -791,3 +792,28 @@ def test_embed_sim_hist_sample_contract_bounds_pair_space(spark, sf_oracle):
     # O(corpus²): every sampled pair scored once, none outside
     assert got_pairs == expected_pairs
     assert all(-20 <= r["sim_bin"] <= 20 for r in rows)
+
+
+def test_embed_sim_hist_tiled_gemm_bit_parity_and_guard(
+    spark, sf_oracle, monkeypatch
+):
+    """r9 (ADVICE r8): the per-cell GEMM is tiled so one Arrow worker
+    never holds the dense nv×nv Gram. (a) Forcing pathologically tiny
+    tiles (block budget 1 → 1-row tiles) must reproduce the untiled
+    histogram EXACTLY — blocked and unblocked GEMMs are bit-identical
+    because every partial sum is an exact integer on the 1e-6 grid.
+    (b) A cell whose pair count exceeds the hard guard must raise a
+    sizing error, not OOM."""
+    from streamclient_spark.functions import similarity as sim
+    from streamclient_spark.plans.registry import load_all
+
+    build = load_all()["q_embed_sim_hist"].builder
+    key = lambda r: (r["sim_bin"] if r["sim_bin"] is not None else -999)
+    baseline = sorted(build(spark, sf_oracle).collect(), key=key)
+    monkeypatch.setattr(sim, "_SIM_HIST_GEMM_BLOCK", 1)
+    tiled = sorted(build(spark, sf_oracle).collect(), key=key)
+    assert [tuple(r) for r in tiled] == [tuple(r) for r in baseline]
+
+    monkeypatch.setattr(sim, "_SIM_HIST_MAX_CELL_PAIRS", 1)
+    with pytest.raises(Exception, match="per-cell guard"):
+        build(spark, sf_oracle).collect()

@@ -192,3 +192,118 @@ def test_referential_reports_null_fk_as_orphans(spark, sf_nulls):
     assert edge["n_orphan_rows"] >= 2
     clean = rows["lineitem.l_suppkey->supplier.s_suppkey"]
     assert clean["n_orphan_keys"] == 0
+
+
+@pytest.fixture(scope="module")
+def sf_rank_boundary(tmp_path_factory) -> str:
+    """sf0.001 clone plus a synthetic '0-BOUNDARY  ' priority group of
+    exactly 10 single-line orders whose day gaps are 1..10 — n
+    divisible by 10 with a histogram row closing exactly at rank
+    0.9·n. This is the case where a float rank test
+    ``cum >= lit(0.9)*n`` silently disagrees with DuckDB's
+    exact-rational percentile_disc: binary 0.9 rounds UP by 2.2e-17,
+    so 9 >= 0.9*10 is FALSE in doubles while DuckDB returns 9
+    (probed in the r9 fix; see q_lead_time's docstring)."""
+    import datetime
+
+    d = tmp_path_factory.mktemp("sfboundary")
+    for t in TABLES:
+        shutil.copy(f"{SF_SRC}/{t}.parquet", d / f"{t}.parquet")
+
+    od = pq.read_table(d / "orders.parquet")
+    li = pq.read_table(d / "lineitem.parquet")
+    base_key = 900_000_000
+    t0 = datetime.datetime(1995, 6, 1)
+    new_orders = {
+        "o_orderkey": [base_key + i for i in range(10)],
+        "o_custkey": [1] * 10,
+        "o_orderstatus": ["F"] * 10,
+        "o_totalprice": [1.0] * 10,
+        "o_orderdate": [t0] * 10,
+        "o_orderpriority": ["0-BOUNDARY  "] * 10,
+    }
+    new_lines = {
+        "l_orderkey": [base_key + i for i in range(10)],
+        "l_partkey": [1] * 10,
+        "l_suppkey": [1] * 10,
+        "l_linenumber": [1] * 10,
+        "l_quantity": [1.0] * 10,
+        "l_extendedprice": [1.0] * 10,
+        "l_discount": [0.0] * 10,
+        "l_tax": [0.0] * 10,
+        "l_returnflag": ["N"] * 10,
+        "l_linestatus": ["O"] * 10,
+        # gaps 1..10 days: p50 = 5 (2k>=n at k=5), p90 = 9 (10k>=9n)
+        "l_shipdate": [
+            t0 + datetime.timedelta(days=i + 1) for i in range(10)
+        ],
+    }
+    od2 = pa.concat_tables(
+        [od, pa.table(new_orders).cast(od.schema.remove_metadata())]
+    )
+    li2 = pa.concat_tables(
+        [li, pa.table(new_lines).cast(li.schema.remove_metadata())]
+    )
+    pq.write_table(od2, d / "orders.parquet")
+    pq.write_table(li2, d / "lineitem.parquet")
+    return str(d)
+
+
+def test_lead_time_percentile_rank_boundary_exact(spark, sf_rank_boundary):
+    """r9 (ADVICE r8): the discrete-percentile rank test must be
+    integer-exact at the divisible-by-10 boundary — full cross-engine
+    hash compare on the boundary fixture, plus a direct value check
+    of the planted group."""
+    spec = load_all()["q_lead_time"]
+    rep = compare(
+        spec.builder(spark, sf_rank_boundary), spec.oracle, sf_rank_boundary
+    )
+    assert not rep["errors"], rep["errors"]
+    row = {
+        r["o_orderpriority"]: r
+        for r in spec.builder(spark, sf_rank_boundary).collect()
+    }["0-BOUNDARY  "]
+    assert (row["n"], row["min_days"], row["p50_days"],
+            row["p90_days"], row["max_days"]) == (10, 1, 5, 9, 10)
+
+
+@pytest.fixture(scope="module")
+def sf_bigdoc(tmp_path_factory) -> str:
+    """sf0.001 clone with one 2.2M-char all-alnum document — above the
+    ~2.147M alnum chars where an int32 ``(len-len)*1000`` wraps
+    negative (ADVICE r8: the length difference must be cast to LONG
+    before the multiply; DuckDB computes in BIGINT natively)."""
+    d = tmp_path_factory.mktemp("sfbigdoc")
+    for t in TABLES:
+        shutil.copy(f"{SF_SRC}/{t}.parquet", d / f"{t}.parquet")
+    docs = pq.read_table(d / "documents.parquet")
+    text = docs.column("text").to_pylist()
+    nch = docs.column("n_chars").to_pylist()
+    text[0] = "a" * 2_200_000
+    nch[0] = 2_200_000
+    docs = docs.set_column(
+        docs.schema.get_field_index("text"), "text", pa.array(text)
+    )
+    docs = docs.set_column(
+        docs.schema.get_field_index("n_chars"),
+        "n_chars",
+        pa.array(nch, type=docs.schema.field("n_chars").type),
+    )
+    pq.write_table(docs, d / "documents.parquet")
+    return str(d)
+
+
+def test_quality_cut_no_int32_overflow_on_huge_doc(spark, sf_bigdoc):
+    """r9 (ADVICE r8): the permille numerator must be computed in
+    LONG — cross-engine hash compare with a >2^31/1000-char document,
+    plus a direct check that the planted doc scores 1000 permille
+    (int32 wrap would send it negative)."""
+    spec = load_all()["q_quality_cut"]
+    rep = compare(spec.builder(spark, sf_bigdoc), spec.oracle, sf_bigdoc)
+    assert not rep["errors"], rep["errors"]
+    doc0 = [
+        r
+        for r in spec.builder(spark, sf_bigdoc).collect()
+        if r["alpha_permille"] == 1000
+    ]
+    assert doc0, "the all-alnum 2.2M-char doc must score exactly 1000"

@@ -451,18 +451,24 @@ def test_live_source_cap_restart_does_not_redeliver(spark, tmp_path):
     assert sorted(got2) == [6, 7, 8]
 
 
+def _planned(parts):
+    return [(p.shard, p.lo, p.hi) for p in parts if p.hi > p.lo]
+
+
 def test_live_source_cap_regressed_restart_never_redelivers_protocol(
     tmp_path,
 ):
     """Deterministic protocol-level replay of the fully-committed
-    restart hazard (r8 review finding): a fresh capped reader's first
-    latestOffset guesses below the checkpoint, Spark plans one
-    regressed batch (start > end), and the re-delivery floor must (a)
-    plan NOTHING for that batch and (b) clamp the next batch's range
-    so the committed prefix is never read again. The same machinery
-    also bounds a ``latest``-mode restart backlog (review finding:
-    seeding the guess from initialOffset would plan it as one
-    uncapped batch)."""
+    restart hazard (r8 review finding). Degraded path (no floor
+    sidecar — checkpoint moved without the journal): the fresh capped
+    reader's first latestOffset guesses below the checkpoint, Spark
+    plans one regressed batch (start > end), and the re-delivery
+    floor must (a) plan NOTHING for that batch and (b) clamp the next
+    batch's range so the committed prefix is never read again.
+    Normal path (r9 persistent floor): once any instance has planned
+    against the journal, a restarted reader seeds its cap base from
+    the sidecar and NEVER emits a regressed offset in the first
+    place."""
     from streamclient_spark.sources.replay import _LiveStreamReader
 
     journal = tmp_path / "journal"
@@ -478,33 +484,136 @@ def test_live_source_cap_regressed_restart_never_redelivers_protocol(
         "max_per_shard_batch": "2",
     }
     r = _LiveStreamReader(opts)
-    # fully-committed restart: Spark's first call is latestOffset; the
-    # checkpointed position is {"0": 6} but the reader can't know that
+    # degraded fully-committed restart (no sidecar): Spark's first
+    # call is latestOffset; the checkpointed position is {"0": 6} but
+    # the reader can't know that
     first = r.latestOffset()
     assert first == {"0": 2}  # the low guess
     # Spark plans the regressed batch start=committed(6), end=guess(2)
-    parts = r.partitions({"0": 6}, {"0": 2})
-    planned = [(p.shard, p.lo, p.hi) for p in parts if p.hi > p.lo]
-    assert planned == []  # nothing re-read in the regressed batch
+    assert _planned(r.partitions({"0": 6}, {"0": 2})) == []
     # next trigger: cap base advanced to the committed position
-    nxt = r.latestOffset()
-    assert nxt == {"0": 8}
+    assert r.latestOffset() == {"0": 8}
     # Spark's offset log briefly says 2 — the floor must clamp 2..6
-    parts = r.partitions({"0": 2}, {"0": 8})
-    planned = [(p.shard, p.lo, p.hi) for p in parts if p.hi > p.lo]
-    assert planned == [(0, 6, 8)]  # only the never-delivered range
+    assert _planned(r.partitions({"0": 2}, {"0": 8})) == [(0, 6, 8)]
     # and the stream continues normally
     assert r.latestOffset() == {"0": 9}
 
-    # latest-mode restart: same zero guess (NOT the journal tip — that
-    # would plan the whole committed backlog as one uncapped batch)
-    r2 = _LiveStreamReader({**opts, "starting_offsets": "latest"})
+    # normal restart (r9): the sidecar persisted floor=6 at plan time,
+    # so a new instance — in either offsets mode — seeds its cap base
+    # from it and the first emitted offset is min(tip, 6+2)=8: no
+    # regressed batch, no uncapped backlog, no re-delivery.
+    for mode in ("earliest", "latest"):
+        r2 = _LiveStreamReader({**opts, "starting_offsets": mode})
+        assert r2.latestOffset() == {"0": 8}
+        assert _planned(r2.partitions({"0": 6}, {"0": 8})) == [(0, 6, 8)]
+        assert r2.latestOffset() == {"0": 9}
+
+
+def test_live_source_cap_double_crash_never_redelivers(tmp_path):
+    """r8 VERDICT item #1: the at-least-once window under a DOUBLE
+    crash is closed. Protocol-level simulation: every crash point
+    around the capped-restart recovery is replayed with a fresh
+    reader instance (in-memory state lost), and no instance may ever
+    plan a range below the durably-planned prefix. The floor sidecar
+    — written at plan time in partitions() and raised at commit — is
+    what carries the position across the crashes."""
+    from streamclient_spark.sources.replay import _LiveStreamReader
+
+    journal = tmp_path / "journal"
+    journal.mkdir()
+    (journal / "shard-0.jsonl").write_text(
+        "".join(
+            _journal_event(i, i, "signup", i) + "\n" for i in range(12)
+        )
+    )
+    opts = {
+        "transport": TRANSPORT,
+        "journal_dir": str(journal),
+        "max_per_shard_batch": "2",
+    }
+
+    # run A: plans (0,2) (2,4) (4,6); commits through 6
+    a = _LiveStreamReader(opts)
+    a.initialOffset()
+    lo = 0
+    for _ in range(3):
+        end = a.latestOffset()
+        assert _planned(a.partitions({"0": lo}, end)) == [
+            (0, lo, int(end["0"]))
+        ]
+        a.commit(end)
+        lo = int(end["0"])
+    assert lo == 6
+
+    # CRASH 1. Run B restarts, emits min(tip, floor+cap)=8 (no
+    # regression), plans (6,8) — then CRASH 2 before commit.
+    b = _LiveStreamReader(opts)
+    assert b.latestOffset() == {"0": 8}
+    assert _planned(b.partitions({"0": 6}, {"0": 8})) == [(0, 6, 8)]
+
+    # Run C restarts inside the window that was at-least-once in r8.
+    # Spark re-plans the pending batch (6,8) — the standard same-
+    # batch-id replay — then continues; nothing below 6 is ever
+    # planned, and the next new batch starts exactly at 8.
+    c = _LiveStreamReader(opts)
+    assert _planned(c.partitions({"0": 6}, {"0": 8})) == [(0, 6, 8)]
+    c.commit({"0": 8})
+    end = c.latestOffset()
+    assert end == {"0": 10}
+    assert _planned(c.partitions({"0": 8}, end)) == [(0, 8, 10)]
+
+    # CRASH 3 immediately after a commit, before the next plan: the
+    # commit-time floor raise means even this instance's first offset
+    # guess cannot regress below the committed position.
+    c.commit(end)
+    d = _LiveStreamReader(opts)
+    assert d.latestOffset() == {"0": 12}
+    assert _planned(d.partitions({"0": 10}, {"0": 12})) == [(0, 10, 12)]
+
+
+def test_live_source_fresh_latest_start_plans_no_empty_batch(tmp_path):
+    """r8 VERDICT item #6: a genuinely fresh ``latest``-mode start
+    already knows the tip from initialOffset(), so the first capped
+    trigger must start from the tip — not plan one guaranteed-empty
+    regressed batch. A stale floor sidecar from a dead checkpoint is
+    reset by the fresh start (initialOffset is only called when no
+    checkpointed offset exists), so a new earliest-mode query still
+    reads from zero."""
+    from streamclient_spark.sources.replay import _LiveStreamReader
+
+    journal = tmp_path / "journal"
+    journal.mkdir()
+    (journal / "shard-0.jsonl").write_text(
+        "".join(
+            _journal_event(i, i, "signup", i) + "\n" for i in range(5)
+        )
+    )
+    opts = {
+        "transport": TRANSPORT,
+        "journal_dir": str(journal),
+        "max_per_shard_batch": "2",
+        "starting_offsets": "latest",
+    }
+    r = _LiveStreamReader(opts)
+    assert r.initialOffset() == {"0": 5}
+    # no new rows yet: latestOffset equals the initial offset, so
+    # Spark plans NO batch at all (previously: an empty regressed
+    # batch start=5 > end=2)
+    assert r.latestOffset() == {"0": 5}
+    # rows arrive: the first planned batch is the new rows, capped
+    with open(journal / "shard-0.jsonl", "a") as f:
+        for i in range(5, 10):
+            f.write(_journal_event(i, i, "signup", i) + "\n")
+    assert r.latestOffset() == {"0": 7}
+    assert _planned(r.partitions({"0": 5}, {"0": 7})) == [(0, 5, 7)]
+
+    # stale-sidecar reset: the run above persisted floor=5; a NEW
+    # query (fresh checkpoint, earliest mode) must not be clamped by
+    # the dead query's floor
+    r2 = _LiveStreamReader({**opts, "starting_offsets": "earliest"})
+    assert r2.initialOffset() == {"0": 0}
     assert r2.latestOffset() == {"0": 2}
-    r2.partitions({"0": 6}, {"0": 2})  # regressed; floor learns 6
-    assert r2.latestOffset() == {"0": 8}
-    parts = r2.partitions({"0": 2}, {"0": 8})
-    planned = [(p.shard, p.lo, p.hi) for p in parts if p.hi > p.lo]
-    assert planned == [(0, 6, 8)]
+    assert _planned(r2.partitions({"0": 0}, {"0": 2})) == [(0, 0, 2)]
 
 
 def test_live_source_cap_zero_means_uncapped_and_negative_rejected(

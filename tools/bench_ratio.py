@@ -47,6 +47,31 @@ BRUTE_FORCE_ORACLES = {
 }
 KEEP_ANYWAY = {"q_sim_topk"}  # linear scans race fairly at any sf
 
+#: oracle-health canary (VERDICT r8 #2): a fixed, fixture-independent
+#: pure-CPU DuckDB probe timed before and after the race. The r8 sf1
+#: headline (0.37×) was contaminated by a session-level DuckDB
+#: slowdown (340→780 s between sessions, reproduced twice — box/page
+#: cache state, not code); this stamp makes a degraded oracle session
+#: machine-distinguishable from a real win. Reference time measured
+#: min-of-3 on a quiet box (see BENCH_NOTES r9); degraded = slowest
+#: probe > 2× reference.
+ORACLE_PROBE_SQL = (
+    "SELECT count(*) AS n, sum(r * 3 % 7) AS s FROM range(20000000) t(r)"
+)
+ORACLE_PROBE_REF_S = 0.21
+
+
+def oracle_probe_s() -> float:
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        t0 = time.perf_counter()
+        con.sql(ORACLE_PROBE_SQL).fetchall()
+        return round(time.perf_counter() - t0, 4)
+    finally:
+        con.close()
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
@@ -56,6 +81,8 @@ def main() -> int:
     from streamclient_spark.plans.registry import load_all
     from streamclient_spark.session import get_spark
     from tests.oracle import duckdb_con
+
+    probe_before = oracle_probe_s()
 
     spark = get_spark("streamclient-spark-bench-ratio")
     specs = load_all()
@@ -126,6 +153,12 @@ def main() -> int:
             flush=True,
         )
 
+    probe_after = oracle_probe_s()
+    # degraded if EITHER probe is slow: a mid-race slowdown inflates
+    # duck_total just as much as a start-of-race one
+    oracle_degraded = (
+        max(probe_before, probe_after) > 2 * ORACLE_PROBE_REF_S
+    )
     spark_total = round(sum(r["spark"] for r in results.values()), 2)
     duck_total = round(sum(r["duck"] for r in results.values()), 2)
     out = {
@@ -133,6 +166,9 @@ def main() -> int:
         "spark_total": spark_total,
         "duck_total": duck_total,
         "ratio": round(spark_total / duck_total, 3),
+        "oracle_probe_s": [probe_before, probe_after],
+        "oracle_probe_ref_s": ORACLE_PROBE_REF_S,
+        "oracle_degraded": oracle_degraded,
         "queries": results,
     }
     print(json.dumps(out))
@@ -144,6 +180,9 @@ def main() -> int:
         "spark_total": spark_total,
         "duck_total": duck_total,
         "ratio": out["ratio"],
+        "oracle_probe_s": [probe_before, probe_after],
+        "oracle_probe_ref_s": ORACLE_PROBE_REF_S,
+        "oracle_degraded": oracle_degraded,
         "n_queries": len(results),
     }
     try:
