@@ -61,7 +61,34 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Bui
 # first 50 registry entries in insertion order. Rotated every round — see the
 # segment comments inside the tuple.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- ROUND-8 WINDOW (first 50) — re-attestation of the round-8
+    # --- ROUND-9 WINDOW (first 50) — hardening round: every query
+    # whose code changed after a prior green row leads the window
+    # (the attestation invariant, VERDICT r8 #7). Ledger state
+    # entering round 9: r1∪…∪r8 covers all 295 registered queries,
+    # 290 hash-green + 5 rows-only by contract, zero failures.
+    #
+    # Modified in round 9 after a prior green row:
+    # q_tpch_q8 (VERDICT r8 #3 — the last >2×/>1.5 s floor: fixed-size
+    # nation/region dims folded to literal predicates (three fewer
+    # BroadcastExchanges, supplier⋈nation join deleted), orders
+    # reduced by date×region BEFORE the fact join, fact crosses zero
+    # exchanges; 1.73→1.02-1.32 s warm min, both A/B orders, sf10
+    # scale 1.82×);
+    # q_lead_time (ADVICE r8 — the percentile rank test made
+    # INTEGER-exact: cum·2≥n / cum·10≥9·n; binary 0.9 rounds up so
+    # the old double form disagreed with DuckDB's exact-rational
+    # boundary whenever n_nn % 10 == 0 landed a histogram row exactly
+    # at rank 0.9n — boundary fixture test added);
+    # q_quality_cut (ADVICE r8 — permille numerator cast to LONG
+    # before ×1000; int32 wrapped past ~2.1M alnum chars/doc);
+    # q_embed_sim_hist (ADVICE r8 — per-cell GEMM tiled to row blocks
+    # + hard per-cell pair guard; bit-identical by the exact-integer
+    # grid argument, parity + guard tests added);
+    # q_embed_pca_power (VERDICT r8 #4 — the 64-dim data guard raises
+    # instead of asserting, surviving python -O)
+    "q_tpch_q8", "q_lead_time", "q_quality_cut", "q_embed_sim_hist",
+    "q_embed_pca_power",
+    # --- ROUND-8 WINDOW (rotates through as re-attests) — the round-8
     # modified set (VERDICT r7 #2/#3: every query whose code changed
     # after a green row leads the next window), then the r7 window
     # rotates through as re-attests. Ledger state entering round 8:
@@ -93,8 +120,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # 1.06 s sf1 warm); q_text_chunker (r8 second wave — the
     # text.py:553 split-recovery repartition it never had: 2.07 →
     # 1.06 s sf1 warm)
-    "q_embed_sim_hist", "q_tpch_q10", "q_quality_cut", "q_lead_time",
-    "q_tpch_q18", "q_text_chunker",
+    "q_tpch_q10", "q_tpch_q18", "q_text_chunker",
     # --- ROUND-7 WINDOW (rotates through as re-attests) — the
     # whole-registry closing
     # window. Ledger arithmetic against CORRECTNESS r1∪…∪r6 (verified
@@ -169,7 +195,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- attested green in r5 and byte-identical since ---
     "q_dq_referential", "q_text_bm25",
     "q_graph_pagerank", "q_text_normalize",
-    "q_embed_pca_power", "q_sim_rrf",
+    "q_sim_rrf",
     "q_scan_csv", "q_scan_orc",
     "q_graph_bfs",
     "q_ts_acf", "q_ts_cross_corr", "q_graph_degree_dist",
@@ -208,7 +234,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_tpch_q1", "q_tpch_q3", "q_agg_cube", "q_agg_rollup",
     "q_agg_having", "q_dq_profile", "q_join_fuzzy", "q_dq_outliers",
     "q_text_keywords", "q_tpch_q2", "q_events_cumulative_users",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q13",
     "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22", "q_tpch_q9",
     "q_tpch_q11", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
     "q_fn_struct", "q_fn_bitwise", "q_fn_interval",
