@@ -1588,3 +1588,40 @@ def test_rollup_sink_through_checkpointed_stream(spark, sf_smoke, tmp_path):
         for r in read_rollup(spark, store).collect()
     }
     assert got == expected
+
+
+def test_live_source_floor_id_isolates_queries_sharing_a_journal(tmp_path):
+    """Two queries (distinct checkpoints) reading ONE journal must not
+    clamp each other: the floor sidecar is keyed by ``floor_id`` (the
+    consumer-group analog). Query A planning deep into the journal
+    must not make a fresh query B skip the prefix."""
+    from streamclient_spark.sources.replay import _LiveStreamReader
+
+    journal = tmp_path / "journal"
+    journal.mkdir()
+    (journal / "shard-0.jsonl").write_text(
+        "".join(
+            _journal_event(i, i, "signup", i) + "\n" for i in range(8)
+        )
+    )
+    opts = {
+        "transport": TRANSPORT,
+        "journal_dir": str(journal),
+        "max_per_shard_batch": "4",
+    }
+    a = _LiveStreamReader({**opts, "floor_id": "qa"})
+    a.initialOffset()
+    end = a.latestOffset()
+    assert _planned(a.partitions({"0": 0}, end)) == [(0, 0, 4)]
+    a.commit(end)
+
+    # fresh query B, own floor id: reads from zero, unclamped by A
+    b = _LiveStreamReader({**opts, "floor_id": "qb"})
+    assert b.initialOffset() == {"0": 0}
+    assert _planned(b.partitions({"0": 0}, b.latestOffset())) == [
+        (0, 0, 4)
+    ]
+
+    # and A's restart still honors A's own floor
+    a2 = _LiveStreamReader({**opts, "floor_id": "qa"})
+    assert a2.latestOffset() == {"0": 8}

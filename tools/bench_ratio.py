@@ -60,14 +60,26 @@ ORACLE_PROBE_SQL = (
 )
 ORACLE_PROBE_REF_S = 0.21
 
+#: second probe (r9): the r8/r9 duck slowdowns replicated while the
+#: pure-CPU probe stayed healthy, so the canary also times a fixed
+#: fixture scan+aggregate (I/O + parquet decode path). Its reference
+#: depends on fixture size, so instead of an absolute threshold the
+#: artifact stamps before/after and flags a session whose two
+#: readings disagree >3× (mid-race state change) — the failure mode
+#: an absolute CPU reference cannot see.
+ORACLE_IO_PROBE_SQL = (
+    "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS q "
+    "FROM read_parquet('{dir}/lineitem.parquet') GROUP BY 1"
+)
 
-def oracle_probe_s() -> float:
+
+def oracle_probe_s(sql: str = ORACLE_PROBE_SQL) -> float:
     import duckdb
 
     con = duckdb.connect()
     try:
         t0 = time.perf_counter()
-        con.sql(ORACLE_PROBE_SQL).fetchall()
+        con.sql(sql).fetchall()
         return round(time.perf_counter() - t0, 4)
     finally:
         con.close()
@@ -83,6 +95,9 @@ def main() -> int:
     from tests.oracle import duckdb_con
 
     probe_before = oracle_probe_s()
+    io_probe_before = oracle_probe_s(
+        ORACLE_IO_PROBE_SQL.format(dir=sf_dir)
+    )
 
     spark = get_spark("streamclient-spark-bench-ratio")
     specs = load_all()
@@ -135,13 +150,29 @@ def main() -> int:
             if spark_s > 1.5:
                 spark_s = min(spark_s, run_spark(name))
 
-        con = duckdb_con(sf_dir)
-        try:
-            t0 = time.perf_counter()
-            con.sql(spec.oracle).fetchall()
-            duck_s = time.perf_counter() - t0
-        finally:
-            con.close()
+        def run_duck() -> float:
+            con = duckdb_con(sf_dir)
+            try:
+                t0 = time.perf_counter()
+                con.sql(spec.oracle).fetchall()
+                return time.perf_counter() - t0
+            finally:
+                con.close()
+
+        duck_s = run_duck()
+        if duck_s > 1.0:
+            # SYMMETRIC retry policy (r9): Spark above gets min-of-2
+            # (escalating to 3) to shed one-shot JIT/contention noise,
+            # but duck previously got a single shot — and the r8/r9
+            # "session slowdown" turned out to be exactly this: the
+            # same oracle measured 7.4 s standalone vs 69 s one-shot
+            # mid-race (transient co-tenancy with the JVM, not code
+            # or box state — both canary probes stayed healthy).
+            # Giving both engines the same min-of-N makes duck_total
+            # a steady-state number too.
+            duck_s = min(duck_s, run_duck())
+            if duck_s > 1.5:
+                duck_s = min(duck_s, run_duck())
         results[name] = {
             "spark": round(spark_s, 3),
             "duck": round(duck_s, 3),
@@ -154,10 +185,16 @@ def main() -> int:
         )
 
     probe_after = oracle_probe_s()
-    # degraded if EITHER probe is slow: a mid-race slowdown inflates
-    # duck_total just as much as a start-of-race one
+    io_probe_after = oracle_probe_s(
+        ORACLE_IO_PROBE_SQL.format(dir=sf_dir)
+    )
+    # degraded if EITHER probe is slow (a mid-race slowdown inflates
+    # duck_total just as much as a start-of-race one), or the I/O
+    # probe's two readings disagree >3× (session state changed)
+    io_pair = sorted([io_probe_before, io_probe_after])
     oracle_degraded = (
         max(probe_before, probe_after) > 2 * ORACLE_PROBE_REF_S
+        or (io_pair[0] > 0 and io_pair[1] > 3 * io_pair[0])
     )
     spark_total = round(sum(r["spark"] for r in results.values()), 2)
     duck_total = round(sum(r["duck"] for r in results.values()), 2)
@@ -168,6 +205,7 @@ def main() -> int:
         "ratio": round(spark_total / duck_total, 3),
         "oracle_probe_s": [probe_before, probe_after],
         "oracle_probe_ref_s": ORACLE_PROBE_REF_S,
+        "oracle_io_probe_s": [io_probe_before, io_probe_after],
         "oracle_degraded": oracle_degraded,
         "queries": results,
     }
@@ -182,6 +220,7 @@ def main() -> int:
         "ratio": out["ratio"],
         "oracle_probe_s": [probe_before, probe_after],
         "oracle_probe_ref_s": ORACLE_PROBE_REF_S,
+        "oracle_io_probe_s": [io_probe_before, io_probe_after],
         "oracle_degraded": oracle_degraded,
         "n_queries": len(results),
     }
