@@ -1483,7 +1483,15 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_nationkey").isin(asia_nations))
         .select("c_custkey")
     )
-    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # the oracle INNER-joins supplier⋈nation, so a supplier row with a
+    # NULL/orphan nationkey is dropped from the denominator — the
+    # literal fold must reproduce that with an isin over the full dim
+    all_nations = sorted(r["n_nationkey"] for r in nat_rows)
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(all_nations))
+        .select("s_suppkey", "s_nationkey")
+    )
     p = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_type") == "ECONOMY")

@@ -307,3 +307,41 @@ def test_quality_cut_no_int32_overflow_on_huge_doc(spark, sf_bigdoc):
         if r["alpha_permille"] == 1000
     ]
     assert doc0, "the all-alnum 2.2M-char doc must score exactly 1000"
+
+
+@pytest.fixture(scope="module")
+def sf_dirty_supplier(tmp_path_factory) -> str:
+    """sf0.001 clone with one NULL and one orphan (999) supplier
+    nationkey — the rows the oracle's INNER supplier⋈nation join
+    drops. q_tpch_q8's r9 literal-fold must reproduce that drop with
+    its isin over the fixed dim, not keep the rows in the
+    denominator."""
+    d = tmp_path_factory.mktemp("sfdirtysupp")
+    for t in TABLES:
+        shutil.copy(f"{SF_SRC}/{t}.parquet", d / f"{t}.parquet")
+    sup = pq.read_table(d / "supplier.parquet")
+    nk = sup.column("s_nationkey").to_pylist()
+    nk[0] = None
+    nk[1] = 999  # orphan: matches no nation row
+    sup = sup.set_column(
+        sup.schema.get_field_index("s_nationkey"),
+        "s_nationkey",
+        pa.array(nk, type=sup.schema.field("s_nationkey").type),
+    )
+    pq.write_table(sup, d / "supplier.parquet")
+    return str(d)
+
+
+def test_tpch_q8_literal_fold_drops_dirty_suppliers(
+    spark, sf_dirty_supplier
+):
+    """r9: the q8 rewrite folded the supplier⋈nation join into a
+    literal isin — full cross-engine hash compare on a fixture where
+    the fold and the join could diverge (NULL + orphan nationkeys)."""
+    spec = load_all()["q_tpch_q8"]
+    rep = compare(
+        spec.builder(spark, sf_dirty_supplier),
+        spec.oracle,
+        sf_dirty_supplier,
+    )
+    assert not rep["errors"], rep["errors"]
