@@ -2107,30 +2107,50 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     no partsupp, so supply cost is 0.5·p_retailprice per unit; profit
     = discounted price − cost·quantity, which can go negative).
 
-    100 TB plan: part filters on the name prefix at its scan (~12% of
-    parts) and joins lineitem on partkey FIRST — that is the only
-    filter in the query, so applying it before the orderkey shuffle
-    cuts the fact ~8×. supplier⋈nation broadcasts nation; the
-    supplier join shuffles on suppkey only the pre-reduced fact. The
-    orders join (orderkey) moves the reduced fact once more; with
-    lineitem and orders bucketed by orderkey it is co-located. Profit
-    sums through signed long limbs: x = (x>>20)·2^20 + (x & mask)
-    holds in two's-complement for negative values too (arithmetic
-    shift floors, the masked low limb is non-negative), so the
-    reassembled decimal is exact — the same rational the oracle's
-    decimal SUM produces. Final group count is 25 nations × 7 years,
-    map-side combined to nothing."""
+    100 TB plan (r9 refresh, the q8 lesson applied): part filters on
+    the name prefix at its scan (~12% of parts) and joins lineitem on
+    partkey FIRST — that is the only filter in the query, so applying
+    it before the orderkey shuffle cuts the fact ~8×. The nation NAME
+    attaches to supplier through a 25-entry LITERAL MAP on
+    s_nationkey (nation is fixed-size at every TPC-H sf; the isin
+    reproduces the oracle's inner-join drop of NULL/orphan keys
+    exactly, as in q_tpch_q8) — one less BroadcastExchange chain. The
+    orders join moves the reduced fact once, as a SHUFFLED HASH join:
+    nothing downstream wants sort order (the profit agg hashes), so
+    the SMJ's two full sorts are pure waste — the q_lead_time
+    precedent; with lineitem and orders bucketed by orderkey it is
+    co-located and the hint is moot. A/B at sf1: 1.53 s lean
+    first-position vs 1.77 s old warm-second (BENCH_NOTES r9).
+    Profit sums through signed long limbs: x = (x>>20)·2^20 +
+    (x & mask) holds in two's-complement for negative values too
+    (arithmetic shift floors, the masked low limb is non-negative),
+    so the reassembled decimal is exact — the same rational the
+    oracle's decimal SUM produces. Final group count is 25 nations ×
+    7 years, map-side combined to nothing."""
+    from itertools import chain
+
     from streamclient_spark.compat import limb_sums, limb_value, scaled2
 
+    # bounded dim collect: 25 rows at every TPC-H sf
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    }
+    name_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(k), F.lit(v)) for k, v in sorted(nat.items())
+        )
+    )
     p = load(spark, sf_dir, "part").filter(
         F.col("p_name").like("red%")
     ).select("p_partkey", "p_retailprice")
-    s = load(spark, sf_dir, "supplier").join(
-        F.broadcast(
-            load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-        ),
-        F.col("s_nationkey") == F.col("n_nationkey"),
-    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(sorted(nat)))
+        .select("s_suppkey", name_map[F.col("s_nationkey")].alias("nation"))
+    )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     l = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey",
@@ -2145,9 +2165,12 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("l_quantity").cast("bigint")
     )
     return (
-        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            o.hint("SHUFFLE_HASH"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(*limb_sums(profit, "profit"))
         .select(

@@ -332,13 +332,15 @@ def sf_dirty_supplier(tmp_path_factory) -> str:
     return str(d)
 
 
-def test_tpch_q8_literal_fold_drops_dirty_suppliers(
-    spark, sf_dirty_supplier
+@pytest.mark.parametrize("name", ["q_tpch_q8", "q_tpch_q9"])
+def test_tpch_literal_fold_drops_dirty_suppliers(
+    spark, sf_dirty_supplier, name
 ):
-    """r9: the q8 rewrite folded the supplier⋈nation join into a
-    literal isin — full cross-engine hash compare on a fixture where
-    the fold and the join could diverge (NULL + orphan nationkeys)."""
-    spec = load_all()["q_tpch_q8"]
+    """r9: the q8/q9 rewrites folded the supplier⋈nation join into a
+    literal isin (+ map lookup in q9) — full cross-engine hash
+    compare on a fixture where the fold and the join could diverge
+    (NULL + orphan nationkeys)."""
+    spec = load_all()[name]
     rep = compare(
         spec.builder(spark, sf_dirty_supplier),
         spec.oracle,
