@@ -1326,42 +1326,55 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     both fact-to-fact joins plus a symmetric two-nation predicate that
     cannot be fully pushed to either side alone.
 
-    100 TB plan: the nation dim filters to 2 rows and broadcasts into
-    supplier and customer (the only hinted broadcasts — nation is
-    fixed-size at every SF); that prunes supplier/customer to ~2/25 of
-    their rows BEFORE the fact joins. Join order is chosen so NEITHER
-    full fact crosses the orderkey shuffle: lineitem is pre-reduced by
-    the supplier-nation join (~8%), orders is pre-reduced by the
-    customer-nation join (~8%), and only then do the two reduced sides
-    meet on orderkey (measured 5.5 s → 1.9 s at sf1 vs joining full
-    orders first). The symmetric OR residual runs after both nation
-    names are bound. Revenue sums through long limbs; the final group
-    count is |2 × years|, map-side combined to nothing."""
+    100 TB plan (r9 refresh — the q8/q9 lesson): nation is fixed-size
+    at every SF, so the two-nation cut folds to a literal ``isin`` and
+    the names attach via a 2-entry literal map (the isin reproduces
+    the oracle's inner-join drop of NULL/orphan keys exactly) — no
+    nation joins at all. That prunes supplier/customer to ~2/25 of
+    their rows BEFORE the fact joins. Join order keeps every full
+    fact out of the exchanges: lineitem is pre-reduced by the
+    supplier cut (~8%), orders by the customer cut (~8%), and the two
+    reduced sides meet on orderkey (measured 5.5 s → 1.9 s at sf1 vs
+    joining full orders first; the r9 broadcast hints — which express
+    where AQE lands at runtime anyway, skipping the static SMJ's
+    materialized fact exchange — take it to 1.29 s, A/B in
+    BENCH_NOTES; at 100 TB the hints come off and the reduced sides
+    meet as the bucketed orderkey join). The symmetric OR residual
+    runs after both nation names are bound. Revenue sums through long
+    limbs; the final group count is |2 × years|, map-side combined to
+    nothing."""
+    from itertools import chain
+
     from streamclient_spark.compat import limb_sums, limb_value, scaled2
 
     pair = ("NATION_1", "NATION_2")
-    n1 = (
-        load(spark, sf_dir, "nation")
+    # bounded dim collect: 2 of the 25 fixed nation rows
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load(spark, sf_dir, "nation")
         .filter(F.col("n_name").isin(*pair))
-        .select(
-            F.col("n_nationkey").alias("_sn_key"),
-            F.col("n_name").alias("supp_nation"),
+        .collect()
+    }
+    name_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(k), F.lit(v)) for k, v in sorted(nat.items())
         )
     )
-    n2 = (
-        load(spark, sf_dir, "nation")
-        .filter(F.col("n_name").isin(*pair))
+    keys = sorted(nat)
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(keys))
         .select(
-            F.col("n_nationkey").alias("_cn_key"),
-            F.col("n_name").alias("cust_nation"),
+            "s_suppkey", name_map[F.col("s_nationkey")].alias("supp_nation")
         )
     )
-    s = load(spark, sf_dir, "supplier").join(
-        F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key")
-    ).select("s_suppkey", "supp_nation")
-    c = load(spark, sf_dir, "customer").join(
-        F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key")
-    ).select("c_custkey", "cust_nation")
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(keys))
+        .select(
+            "c_custkey", name_map[F.col("c_nationkey")].alias("cust_nation")
+        )
+    )
     l = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -1371,10 +1384,12 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_s = scaled2("l_extendedprice") * (
         F.lit(100) - scaled2("l_discount")
     )
-    oc = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+    oc = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
     return (
-        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(oc), F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(
             (
                 (F.col("supp_nation") == pair[0])

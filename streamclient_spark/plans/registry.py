@@ -89,9 +89,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # q_tpch_q9 (r9 second wave — same lesson: nation name via a
     # 25-entry literal map on s_nationkey with the inner-join isin
     # guard, broadcast hints where AQE lands anyway, SHUFFLE_HASH on
-    # the orders probe; 1.77→1.53 s A/B)
-    "q_tpch_q8", "q_tpch_q9", "q_lead_time", "q_quality_cut",
-    "q_embed_sim_hist", "q_embed_pca_power",
+    # the orders probe; 1.77→1.53 s A/B);
+    # q_tpch_q7 (r9 second wave — two-nation cut folded to literal
+    # isin + 2-entry name map, both reduced sides broadcast into the
+    # fact; 1.95→1.29 s A/B. q_tpch_q21 was A/B'd the same way and
+    # the CURRENT shape won — its orderkey exchange reuse beats the
+    # reorder; no change, floor stands.)
+    "q_tpch_q8", "q_tpch_q9", "q_tpch_q7", "q_lead_time",
+    "q_quality_cut", "q_embed_sim_hist", "q_embed_pca_power",
     # --- ROUND-8 WINDOW (rotates through as re-attests) — the round-8
     # modified set (VERDICT r7 #2/#3: every query whose code changed
     # after a green row leads the next window), then the r7 window
@@ -238,7 +243,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_tpch_q1", "q_tpch_q3", "q_agg_cube", "q_agg_rollup",
     "q_agg_having", "q_dq_profile", "q_join_fuzzy", "q_dq_outliers",
     "q_text_keywords", "q_tpch_q2", "q_events_cumulative_users",
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q13",
+    "q_tpch_q6", "q_tpch_q13",
     "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
     "q_tpch_q11", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
     "q_fn_struct", "q_fn_bitwise", "q_fn_interval",

@@ -332,7 +332,7 @@ def sf_dirty_supplier(tmp_path_factory) -> str:
     return str(d)
 
 
-@pytest.mark.parametrize("name", ["q_tpch_q8", "q_tpch_q9"])
+@pytest.mark.parametrize("name", ["q_tpch_q7", "q_tpch_q8", "q_tpch_q9"])
 def test_tpch_literal_fold_drops_dirty_suppliers(
     spark, sf_dirty_supplier, name
 ):
