@@ -39,6 +39,21 @@ def main() -> None:
     # warm the JVM + parquet footer caches with one cheap action
     specs[names[0]].builder(spark, sf_dir).count()
 
+    # Untimed warmup of the attestation-window head (the bench_ratio
+    # warmup, VERDICT r6 #6, applied here in r9): window rotation puts
+    # freshly-rewritten queries FIRST, so their first timed runs used
+    # to pay C2 compilation of brand-new codegen kernels — 3-6 s
+    # readings at sf0.1 for sub-second plans. Run the head once
+    # untimed so the recorded numbers measure plans, not compiler
+    # state.
+    for name in list(specs)[:5]:
+        try:
+            specs[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # the timed loop surfaces any real failure
+
     # One timed pass, then a selective second pass: the first run pays
     # whole-stage-codegen JIT, and this box sees periodic multi-second
     # external stalls that would otherwise charge one unlucky query tens
