@@ -45,8 +45,9 @@ def main() -> None:
     # to pay C2 compilation of brand-new codegen kernels — 3-6 s
     # readings at sf0.1 for sub-second plans. Run the head once
     # untimed so the recorded numbers measure plans, not compiler
-    # state.
-    for name in list(specs)[:5]:
+    # state. 8 covers the whole freshly-modified block of the r9
+    # window with margin (r9 review: 5 left positions 6-7 cold).
+    for name in list(specs)[:8]:
         try:
             specs[name].builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -1482,16 +1482,20 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_rows = load(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     ).collect()
-    asia_key = (
+    # missing dim rows behave like the oracle's inner join (empty /
+    # never-matching), not a builder crash (r9 review finding)
+    asia_rows = (
         load(spark, sf_dir, "region")
         .filter(F.col("r_name") == "ASIA")
-        .collect()[0]["r_regionkey"]
+        .collect()
     )
+    asia_key = asia_rows[0]["r_regionkey"] if asia_rows else None
     asia_nations = sorted(
         r["n_nationkey"] for r in nat_rows if r["n_regionkey"] == asia_key
     )
     nation3_key = next(
-        r["n_nationkey"] for r in nat_rows if r["n_name"] == "NATION_3"
+        (r["n_nationkey"] for r in nat_rows if r["n_name"] == "NATION_3"),
+        None,
     )
     c = (
         load(spark, sf_dir, "customer")

@@ -191,21 +191,33 @@ class _LiveStreamReader(DataSourceStreamReader):
         # journal (same durability domain as the data), written
         # atomically (a) at PLAN time in partitions() — `start` is
         # already durable in Spark's offset log when partitions() runs
-        # — and (b) at COMMIT time. Seeding the cap base from it means
-        # a restarted capped reader never emits an offset below the
-        # planned prefix, so no regressed batch is ever planned and no
-        # crash sequence can re-deliver a committed row. If the
-        # sidecar is absent (checkpoint moved without the journal),
-        # the reader degrades to the r8 zero-guess + in-memory-floor
-        # behavior. Distinct queries sharing one journal must set
-        # distinct ``floor_id`` options (the consumer-group analog).
+        # — and (b) at COMMIT time. The sidecar's ONLY use is seeding
+        # the cap base (`_last_end`): a restarted capped reader then
+        # never emits an offset below the planned prefix, so no
+        # regressed batch is ever planned and no crash sequence can
+        # re-deliver a committed row. It is deliberately NOT used to
+        # clamp ranges in partitions() — Spark's source contract says
+        # any range in the offset log is replayable, and an ops team
+        # restoring an OLDER checkpoint backup (deliberate
+        # reprocessing) must get rows 50..100 back, not a silently
+        # emptied batch (r9 review finding). The clamp below uses only
+        # the in-memory floor, which exists exactly as long as the
+        # regressed offsets it guards against. If the sidecar is
+        # absent (checkpoint moved without the journal), the reader
+        # degrades to the r8 zero-guess + in-memory-floor behavior.
+        # Distinct queries sharing one journal must set distinct
+        # ``floor_id`` options (the consumer-group analog).
         self._floor_path = self._options.get("floor_path")
         if self._floor_path is None and "journal_dir" in self._options:
             fid = self._options.get("floor_id", "default")
             self._floor_path = os.path.join(
                 self._options["journal_dir"], f"_offset_floor-{fid}.json"
             )
+        #: durable floor — seeds the cap base only (see above)
         self._floor: dict[str, int] = self._load_floor()
+        #: in-memory floor — clamps regressed ranges planned by THIS
+        #: instance's own low guess; dies with the process by design
+        self._mem_floor: dict[str, int] = {}
         # cap base: floor-seeded on restart; None → first latestOffset
         # falls back to the zero guess (degraded, sidecar-less restart)
         self._last_end: dict | None = (
@@ -219,9 +231,10 @@ class _LiveStreamReader(DataSourceStreamReader):
             with open(self._floor_path, "r", encoding="utf-8") as f:
                 raw = json.load(f)
             return {str(k): int(v) for k, v in raw.items()}
-        except (ValueError, OSError):
-            # unreadable sidecar: degrade to in-memory floor rather
-            # than block the stream
+        except (ValueError, OSError, TypeError, AttributeError):
+            # unreadable or wrong-shape sidecar (e.g. a JSON list, or
+            # null values): degrade to the in-memory floor rather than
+            # block the stream on every restart (r9 review finding)
             return {}
 
     def _persist_floor(self) -> None:
@@ -265,6 +278,7 @@ class _LiveStreamReader(DataSourceStreamReader):
             else {str(s): 0 for s in ends}
         )
         self._floor = {}
+        self._mem_floor = {}
         if self._floor_path and os.path.exists(self._floor_path):
             try:
                 os.remove(self._floor_path)
@@ -303,19 +317,23 @@ class _LiveStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         # Re-delivery floor (cap-restart safety): `start` offsets come
         # from Spark's offset log, i.e. they were durably planned —
-        # nothing below a seen start may ever be read again. The floor
-        # is raised AND PERSISTED to the sidecar before any partition
-        # is handed to an executor (r9): once a start has been seen
-        # here it survives any later crash sequence, so a capped
-        # restart can never replay below it. The clamp below is what
-        # keeps a recovery batch (degraded sidecar-less restart, where
-        # the first capped guess can land behind the checkpoint) from
-        # re-reading the committed range.
+        # a batch planned by THIS instance's own regressed guess must
+        # never re-read below a seen start. The durable floor is
+        # raised AND PERSISTED to the sidecar before any partition is
+        # handed to an executor (r9) so a later restart seeds its cap
+        # base above the planned prefix; the CLAMP uses only the
+        # in-memory floor — a deliberately restored older checkpoint
+        # presents starts below the sidecar floor, and those ranges
+        # must replay in full (Spark's offset-log contract), not plan
+        # empty.
         self._raise_floor(start)
+        for s, lo in start.items():
+            if int(lo) > self._mem_floor.get(str(s), 0):
+                self._mem_floor[str(s)] = int(lo)
         parts: list[InputPartition] = []
         for shard, hi in end.items():
             lo = max(
-                int(start.get(shard, 0)), self._floor.get(shard, 0)
+                int(start.get(shard, 0)), self._mem_floor.get(shard, 0)
             )
             if int(hi) > lo:
                 parts.append(

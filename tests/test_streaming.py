@@ -1625,3 +1625,51 @@ def test_live_source_floor_id_isolates_queries_sharing_a_journal(tmp_path):
     # and A's restart still honors A's own floor
     a2 = _LiveStreamReader({**opts, "floor_id": "qa"})
     assert a2.latestOffset() == {"0": 8}
+
+
+def test_live_source_restored_older_checkpoint_replays_in_full(tmp_path):
+    """r9 review finding: the persisted floor must only seed the cap
+    base, never clamp ranges — restoring an OLDER checkpoint backup
+    (deliberate reprocessing) presents starts below the sidecar floor,
+    and Spark's source contract says every offset-log range replays
+    in full. A corrupt sidecar must degrade, not block the stream."""
+    import json as _json
+
+    from streamclient_spark.sources.replay import _LiveStreamReader
+
+    journal = tmp_path / "journal"
+    journal.mkdir()
+    (journal / "shard-0.jsonl").write_text(
+        "".join(
+            _journal_event(i, i, "signup", i) + "\n" for i in range(10)
+        )
+    )
+    opts = {
+        "transport": TRANSPORT,
+        "journal_dir": str(journal),
+        "max_per_shard_batch": "2",
+    }
+    # run A advances (and persists the floor) to 8, commits
+    a = _LiveStreamReader(opts)
+    a.initialOffset()
+    lo = 0
+    for _ in range(4):
+        end = a.latestOffset()
+        a.partitions({"0": lo}, end)
+        a.commit(end)
+        lo = int(end["0"])
+    assert lo == 8
+
+    # ops restores a checkpoint backup taken at offset 2: Spark
+    # replays (2, 4) — the full range must plan, nothing clamped
+    b = _LiveStreamReader(opts)
+    assert _planned(b.partitions({"0": 2}, {"0": 4})) == [(0, 2, 4)]
+    # and the cap base self-corrects to the replayed position, so the
+    # stream walks forward from 4, not from the stale floor
+    assert b.latestOffset() == {"0": 6}
+
+    # corrupt sidecar shapes degrade instead of raising on restart
+    for blob in ("[1, 2]", '{"0": null}', "not json"):
+        (journal / "_offset_floor-default.json").write_text(blob)
+        c = _LiveStreamReader(opts)
+        assert _planned(c.partitions({"0": 8}, {"0": 10})) == [(0, 8, 10)]

@@ -71,14 +71,15 @@ def main() -> int:
     for name in names:
         s1 = min(run(name, args.sf1) for _ in range(args.runs))
         s10 = min(run(name, args.sf10) for _ in range(args.runs))
+        scale = round(s10 / s1, 2) if s1 > 0 else None
         out[name] = {
             "sf1": round(s1, 2),
             "sf10": round(s10, 2),
-            "scale": round(s10 / s1, 2) if s1 > 0 else None,
+            "scale": scale,
         }
         print(
             f"{name}: sf1 {s1:.2f}s sf10 {s10:.2f}s "
-            f"scale {s10 / s1:.1f}x",
+            f"scale {scale if scale is not None else 'n/a'}x",
             file=sys.stderr,
             flush=True,
         )
@@ -86,7 +87,9 @@ def main() -> int:
     print(json.dumps({"runs": args.runs, "queries": out}))
     print("\n| query | sf1 s | sf10 s | scale | ", file=sys.stderr)
     print("|---|---|---|---|", file=sys.stderr)
-    for name, r in sorted(out.items(), key=lambda kv: -kv[1]["scale"]):
+    for name, r in sorted(
+        out.items(), key=lambda kv: -(kv[1]["scale"] or 0)
+    ):
         print(
             f"| {name} | {r['sf1']} | {r['sf10']} | {r['scale']}x |",
             file=sys.stderr,
