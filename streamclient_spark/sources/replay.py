@@ -213,42 +213,58 @@ class _LiveStreamReader(DataSourceStreamReader):
             self._floor_path = os.path.join(
                 self._options["journal_dir"], f"_offset_floor-{fid}.json"
             )
-        #: durable floor — seeds the cap base only (see above)
-        self._floor: dict[str, int] = self._load_floor()
+        #: durable floor — seeds the cap base, and clamps ONLY the
+        #: batch planned from a self-inflicted regressed entry (the
+        #: ``_regressed`` marker identifies it; see partitions())
+        self._floor: dict[str, int] = {}
+        #: per-shard value of a regressed offset entry THIS stream
+        #: wrote (degraded earliest-mode restart); armed while that
+        #: entry may still become a batch start, cleared once passed
+        self._regressed: dict[str, int] = {}
+        self._load_sidecar()
         #: in-memory floor — clamps regressed ranges planned by THIS
         #: instance's own low guess; dies with the process by design
         self._mem_floor: dict[str, int] = {}
         # cap base: floor-seeded on restart; None → first latestOffset
-        # falls back to the zero guess (degraded, sidecar-less restart)
+        # falls back to the initial-offset-equivalent guess (fresh
+        # start, or degraded sidecar-less restart)
         self._last_end: dict | None = (
             dict(self._floor) if self._floor else None
         )
 
-    def _load_floor(self) -> dict[str, int]:
+    def _load_sidecar(self) -> None:
         if not self._floor_path or not os.path.exists(self._floor_path):
-            return {}
+            return
         try:
             with open(self._floor_path, "r", encoding="utf-8") as f:
                 raw = json.load(f)
-            return {str(k): int(v) for k, v in raw.items()}
-        except (ValueError, OSError, TypeError, AttributeError):
+            self._floor = {
+                str(k): int(v) for k, v in raw["floor"].items()
+            }
+            self._regressed = {
+                str(k): int(v) for k, v in raw.get("regressed", {}).items()
+            }
+        except (ValueError, OSError, TypeError, AttributeError, KeyError):
             # unreadable or wrong-shape sidecar (e.g. a JSON list, or
             # null values): degrade to the in-memory floor rather than
             # block the stream on every restart (r9 review finding)
-            return {}
+            self._floor = {}
+            self._regressed = {}
 
-    def _persist_floor(self) -> None:
+    def _persist_sidecar(self) -> None:
         if not self._floor_path:
             return
         tmp = self._floor_path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(self._floor, f)
+            json.dump(
+                {"floor": self._floor, "regressed": self._regressed}, f
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._floor_path)
 
-    def _raise_floor(self, offsets: dict) -> None:
-        """Raise per-shard floors to ``offsets`` and persist if any
+    def _raise_floor(self, offsets: dict) -> bool:
+        """Raise per-shard floors to ``offsets``; returns whether any
         moved. Callers pass only durably-known positions: batch starts
         (already in Spark's offset log when partitions() runs) and
         committed ends."""
@@ -258,8 +274,7 @@ class _LiveStreamReader(DataSourceStreamReader):
             if v > self._floor.get(str(s), 0):
                 self._floor[str(s)] = v
                 changed = True
-        if changed:
-            self._persist_floor()
+        return changed
 
     def initialOffset(self) -> dict:
         # Spark calls this ONLY on a fresh start (no checkpointed
@@ -279,6 +294,7 @@ class _LiveStreamReader(DataSourceStreamReader):
         )
         self._floor = {}
         self._mem_floor = {}
+        self._regressed = {}
         if self._floor_path and os.path.exists(self._floor_path):
             try:
                 os.remove(self._floor_path)
@@ -292,21 +308,29 @@ class _LiveStreamReader(DataSourceStreamReader):
         if self._cap is None:
             return ends
         if self._last_end is None:
-            # Degraded path only (r9): a restart normally seeds the
-            # cap base from the persisted floor sidecar (see
-            # __init__), and a fresh start seeds it in
-            # initialOffset(), so this branch is reached only when
-            # the sidecar was lost (checkpoint moved without the
-            # journal). Guess ZEROS — seeding from the transport tip
-            # would plan a restart's whole backlog as one uncapped
-            # batch (r8 review finding). Whenever the true position
-            # is ahead of this guess, Spark plans one empty regressed
-            # batch — partitions() detects it (start > end), records
-            # the planned start as a re-delivery FLOOR (persisting it
-            # again), and the stream self-heals forward without
-            # duplicating a single row (unit-tested in
-            # test_streaming.py).
-            self._last_end = {s: 0 for s in ends}
+            # Unseeded first call (r9 final design — the engine calls
+            # latestOffset BEFORE initialOffset on a fresh start,
+            # measured with an instrumented reader): return exactly
+            # what initialOffset() will return — zeros in ``earliest``
+            # mode, the tip in ``latest`` mode. On a FRESH start the
+            # first batch is then (initial, initial): an empty no-op,
+            # and trigger 2 drains the backlog BOUNDED from the seeded
+            # base (the cap contract, e2e-tested). On a restart this
+            # branch is only reached when the floor sidecar was lost
+            # (normal restarts seed from it in __init__): ``latest``
+            # mode is unconditionally safe (the tip can never regress
+            # below a committed position); ``earliest`` mode writes
+            # one regressed empty entry that the in-memory floor
+            # absorbs — exact under a single failure, at-least-once
+            # only if a SECOND crash lands inside that one-batch
+            # window (pinned by test; the idempotent sinks converge).
+            guess = (
+                {s: int(e) for s, e in ends.items()}
+                if self._start_latest
+                else {s: 0 for s in ends}
+            )
+            self._last_end = dict(guess)
+            return guess
         out = {
             s: min(e, int(self._last_end.get(s, 0)) + self._cap)
             for s, e in ends.items()
@@ -317,24 +341,45 @@ class _LiveStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         # Re-delivery floor (cap-restart safety): `start` offsets come
         # from Spark's offset log, i.e. they were durably planned —
-        # a batch planned by THIS instance's own regressed guess must
-        # never re-read below a seen start. The durable floor is
-        # raised AND PERSISTED to the sidecar before any partition is
-        # handed to an executor (r9) so a later restart seeds its cap
-        # base above the planned prefix; the CLAMP uses only the
-        # in-memory floor — a deliberately restored older checkpoint
-        # presents starts below the sidecar floor, and those ranges
-        # must replay in full (Spark's offset-log contract), not plan
-        # empty.
-        self._raise_floor(start)
+        # a batch planned from THIS stream's own regressed guess must
+        # never re-read below the durable floor. Everything needed to
+        # recognize that batch across crashes is persisted at PLAN
+        # time, before any partition reaches an executor: the floor
+        # (max durably-planned start / committed end) and, when this
+        # batch itself regresses (end < start — only the degraded
+        # earliest-mode guess produces this), the REGRESSED ENTRY
+        # VALUE as a marker. The durable clamp applies ONLY to a batch
+        # whose start equals the armed marker — a deliberately
+        # restored older checkpoint presents other starts below the
+        # floor, and those ranges must replay in full (Spark's
+        # offset-log contract), never plan empty (r9 review finding).
+        changed = self._raise_floor(start)
         for s, lo in start.items():
-            if int(lo) > self._mem_floor.get(str(s), 0):
-                self._mem_floor[str(s)] = int(lo)
+            v = int(lo)
+            if v > self._mem_floor.get(str(s), 0):
+                self._mem_floor[str(s)] = v
+            reg = self._regressed.get(str(s))
+            if reg is not None and v > reg:
+                # the stream planned past the regressed entry: disarm
+                del self._regressed[str(s)]
+                changed = True
+        for s, hi in end.items():
+            if int(hi) < int(start.get(s, 0)) and self._regressed.get(
+                str(s)
+            ) != int(hi):
+                self._regressed[str(s)] = int(hi)
+                changed = True
+        if changed:
+            self._persist_sidecar()
         parts: list[InputPartition] = []
         for shard, hi in end.items():
             lo = max(
                 int(start.get(shard, 0)), self._mem_floor.get(shard, 0)
             )
+            reg = self._regressed.get(shard)
+            if reg is not None and int(start.get(shard, 0)) == reg:
+                # self-inflicted recovery batch: clamp to the floor
+                lo = max(lo, self._floor.get(shard, 0))
             if int(hi) > lo:
                 parts.append(
                     _LiveShardPartition(
@@ -370,7 +415,8 @@ class _LiveStreamReader(DataSourceStreamReader):
         # planned starts by up to one batch, shrinking the degraded
         # path's self-heal window to zero on a cleanly-committed
         # stream.
-        self._raise_floor(end)
+        if self._raise_floor(end):
+            self._persist_sidecar()
 
 
 class EventReplayDataSource(DataSource):

@@ -459,16 +459,22 @@ def test_live_source_cap_regressed_restart_never_redelivers_protocol(
     tmp_path,
 ):
     """Deterministic protocol-level replay of the fully-committed
-    restart hazard (r8 review finding). Degraded path (no floor
-    sidecar — checkpoint moved without the journal): the fresh capped
-    reader's first latestOffset guesses below the checkpoint, Spark
-    plans one regressed batch (start > end), and the re-delivery
+    restart hazard (r8 review finding, r9 final design). Degraded
+    earliest-mode path (no floor sidecar — checkpoint moved without
+    the journal): the fresh capped reader's first latestOffset
+    returns the initial-offset-equivalent (zeros), Spark plans one
+    regressed batch (start > end), and the in-memory re-delivery
     floor must (a) plan NOTHING for that batch and (b) clamp the next
-    batch's range so the committed prefix is never read again.
-    Normal path (r9 persistent floor): once any instance has planned
-    against the journal, a restarted reader seeds its cap base from
-    the sidecar and NEVER emits a regressed offset in the first
-    place."""
+    batch's range so the committed prefix is never read again — and
+    the plan re-persists the sidecar, re-arming the durable guarantee
+    for later crashes. Degraded latest-mode path: the tip can never
+    regress below a committed position, so the restart is
+    unconditionally safe (one uncapped catch-up batch is the cost).
+    Normal path (persistent floor): a restarted reader seeds its cap
+    base from the sidecar and emits bounded, never-regressing
+    offsets in either mode."""
+    import os
+
     from streamclient_spark.sources.replay import _LiveStreamReader
 
     journal = tmp_path / "journal"
@@ -483,25 +489,32 @@ def test_live_source_cap_regressed_restart_never_redelivers_protocol(
         "journal_dir": str(journal),
         "max_per_shard_batch": "2",
     }
+    sidecar = journal / "_offset_floor-default.json"
     r = _LiveStreamReader(opts)
-    # degraded fully-committed restart (no sidecar): Spark's first
-    # call is latestOffset; the checkpointed position is {"0": 6} but
-    # the reader can't know that
-    first = r.latestOffset()
-    assert first == {"0": 2}  # the low guess
-    # Spark plans the regressed batch start=committed(6), end=guess(2)
-    assert _planned(r.partitions({"0": 6}, {"0": 2})) == []
+    # degraded fully-committed restart (no sidecar, earliest mode):
+    # Spark's first call is latestOffset; the checkpointed position
+    # is {"0": 6} but the reader can't know that
+    assert r.latestOffset() == {"0": 0}  # initial-offset-equivalent
+    # Spark plans the regressed batch start=committed(6), end=0
+    assert _planned(r.partitions({"0": 6}, {"0": 0})) == []
+    assert sidecar.exists()  # durable floor re-armed at plan time
     # next trigger: cap base advanced to the committed position
     assert r.latestOffset() == {"0": 8}
-    # Spark's offset log briefly says 2 — the floor must clamp 2..6
-    assert _planned(r.partitions({"0": 2}, {"0": 8})) == [(0, 6, 8)]
-    # and the stream continues normally
+    # Spark's offset log briefly says 0 — the floor must clamp 0..6
+    assert _planned(r.partitions({"0": 0}, {"0": 8})) == [(0, 6, 8)]
+    # and the stream continues normally, bounded
     assert r.latestOffset() == {"0": 9}
 
-    # normal restart (r9): the sidecar persisted floor=6 at plan time,
-    # so a new instance — in either offsets mode — seeds its cap base
-    # from it and the first emitted offset is min(tip, 6+2)=8: no
-    # regressed batch, no uncapped backlog, no re-delivery.
+    # degraded latest-mode restart: the tip (9) never regresses below
+    # the checkpoint, so the catch-up batch is exact (and uncapped)
+    os.remove(sidecar)
+    rl = _LiveStreamReader({**opts, "starting_offsets": "latest"})
+    assert rl.latestOffset() == {"0": 9}
+    assert _planned(rl.partitions({"0": 6}, {"0": 9})) == [(0, 6, 9)]
+
+    # normal restart: the sidecar persisted floor at plan time, so a
+    # new instance — in either offsets mode — seeds its cap base from
+    # it: bounded, no regression, no re-delivery
     for mode in ("earliest", "latest"):
         r2 = _LiveStreamReader({**opts, "starting_offsets": mode})
         assert r2.latestOffset() == {"0": 8}
@@ -1673,3 +1686,68 @@ def test_live_source_restored_older_checkpoint_replays_in_full(tmp_path):
         (journal / "_offset_floor-default.json").write_text(blob)
         c = _LiveStreamReader(opts)
         assert _planned(c.partitions({"0": 8}, {"0": 10})) == [(0, 8, 10)]
+
+
+def test_live_source_sidecar_loss_delivery_contract(tmp_path):
+    """Pins the DEGRADED-path delivery contract precisely (README
+    §streaming, r9 final design). Earliest mode, sidecar lost: the
+    recovery is exact under a single failure (the regressed entry's
+    range is clamped by the in-memory floor and the sidecar is
+    re-armed at plan time, protecting every LATER crash); the
+    residual at-least-once window requires the sidecar to be lost
+    AGAIN in a second crash inside the one regressed-batch window —
+    the test drives that exact sequence and asserts the re-delivery
+    happens THERE AND ONLY THERE, so any change that silently widens
+    the window fails here."""
+    import os
+
+    from streamclient_spark.sources.replay import _LiveStreamReader
+
+    journal = tmp_path / "journal"
+    journal.mkdir()
+    (journal / "shard-0.jsonl").write_text(
+        "".join(
+            _journal_event(i, i, "signup", i) + "\n" for i in range(9)
+        )
+    )
+    opts = {
+        "transport": TRANSPORT,
+        "journal_dir": str(journal),
+        "max_per_shard_batch": "2",
+    }
+    sidecar = journal / "_offset_floor-default.json"
+    # committed to 6, then the sidecar is lost
+    a = _LiveStreamReader(opts)
+    a.initialOffset()
+    lo = 0
+    for _ in range(3):
+        end = a.latestOffset()
+        a.partitions({"0": lo}, end)
+        a.commit(end)
+        lo = int(end["0"])
+    assert lo == 6
+    os.remove(sidecar)
+
+    # degraded restart: zeros guess → regressed entry {"0": 0}; the
+    # recovery plan emits nothing and RE-ARMS the sidecar
+    b = _LiveStreamReader(opts)
+    assert b.latestOffset() == {"0": 0}
+    assert _planned(b.partitions({"0": 6}, {"0": 0})) == []
+    assert sidecar.exists()
+    b.commit({"0": 0})
+
+    # crash AFTER the regressed batch committed, sidecar intact: the
+    # new reader seeds from the re-armed floor, so the batch planned
+    # from the regressed entry is clamped — zero re-delivery
+    c = _LiveStreamReader(opts)
+    assert c.latestOffset() == {"0": 8}
+    assert _planned(c.partitions({"0": 0}, {"0": 8})) == [(0, 6, 8)]
+
+    # the true residual window: the same crash ALSO lost the sidecar
+    # again — the replay from the regressed entry re-delivers [0, 6),
+    # which the idempotent sinks absorb (documented at-least-once)
+    os.remove(sidecar)
+    d = _LiveStreamReader(opts)
+    assert d.latestOffset() == {"0": 0}
+    d2 = _LiveStreamReader(opts)  # fresh instance right at the window
+    assert _planned(d2.partitions({"0": 0}, {"0": 2})) == [(0, 0, 2)]
