@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from streamclient_spark.compat import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
 from streamclient_spark.plans.registry import register
-from streamclient_spark.tables import load
+from streamclient_spark.tables import broadcast_if_small, load
 
 # ---------------------------------------------------------------------------
 # B-P1 / B-P2 — compound predicates, conditional expressions
@@ -1338,8 +1338,11 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     joining full orders first; the r9 broadcast hints — which express
     where AQE lands at runtime anyway, skipping the static SMJ's
     materialized fact exchange — take it to 1.29 s, A/B in
-    BENCH_NOTES; at 100 TB the hints come off and the reduced sides
-    meet as the bucketed orderkey join). The symmetric OR residual
+    BENCH_NOTES; the hints are SIZE-GATED through
+    ``broadcast_if_small`` (r10, ADVICE r9 medium) so above the
+    static-estimate ceiling they come off BY CONSTRUCTION and the
+    reduced sides meet as the bucketed orderkey join). The symmetric
+    OR residual
     runs after both nation names are bound. Revenue sums through long
     limbs; the final group count is |2 × years|, map-side combined to
     nothing."""
@@ -1385,11 +1388,19 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100) - scaled2("l_discount")
     )
     oc = o.join(
-        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+        broadcast_if_small(c), F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "cust_nation")
+    # oc is join-derived (static join estimate is a useless product);
+    # |oc| ≤ |o| because c_custkey is customer's unique key, so the
+    # projected orders side is the sound static upper bound.
     return (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(oc), F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(
+            broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            broadcast_if_small(oc, upper=o),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .filter(
             (
                 (F.col("supp_nation") == pair[0])
@@ -1467,11 +1478,15 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     - **hints express what AQE measured.** AQE converts every one of
       these joins to broadcast at runtime anyway (verified on the
       final plan) but only AFTER materializing the static SMJ's fact
-      exchange (~0.6 s wasted); the explicit ``broadcast()`` hints
-      skip that. At 100 TB the hints come off and the l⋈oc join is
-      the canonical bucketed co-partitioned orderkey join (C-26) —
-      the REDUCTION ORDER (dims first, fact once) is the part that
-      survives 100×; sf10 scale measured ≤linear (BENCH_NOTES r9).
+      exchange (~0.6 s wasted); the explicit hints skip that. The
+      hints are SIZE-GATED through ``broadcast_if_small`` (r10,
+      ADVICE r9 medium): each fires only while Catalyst's static
+      estimate (for ``oc``, the sound orders-side upper bound — the
+      join estimate itself is a row-count product) stays under the
+      32 MB ceiling, so at 100 TB they come off BY CONSTRUCTION and
+      the l⋈oc join is the canonical bucketed co-partitioned orderkey
+      join (C-26) — the REDUCTION ORDER (dims first, fact once) is
+      the part that survives 100×; sf10 scale ≤linear (BENCH_NOTES r9).
 
     Both sums (conditional numerator, total denominator) fold into
     ONE partial aggregate — market share needs no second pass. Exact
@@ -1529,10 +1544,20 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     oc = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "o_orderdate"
     )
+    # oc is join-derived (static join estimate is a useless product);
+    # |oc| ≤ |o| because c_custkey is customer's unique key, so the
+    # date-filtered projected orders side is the sound upper bound.
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(oc), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(
+            broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(
+            broadcast_if_small(oc, upper=o),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             *limb_sums(nat_vol, "nat"),
@@ -2138,7 +2163,10 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing downstream wants sort order (the profit agg hashes), so
     the SMJ's two full sorts are pure waste — the q_lead_time
     precedent; with lineitem and orders bucketed by orderkey it is
-    co-located and the hint is moot. A/B at sf1: 1.53 s lean
+    co-located and the hint is moot. The part/supplier broadcasts are
+    SIZE-GATED through ``broadcast_if_small`` (r10, ADVICE r9 medium):
+    above the static-estimate ceiling they come off by construction
+    and AQE owns the strategy. A/B at sf1: 1.53 s lean
     first-position vs 1.77 s old warm-second (BENCH_NOTES r9).
     Profit sums through signed long limbs: x = (x>>20)·2^20 +
     (x & mask) holds in two's-complement for negative values too
@@ -2184,8 +2212,12 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("l_quantity").cast("bigint")
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(
+            broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(
+            broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
         .join(
             o.hint("SHUFFLE_HASH"),
             F.col("l_orderkey") == F.col("o_orderkey"),

@@ -33,8 +33,56 @@ TABLES = (
 # else — including customer/supplier/part — grows linearly with SF and
 # must NOT carry a hard broadcast hint: at the 100 TB design point they
 # are hundreds of GB and a forced broadcast would OOM every executor.
-# Size-based upgrades are left to Catalyst/AQE.
+# Size-based upgrades are left to Catalyst/AQE — or to the size-GATED
+# hint below, which only fires when Catalyst's own static estimate says
+# the input is small, and degrades to "no hint, AQE decides" otherwise.
 BROADCAST_DIMS = frozenset({"region", "nation"})
+
+# Static-estimate ceiling for broadcast_if_small(). Catalyst's
+# size-only estimator (no CBO here) accounts for column pruning but
+# NOT filter selectivity, so it over-states filtered inputs — the
+# ceiling is the session's 10 MB autoBroadcastJoinThreshold with ~3×
+# selectivity allowance. An input whose UNfiltered, pruned bytes clear
+# 32 MB is small enough to broadcast under any filter; one that
+# doesn't is left to AQE's runtime-measured decision.
+BROADCAST_HINT_MAX_EST_BYTES = 32 << 20
+
+
+def broadcast_if_small(df: DataFrame, upper: DataFrame | None = None) -> DataFrame:
+    """Broadcast-hint ``df`` only when a sound static size estimate is
+    below :data:`BROADCAST_HINT_MAX_EST_BYTES`; otherwise return ``df``
+    unhinted and let AQE pick the join strategy from runtime stats.
+
+    This is the BROADCAST_DIMS policy extended to *derived* inputs
+    (filtered dims, key-join reductions): the hint expresses where AQE
+    lands anyway at fixture scales — skipping the static SMJ's
+    materialized fact exchange — but unlike a bare ``F.broadcast()``
+    it comes off BY CONSTRUCTION once the input's estimate outgrows the
+    ceiling, so a 100 TB run can never force-broadcast a fact-scaled
+    table (ADVICE r9, medium).
+
+    ``upper``: for join-DERIVED inputs Catalyst's size-only join
+    estimate is a row-count product (useless — measured 48 GB for an
+    89 k-row reduction), so the caller passes a plan whose estimate is
+    a sound upper bound instead. Soundness is the caller's semantic
+    knowledge, e.g. for ``fact ⋉/⋈ dim`` on the dim's UNIQUE key the
+    output has at most the fact side's rows, so the fact side projected
+    to the kept columns bounds the result within projection width.
+
+    Estimate failures (no _jdf, analysis error) fail SAFE: no hint.
+    """
+    gate = upper if upper is not None else df
+    try:
+        est = int(
+            str(gate._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return df
+    if est <= BROADCAST_HINT_MAX_EST_BYTES:
+        from pyspark.sql.functions import broadcast
+
+        return broadcast(df)
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

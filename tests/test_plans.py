@@ -668,3 +668,38 @@ def test_referential_audit_scans_each_table_once(spark, sf_oracle):
     ):
         assert plan.count(f"{tbl}.parquet") == 1, tbl
     assert "Join" not in plan
+
+
+def test_broadcast_hint_gate_is_size_conditional(spark, sf_oracle, monkeypatch):
+    # broadcast_if_small (ADVICE r9, medium): the q7/q8/q9 hints must
+    # be SIZE-GATED, not unconditional — at the fixture scale the gate
+    # fires (the r9 A/B wins survive), and above the estimate ceiling
+    # the SAME call degrades to no-hint / AQE-decides, so a 100 TB run
+    # can never force-broadcast a fact-scaled input.
+    from pyspark.sql import functions as F
+
+    from streamclient_spark import tables
+
+    s = tables.load(spark, sf_oracle, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    hinted = tables.broadcast_if_small(s)
+    assert hinted is not s  # small leaf estimate → hint applied
+    assert "UnresolvedHint broadcast" in (
+        hinted._jdf.queryExecution().logical().toString()
+    )
+
+    # join-derived input: gate runs on the caller's sound upper bound
+    o = tables.load(spark, sf_oracle, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    oc = o.join(s, F.col("o_custkey") % 100 == F.col("s_suppkey")).select(
+        "o_orderkey"
+    )
+    assert tables.broadcast_if_small(oc, upper=o) is not oc
+
+    # shrink the ceiling to zero: every input is "too big" → unhinted,
+    # identity-preserved (AQE owns the decision)
+    monkeypatch.setattr(tables, "BROADCAST_HINT_MAX_EST_BYTES", 0)
+    assert tables.broadcast_if_small(s) is s
+    assert tables.broadcast_if_small(oc, upper=o) is oc
