@@ -469,8 +469,14 @@ _SIMHASH_BANDS: list[tuple[int, int]] = [  # (bit offset, width)
     (48, 6),
     (54, 6),
 ]
-assert sum(w for _, w in _SIMHASH_BANDS) == _SIMHASH_BITS
-assert len(_SIMHASH_BANDS) == _HAMMING_MAX + 1
+# Consistency of the hardcoded band table with the signature width and
+# Hamming bound (the pigeonhole argument needs BOTH: full coverage and
+# bands = distance+1). Raises, not asserts, so the guard survives
+# ``python -O`` (VERDICT r9 #6 — closes the assert carve-out).
+if sum(w for _, w in _SIMHASH_BANDS) != _SIMHASH_BITS:
+    raise ValueError("_SIMHASH_BANDS must cover all signature bits")
+if len(_SIMHASH_BANDS) != _HAMMING_MAX + 1:
+    raise ValueError("_SIMHASH_BANDS must have HAMMING_MAX+1 pieces")
 
 
 def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

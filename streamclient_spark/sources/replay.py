@@ -318,8 +318,12 @@ class _LiveStreamReader(DataSourceStreamReader):
             # base (the cap contract, e2e-tested). On a restart this
             # branch is only reached when the floor sidecar was lost
             # (normal restarts seed from it in __init__): ``latest``
-            # mode is unconditionally safe (the tip can never regress
-            # below a committed position); ``earliest`` mode writes
+            # mode is unconditionally safe for DELIVERY (the tip can
+            # never regress below a committed position) but plans the
+            # whole backlog since the checkpoint as ONE uncapped
+            # catch-up batch — the per-trigger cap contract is
+            # violated once on this degraded path (ADVICE r9, noted
+            # in README §streaming); ``earliest`` mode writes
             # one regressed empty entry that the in-memory floor
             # absorbs — exact under a single failure, at-least-once
             # only if a SECOND crash lands inside that one-batch
@@ -377,8 +381,22 @@ class _LiveStreamReader(DataSourceStreamReader):
                 int(start.get(shard, 0)), self._mem_floor.get(shard, 0)
             )
             reg = self._regressed.get(shard)
-            if reg is not None and int(start.get(shard, 0)) == reg:
-                # self-inflicted recovery batch: clamp to the floor
+            if (
+                reg is not None
+                and int(start.get(shard, 0)) == reg
+                and int(hi) >= self._floor.get(shard, 0)
+            ):
+                # Self-inflicted recovery batch: clamp to the floor.
+                # The end test is what tells it apart from a batch the
+                # marker VALUE merely collides with (ADVICE r9): the
+                # recovery batch is planned from a floor-seeded cap
+                # base, so its end is min(tip, floor+cap) ≥ floor,
+                # while a deliberately RESTORED older-checkpoint batch
+                # that happens to start at the degraded guess (always
+                # 0 in earliest mode) carries an end planned in the
+                # past, strictly below the floor — that one must
+                # replay in full (Spark's offset-log contract), never
+                # clamp empty.
                 lo = max(lo, self._floor.get(shard, 0))
             if int(hi) > lo:
                 parts.append(

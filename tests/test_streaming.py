@@ -1751,3 +1751,57 @@ def test_live_source_sidecar_loss_delivery_contract(tmp_path):
     assert d.latestOffset() == {"0": 0}
     d2 = _LiveStreamReader(opts)  # fresh instance right at the window
     assert _planned(d2.partitions({"0": 0}, {"0": 2})) == [(0, 0, 2)]
+
+
+def test_live_source_armed_marker_ignores_restored_zero_start_batch(
+    tmp_path,
+):
+    """ADVICE r9 (low): the regressed-entry marker is a VALUE (the
+    degraded earliest-mode guess, always 0), so while it is armed a
+    deliberately restored older-checkpoint batch that legitimately
+    starts at 0 collides with it. The clamp must tell them apart by
+    the batch END: the self-inflicted recovery batch is planned from
+    a floor-seeded cap base (end = min(tip, floor+cap) ≥ floor) and
+    still clamps; a restored batch carries a past-planned end BELOW
+    the floor and must replay in full."""
+    from streamclient_spark.sources.replay import _LiveStreamReader
+
+    journal = tmp_path / "journal"
+    journal.mkdir()
+    (journal / "shard-0.jsonl").write_text(
+        "".join(
+            _journal_event(i, i, "signup", i) + "\n" for i in range(9)
+        )
+    )
+    opts = {
+        "transport": TRANSPORT,
+        "journal_dir": str(journal),
+        "max_per_shard_batch": "2",
+    }
+    sidecar = journal / "_offset_floor-default.json"
+
+    # degraded earliest restart arms the marker (floor=6, reg=0) ...
+    r = _LiveStreamReader(opts)
+    assert r.latestOffset() == {"0": 0}
+    assert _planned(r.partitions({"0": 6}, {"0": 0})) == []
+    assert sidecar.exists()
+    # ... and CRASHES before the recovery batch commits: the armed
+    # marker is persisted. Ops now restore an older checkpoint whose
+    # offset log replays (0, 4): start collides with the marker but
+    # end 4 < floor 6 → the full range must plan, nothing clamped.
+    restored = _LiveStreamReader(opts)
+    assert _planned(restored.partitions({"0": 0}, {"0": 4})) == [
+        (0, 0, 4)
+    ]
+    # the next replayed/planned batch disarms the marker as it passes
+    assert _planned(restored.partitions({"0": 4}, {"0": 6})) == [
+        (0, 4, 6)
+    ]
+
+    # control: the genuine recovery batch (end ≥ floor) still clamps —
+    # a fresh crash-restart instance with the armed sidecar plans
+    # Spark's chained (0, 8) batch as exactly (6, 8)
+    r2 = _LiveStreamReader(opts)
+    assert _planned(r2.partitions({"0": 6}, {"0": 0})) == []
+    assert r2.latestOffset() == {"0": 8}
+    assert _planned(r2.partitions({"0": 0}, {"0": 8})) == [(0, 6, 8)]
