@@ -27,6 +27,39 @@ HEADLINE = [
 ]
 
 
+#: Spark-side session-health canary (VERDICT r9 #1 — the mirror of
+#: bench_ratio.py's oracle canary): a fixed, fixture-independent
+#: pure-CPU probe plan (xxhash64 over a generated range → 1-row agg,
+#: exercising codegen, 64 scheduled tasks, and one exchange) timed
+#: before and after the timed pass. The r9 committed artifact was
+#: ~14% session-inflated across UNTOUCHED queries (median per-query
+#: r9/r8 ratio 1.14) with nothing in the artifact to say so; this
+#: stamp makes a degraded Spark session machine-visible. xxhash64 was
+#: chosen over sha2 because its codegen reaches C2 steady state after
+#: ONE discarded run (measured series 1.13 → 0.26±0.03 s; sha2 needs
+#: ~8 runs) — the canary must measure the box, not the compiler.
+#: Reference: quiet-box min-of-3 after the discard run (pinned r10,
+#: this box). Degraded = slowest of the two stamped probes > 2× ref.
+SPARK_PROBE_REF_S = 0.25
+
+
+def spark_probe_s(spark) -> float:
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 5_000_000, 1, 64)
+            .select(F.xxhash64("id").alias("x"))
+            .agg(F.sum(F.col("x") % 997), F.count("*"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.perf_counter() - t0
+
+    once()  # discard the C2-compile run; the probe measures the box
+    return min(once() for _ in range(3))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -39,30 +72,24 @@ def main() -> None:
     # warm the JVM + parquet footer caches with one cheap action
     specs[names[0]].builder(spark, sf_dir).count()
 
-    # Untimed warmup of the attestation-window head (the bench_ratio
-    # warmup, VERDICT r6 #6, applied here in r9): window rotation puts
-    # freshly-rewritten queries FIRST, so their first timed runs used
-    # to pay C2 compilation of brand-new codegen kernels — 3-6 s
-    # readings at sf0.1 for sub-second plans. Run the head once
-    # untimed so the recorded numbers measure plans, not compiler
-    # state. 8 covers the whole freshly-modified block of the r9
-    # window with margin (r9 review: 5 left positions 6-7 cold).
-    for name in list(specs)[:8]:
-        try:
-            specs[name].builder(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:
-            pass  # the timed loop surfaces any real failure
+    probe_before = spark_probe_s(spark)
 
-    # One timed pass, then a selective second pass: the first run pays
-    # whole-stage-codegen JIT, and this box sees periodic multi-second
-    # external stalls that would otherwise charge one unlucky query tens
-    # of seconds. Queries whose first run looks JIT/stall-inflated
-    # (above an absolute floor) get one re-run and report the min —
-    # the steady-state number a warm cluster would see — while the
-    # already-fast majority skips the second pass to keep bench wall
-    # time bounded.
+    # ONE warmup policy for all queries (VERDICT r9 #2 / ADVICE r9 —
+    # the r9 head-only untimed warmup made window numbers warm while
+    # the tail paid first-run JIT): no untimed warmups at all; every
+    # query is timed cold once, and any first run above the 1.5 s
+    # floor — JIT-inflated, stall-inflated, or genuinely slow — gets
+    # an IMMEDIATE re-run with the min reported (the steady-state
+    # number a warm cluster would see), plus one bounded third run
+    # while the readings still disagree >1.33× (C2 visibly mid-climb
+    # — the bench_ratio.py min-of-2/3 escalation, applied here).
+    # Immediate adjacency matters: the r9 shape re-ran at session END,
+    # where 250 s of accumulated heap/GC state inflated the retry.
+    # Identical escalation for position 1 and position 295, so
+    # per-query numbers are position-independent; sub-floor first
+    # runs keep at most ~1 s of one-time JIT, bounded by the floor
+    # itself. The artifact is self-describing: rerun names ship in
+    # the payload.
     trace = os.environ.get("SPARK_GRAFT_BENCH_TRACE")
 
     def run_once(name: str) -> float:
@@ -77,12 +104,20 @@ def main() -> None:
         return dt
 
     timings: dict[str, float] = {}
+    reruns: list[str] = []
     for name in names:
-        timings[name] = run_once(name)
-    for name in names:
-        if timings[name] > 1.5:
-            timings[name] = min(timings[name], run_once(name))
+        t1 = run_once(name)
+        if t1 > 1.5:
+            reruns.append(name)
+            t2 = run_once(name)
+            best = min(t1, t2)
+            if best > 1.5 and max(t1, t2) > 1.33 * best:
+                best = min(best, run_once(name))
+            t1 = best
+        timings[name] = t1
     timings = {n: round(t, 3) for n, t in timings.items()}
+
+    probe_after = spark_probe_s(spark)
 
     total = round(sum(timings.values()), 3)
     # Keep the output line compact: BENCH_r02.json was truncated by the
@@ -101,6 +136,16 @@ def main() -> None:
         "n_queries": len(timings),
         "tail_total_sec": tail_total,
         "sf": sf,
+        # session-health canary + self-describing warmup policy
+        "spark_probe_s": [round(probe_before, 3), round(probe_after, 3)],
+        "spark_probe_ref_s": SPARK_PROBE_REF_S,
+        "session_degraded": max(probe_before, probe_after)
+        > 2 * SPARK_PROBE_REF_S,
+        "warmup_policy": "none+min2_over_1.5s",
+        "n_rerun": len(reruns),
+        "rerun_in_window": sorted(
+            n for n in reruns if n in set(list(specs)[:50])
+        ),
     }
     # Last measured sf1 Spark-vs-DuckDB ratio (tools/bench_ratio.py
     # writes this file); embedded so the round artifact carries it.

@@ -1388,17 +1388,18 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100) - scaled2("l_discount")
     )
     oc = o.join(
-        broadcast_if_small(c), F.col("o_custkey") == F.col("c_custkey")
+        broadcast_if_small(c, sf_dir, "customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
     ).select("o_orderkey", "cust_nation")
-    # oc is join-derived (static join estimate is a useless product);
-    # |oc| ≤ |o| because c_custkey is customer's unique key, so the
-    # projected orders side is the sound static upper bound.
+    # oc is join-derived: |oc| ≤ |o| because c_custkey is customer's
+    # unique key, so orders is the sound bounding table.
     return (
         l.join(
-            broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey")
+            broadcast_if_small(s, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(
-            broadcast_if_small(oc, upper=o),
+            broadcast_if_small(oc, sf_dir, "orders"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .filter(
@@ -1480,10 +1481,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
       final plan) but only AFTER materializing the static SMJ's fact
       exchange (~0.6 s wasted); the explicit hints skip that. The
       hints are SIZE-GATED through ``broadcast_if_small`` (r10,
-      ADVICE r9 medium): each fires only while Catalyst's static
-      estimate (for ``oc``, the sound orders-side upper bound — the
-      join estimate itself is a row-count product) stays under the
-      32 MB ceiling, so at 100 TB they come off BY CONSTRUCTION and
+      ADVICE r9 medium): each fires only while its bounding table's
+      raw parquet bytes (for ``oc``, orders — sound because c_custkey
+      is a unique key, so |oc| ≤ |orders|) stay under the 32 MB
+      ceiling, so at 100 TB they come off BY CONSTRUCTION and
       the l⋈oc join is the canonical bucketed co-partitioned orderkey
       join (C-26) — the REDUCTION ORDER (dims first, fact once) is
       the part that survives 100×; sf10 scale ≤linear (BENCH_NOTES r9).
@@ -1544,19 +1545,20 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     oc = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "o_orderdate"
     )
-    # oc is join-derived (static join estimate is a useless product);
-    # |oc| ≤ |o| because c_custkey is customer's unique key, so the
-    # date-filtered projected orders side is the sound upper bound.
+    # oc is join-derived: |oc| ≤ |o| because c_custkey is customer's
+    # unique key, so orders is the sound bounding table.
     return (
         l.join(
-            broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey")
+            broadcast_if_small(p, sf_dir, "part"),
+            F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
-            broadcast_if_small(oc, upper=o),
+            broadcast_if_small(oc, sf_dir, "orders"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey")
+            broadcast_if_small(s, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -2213,10 +2215,12 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(
-            broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey")
+            broadcast_if_small(p, sf_dir, "part"),
+            F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
-            broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey")
+            broadcast_if_small(s, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(
             o.hint("SHUFFLE_HASH"),

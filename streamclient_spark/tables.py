@@ -13,6 +13,8 @@ schema-on-read and Catalyst pushdown — only the storage layout changes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -38,47 +40,46 @@ TABLES = (
 # the input is small, and degrades to "no hint, AQE decides" otherwise.
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
-# Static-estimate ceiling for broadcast_if_small(). Catalyst's
-# size-only estimator (no CBO here) accounts for column pruning but
-# NOT filter selectivity, so it over-states filtered inputs — the
-# ceiling is the session's 10 MB autoBroadcastJoinThreshold with ~3×
-# selectivity allowance. An input whose UNfiltered, pruned bytes clear
-# 32 MB is small enough to broadcast under any filter; one that
-# doesn't is left to AQE's runtime-measured decision.
-BROADCAST_HINT_MAX_EST_BYTES = 32 << 20
+# Raw-bytes ceiling for broadcast_if_small(): the bounding table's
+# on-disk parquet size. Raw table bytes are a sound UPPER bound for
+# any input derived from it by filters / projections / unique-key
+# joins (each only drops rows or columns), so a gate on them can only
+# err toward "no hint" — the OOM-safe direction. 32 MB keeps the
+# measured sf1 wins (orders.parquet at sf1 is 28.6 MB) and drops every
+# hint at sf10+, where AQE's runtime-measured decision takes over.
+# (First design used Catalyst's optimizedPlan().stats() estimate —
+# principled, but a fresh-plan analysis+optimize round-trip costs
+# ~150 ms per call, a real per-query adder at bench granularity; the
+# file stat is ~10 µs and equally sound.)
+BROADCAST_HINT_MAX_BYTES = 32 << 20
 
 
-def broadcast_if_small(df: DataFrame, upper: DataFrame | None = None) -> DataFrame:
-    """Broadcast-hint ``df`` only when a sound static size estimate is
-    below :data:`BROADCAST_HINT_MAX_EST_BYTES`; otherwise return ``df``
-    unhinted and let AQE pick the join strategy from runtime stats.
+def broadcast_if_small(df: DataFrame, sf_dir: str, bound: str) -> DataFrame:
+    """Broadcast-hint ``df`` only while the fixture table that bounds
+    it stays under :data:`BROADCAST_HINT_MAX_BYTES` on disk; otherwise
+    return ``df`` unhinted and let AQE pick the join strategy from
+    runtime stats.
 
     This is the BROADCAST_DIMS policy extended to *derived* inputs
     (filtered dims, key-join reductions): the hint expresses where AQE
     lands anyway at fixture scales — skipping the static SMJ's
     materialized fact exchange — but unlike a bare ``F.broadcast()``
-    it comes off BY CONSTRUCTION once the input's estimate outgrows the
+    it comes off BY CONSTRUCTION once the bounding table outgrows the
     ceiling, so a 100 TB run can never force-broadcast a fact-scaled
     table (ADVICE r9, medium).
 
-    ``upper``: for join-DERIVED inputs Catalyst's size-only join
-    estimate is a row-count product (useless — measured 48 GB for an
-    89 k-row reduction), so the caller passes a plan whose estimate is
-    a sound upper bound instead. Soundness is the caller's semantic
-    knowledge, e.g. for ``fact ⋉/⋈ dim`` on the dim's UNIQUE key the
-    output has at most the fact side's rows, so the fact side projected
-    to the kept columns bounds the result within projection width.
-
-    Estimate failures (no _jdf, analysis error) fail SAFE: no hint.
+    ``bound``: the table whose raw bytes dominate ``df``. Soundness is
+    the caller's semantic knowledge: ``df`` must derive from ``bound``
+    by filters, projections, and joins on ANOTHER table's unique key
+    (at most one output row per ``bound`` row). A partitioned-directory
+    table (the 100 TB layout) fails the file stat and degrades to
+    no-hint — fail-safe.
     """
-    gate = upper if upper is not None else df
     try:
-        est = int(
-            str(gate._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
-    except Exception:
+        sz = os.path.getsize(os.path.join(sf_dir, f"{bound}.parquet"))
+    except OSError:
         return df
-    if est <= BROADCAST_HINT_MAX_EST_BYTES:
+    if sz <= BROADCAST_HINT_MAX_BYTES:
         from pyspark.sql.functions import broadcast
 
         return broadcast(df)

@@ -673,9 +673,10 @@ def test_referential_audit_scans_each_table_once(spark, sf_oracle):
 def test_broadcast_hint_gate_is_size_conditional(spark, sf_oracle, monkeypatch):
     # broadcast_if_small (ADVICE r9, medium): the q7/q8/q9 hints must
     # be SIZE-GATED, not unconditional — at the fixture scale the gate
-    # fires (the r9 A/B wins survive), and above the estimate ceiling
-    # the SAME call degrades to no-hint / AQE-decides, so a 100 TB run
-    # can never force-broadcast a fact-scaled input.
+    # fires (the r9 A/B wins survive), and above the raw-bytes ceiling
+    # of the bounding table the SAME call degrades to no-hint /
+    # AQE-decides, so a 100 TB run can never force-broadcast a
+    # fact-scaled input. The gate is one os.stat, not a plan analysis.
     from pyspark.sql import functions as F
 
     from streamclient_spark import tables
@@ -683,23 +684,27 @@ def test_broadcast_hint_gate_is_size_conditional(spark, sf_oracle, monkeypatch):
     s = tables.load(spark, sf_oracle, "supplier").select(
         "s_suppkey", "s_nationkey"
     )
-    hinted = tables.broadcast_if_small(s)
-    assert hinted is not s  # small leaf estimate → hint applied
+    hinted = tables.broadcast_if_small(s, sf_oracle, "supplier")
+    assert hinted is not s  # small bounding table -> hint applied
     assert "UnresolvedHint broadcast" in (
         hinted._jdf.queryExecution().logical().toString()
     )
 
-    # join-derived input: gate runs on the caller's sound upper bound
+    # join-derived input: gate runs on the caller's bounding table
     o = tables.load(spark, sf_oracle, "orders").select(
         "o_orderkey", "o_custkey"
     )
     oc = o.join(s, F.col("o_custkey") % 100 == F.col("s_suppkey")).select(
         "o_orderkey"
     )
-    assert tables.broadcast_if_small(oc, upper=o) is not oc
+    assert tables.broadcast_if_small(oc, sf_oracle, "orders") is not oc
 
-    # shrink the ceiling to zero: every input is "too big" → unhinted,
-    # identity-preserved (AQE owns the decision)
-    monkeypatch.setattr(tables, "BROADCAST_HINT_MAX_EST_BYTES", 0)
-    assert tables.broadcast_if_small(s) is s
-    assert tables.broadcast_if_small(oc, upper=o) is oc
+    # shrink the ceiling to zero: every bounding table is "too big" ->
+    # unhinted, identity-preserved (AQE owns the decision); a missing
+    # bounding file (the partitioned-directory 100 TB layout) fails
+    # safe the same way
+    monkeypatch.setattr(tables, "BROADCAST_HINT_MAX_BYTES", 0)
+    assert tables.broadcast_if_small(s, sf_oracle, "supplier") is s
+    assert tables.broadcast_if_small(oc, sf_oracle, "orders") is oc
+    monkeypatch.undo()
+    assert tables.broadcast_if_small(s, sf_oracle, "no_such_table") is s
