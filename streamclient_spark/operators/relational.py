@@ -2459,23 +2459,32 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer orders row. Adaptation: no receipt/commit dates, so "late"
     is shipped >60 days after the order date; 'F' orders only.
 
-    Decorrelation: both subqueries collapse into ONE per-order
-    aggregate over the lineitem⋈orders join — nsupp = distinct
-    suppliers in the order, nlate = distinct suppliers with a late
-    line. For a late outer line, EXISTS(other supplier) ⟺ nsupp ≥ 2
-    and NOT EXISTS(other late supplier) ⟺ nlate = 1 (the outer
-    supplier IS the one late supplier). The fact is scanned once and
-    shuffled on orderkey once; the aggregate and the candidate join
-    share that partitioning (AQE reuses the exchange), vs the naive
-    plan's three scans and two correlated re-executions.
+    Decorrelation (r10 single-branch rewrite, VERDICT r9 #3): both
+    subqueries collapse into per-order stats over the
+    (order, supplier) PAIR TABLE — nsupp = suppliers in the order,
+    nlate = suppliers with a late line. For a late outer line,
+    EXISTS(other supplier) ⟺ nsupp ≥ 2 and NOT EXISTS(other late
+    supplier) ⟺ nlate = 1 (the outer supplier IS the one late
+    supplier). The r9 shape kept a second branch of the fact join
+    (late lines re-joined to the stats), re-executing the l⋈o join
+    from reused exchanges; now the first aggregate keeps the per-pair
+    LATE-LINE COUNT, order stats come from a window over the pair
+    table (|pairs| ≈ |orders|·few rows, one cheap exchange), and the
+    outer count(*) is recovered as sum(_late_lines) — the fact is
+    scanned, joined and aggregated EXACTLY once, never revisited.
+    Clean A/B at sf1, canary green both ends (probe 0.21/0.14 s):
+    1.03 s vs 1.19 s warm min-of-8 — and the r9 noisy-session 2.87 s
+    ledger row resolves to a sub-bar floor (BENCH_NOTES r10).
 
     100 TB plan: o_orderstatus pushes to orders' scan (~1/3); with
     lineitem and orders bucketed by orderkey the join is co-located.
-    The per-order aggregate is partial-combined map-side (distinct
-    over (orderkey, suppkey) first). The supplier⋈nation probe
+    The per-pair aggregate is partial-combined map-side; everything
+    after it is pair-table-sized. The supplier⋈nation probe
     broadcasts nation; the final per-name count is |suppliers in one
     nation| groups. LIMIT carries (numwait DESC, s_name) — s_name is
     unique, so the selected set is deterministic."""
+    from pyspark.sql.window import Window
+
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
@@ -2487,22 +2496,24 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
-    # two-level aggregate instead of two COUNT(DISTINCT)s: the dual-
-    # distinct form compiles to an Expand (2× the joined fact) plus an
-    # extra 4-column shuffle; reducing to one row per (order, supplier)
-    # first is partial-combined map-side, and the second hop groups the
-    # already-tiny pair table on orderkey alone.
+    # one-level-lower aggregate than two COUNT(DISTINCT)s (which would
+    # Expand 2× the joined fact): one row per (order, supplier) with
+    # its late-line count, partial-combined map-side
     per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("_late").alias("_any_late")
+        F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("_late_lines")
     )
-    stats = per_supp.groupBy(F.col("l_orderkey").alias("_okey")).agg(
-        F.count("*").alias("_nsupp"),
-        F.sum(F.when(F.col("_any_late"), 1).otherwise(0)).alias("_nlate"),
-    )
-    cand = (
-        lo.filter(F.col("_late"))
-        .join(stats, F.col("l_orderkey") == F.col("_okey"))
-        .filter((F.col("_nsupp") >= 2) & (F.col("_nlate") == 1))
+    w = Window.partitionBy("l_orderkey")
+    cand = per_supp.select(
+        "l_suppkey",
+        "_late_lines",
+        F.count(F.lit(1)).over(w).alias("_nsupp"),
+        F.sum(
+            F.when(F.col("_late_lines") > 0, 1).otherwise(0)
+        ).over(w).alias("_nlate"),
+    ).filter(
+        (F.col("_late_lines") > 0)
+        & (F.col("_nsupp") >= 2)
+        & (F.col("_nlate") == 1)
     )
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
     s = load(spark, sf_dir, "supplier").join(
@@ -2511,7 +2522,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
@@ -7804,16 +7815,32 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_agg_hll_parity construction (md5 hash, integer harmonic sums,
     shared estimator text).
 
-    Plan: ONE corpus pass builds both halves' registers (half is a
-    projection, ≤2·256 rows after the map-combined max); the merge,
-    the three estimator evaluations, and the exact audit aggregate
-    are all register- or scalar-sized."""
-    e = load(spark, sf_dir, "events").select(
-        "user_id",
-        (
-            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
-            % 2
-        ).alias("half"),
+    Plan (r10 one-pass rewrite, VERDICT r9 #5): the corpus is scanned
+    ONCE into the distinct ``(half, user_id)`` pair table (one
+    map-combined shuffle, |users per half| rows), and BOTH the
+    register build and the exact audit derive from that pair table —
+    the r9 shape rescanned the corpus a second time through a
+    3-way-Expand multi-countDistinct for the audit. md5 now hashes
+    |distinct pairs| values instead of |corpus| rows, and the exact
+    per-half counts are plain conditional sums over already-distinct
+    pairs (null-guarded to match count(DISTINCT CASE ...)'s NULL
+    skip). A/B at sf1: 0.324 s vs 0.361 s warm min and visibly lower
+    variance (BENCH_NOTES r10); registers, merge, and estimator
+    evaluations stay register-/scalar-sized."""
+    pairs = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (
+                F.datediff(
+                    F.to_date("ts"), F.lit("1970-01-01").cast("date")
+                )
+                % 2
+            ).alias("half"),
+        )
+        .groupBy("half", "user_id")
+        .agg(F.lit(1).alias("_one"))
+        .localCheckpoint(eager=False)  # registers + exact audit reuse
     )
     hx = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
     idx = F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint")
@@ -7822,7 +7849,7 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(53) - F.length(F.bin(w))
     )
     regs = (
-        e.select("half", idx.alias("idx"), rho.alias("reg"))
+        pairs.select("half", idx.alias("idx"), rho.alias("reg"))
         .groupBy("half", "idx")
         .agg(F.max("reg").alias("reg"))
         .localCheckpoint(eager=False)  # halves + merged reuse
@@ -7870,12 +7897,19 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(e_raw, 6))
         .alias("e"),
     ).localCheckpoint(eager=False)  # 3 rows; read thrice below
-    ex = e.agg(
-        F.countDistinct(
-            F.when(F.col("half") == 0, F.col("user_id"))
+    # pairs are already distinct, so the per-half exacts are plain
+    # conditional SUMs; the isNotNull guard reproduces the oracle's
+    # count(DISTINCT CASE ...) skipping NULL user_ids
+    ex = pairs.agg(
+        F.sum(
+            F.when(
+                (F.col("half") == 0) & F.col("user_id").isNotNull(), 1
+            ).otherwise(0)
         ).cast("long").alias("exact_h0"),
-        F.countDistinct(
-            F.when(F.col("half") == 1, F.col("user_id"))
+        F.sum(
+            F.when(
+                (F.col("half") == 1) & F.col("user_id").isNotNull(), 1
+            ).otherwise(0)
         ).cast("long").alias("exact_h1"),
         F.countDistinct("user_id").cast("long").alias("exact_union"),
     )

@@ -417,14 +417,13 @@ def test_tpch_q20_semi_joins_and_integer_half_test(spark, sf_oracle):
 
 
 def test_tpch_q21_single_fact_scan_pair_no_correlated_reexec(spark, sf_oracle):
-    # EXISTS + NOT EXISTS collapse into one per-order aggregate:
-    # lineitem is scanned at most twice (candidate branch + stats
-    # branch share the orderkey exchange), never four times as the
-    # naive correlated plan would
+    # EXISTS + NOT EXISTS collapse into per-order stats over the
+    # (order, supplier) pair table (r10 single-branch shape): the
+    # fact is scanned, joined and aggregated EXACTLY once — no
+    # candidate re-join of the fact, no correlated re-execution
     plan = plan_of(spark, sf_oracle, "q_tpch_q21")
-    # formatted mode lists each scan node twice (tree + details):
-    # lineitem×2 + orders×2 (both branches) + supplier + nation ≤ 6
-    assert plan.count("Scan parquet") // 2 <= 6
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
     # the per-order stats avoid the dual-COUNT(DISTINCT) Expand plan
     assert "Expand" not in plan
     pushed = [
