@@ -217,7 +217,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_stl", "q_events_powerlaw", "q_events_cohort_ltv",
     "q_agg_countmin", "q_embed_recall", "q_agg_bloom",
     "q_pipeline_funnel", "q_graph_hits", "q_ts_forecast_eval",
-    "q_agg_hll_merge", "q_sim_mmr", "q_embed_hard_negatives",
+    "q_sim_mmr", "q_embed_hard_negatives",
     "q_events_growth_accounting", "q_embed_triplets",
     "q_events_rolling_wau", "q_text_fertility",
     "q_sample_shuffle", "q_events_burst", "q_text_kl_drift",
@@ -268,7 +268,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_keywords", "q_tpch_q2", "q_events_cumulative_users",
     "q_tpch_q6", "q_tpch_q13",
     "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
-    "q_tpch_q11", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
+    "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
     "q_fn_struct", "q_fn_bitwise", "q_fn_interval",
     "q_events_hourly_rollup", "q_rank_global", "q_dedup_incremental",
     "q_sim_range", "q_text_hashvec", "q_join_bucketed",
