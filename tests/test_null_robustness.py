@@ -168,6 +168,14 @@ def sf_nulls(tmp_path_factory) -> str:
         # dirty-embedding arithmetic — NULL label pairs with nothing,
         # NULL embedding and zero-norm vectors yield NULL cosines.
         "q_embed_sim_hist",
+        # r10 one-pass rewrite: the per-half exact counts became
+        # conditional SUMs over the distinct (half, user_id) pair
+        # table — the NULL user_id pair must be skipped (the oracle's
+        # count(DISTINCT CASE ...) ignores NULLs) while the NULL-ts
+        # (NULL half) pair still counts toward the union distinct,
+        # and the NULL-user register row must keep matching the
+        # oracle's md5(NULL) propagation.
+        "q_agg_hll_merge",
     ],
 )
 def test_null_bearing_fixture_still_hash_matches(spark, sf_nulls, name):
