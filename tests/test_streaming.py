@@ -1805,3 +1805,39 @@ def test_live_source_armed_marker_ignores_restored_zero_start_batch(
     assert _planned(r2.partitions({"0": 6}, {"0": 0})) == []
     assert r2.latestOffset() == {"0": 8}
     assert _planned(r2.partitions({"0": 0}, {"0": 8})) == [(0, 6, 8)]
+
+
+def test_live_source_marker_and_floor_are_per_shard(tmp_path):
+    """The regressed-entry marker, floor, and clamp must be SHARD-
+    scoped: a degraded restart that regresses shard 0 must not clamp
+    or skew shard 1's planning, and shard 1's floor must not leak
+    into shard 0's recovery."""
+    from streamclient_spark.sources.replay import _LiveStreamReader
+
+    journal = tmp_path / "journal"
+    journal.mkdir()
+    for shard in (0, 1):
+        (journal / f"shard-{shard}.jsonl").write_text(
+            "".join(
+                _journal_event(shard * 100 + i, i, "signup", i) + "\n"
+                for i in range(10)
+            )
+        )
+    opts = {
+        "transport": TRANSPORT,
+        "journal_dir": str(journal),
+        "max_per_shard_batch": "3",
+    }
+    # degraded earliest restart: shard 0 was committed to 6, shard 1
+    # to 2 — Spark replays the regressed guess batch for both
+    r = _LiveStreamReader(opts)
+    assert r.latestOffset() == {"0": 0, "1": 0}
+    assert _planned(r.partitions({"0": 6, "1": 2}, {"0": 0, "1": 0})) == []
+    # recovery: each shard advances from ITS OWN floor, capped
+    assert r.latestOffset() == {"0": 9, "1": 5}
+    planned = sorted(
+        _planned(r.partitions({"0": 0, "1": 0}, {"0": 9, "1": 5}))
+    )
+    # shard 0 clamps to ITS floor (6), shard 1 to ITS floor (2) —
+    # neither floor leaks across shards
+    assert planned == [(0, 6, 9), (1, 2, 5)]
