@@ -6598,9 +6598,11 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     two divisions and one subtraction run identically on both
     engines, rounded once.
 
-    Plan: the keyed edge index, one degree aggregate, two broadcast
-    joins of the part-brand dimension onto edge endpoints (dimension
-    table ≪ edges at every scale), a ≤|brands| aggregate each side,
+    Plan: the keyed edge index, one degree aggregate, two SIZE-GATED
+    broadcast joins of the part-brand dimension onto edge endpoints
+    (part is fact-scaled, so the hint rides broadcast_if_small — at
+    fixture scales it expresses the dimension ≪ edges asymmetry,
+    above the ceiling AQE decides), a ≤|brands| aggregate each side,
     one 1-row edge-count scalar. Linear in |E| with no new shuffle
     beyond the degree agg at 100 TB."""
     e = _copurchase_edges(spark, sf_dir)
@@ -6614,16 +6616,18 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
     )
     m = e.agg(F.count(F.lit(1)).alias("m"))
+    # part is fact-scaled: the label-dim broadcasts are size-gated
+    # (the q7/q8/q9 r10 policy) — above the ceiling AQE decides
     dc = (
-        deg.join(F.broadcast(lbl), "node")
+        deg.join(broadcast_if_small(lbl, sf_dir, "part"), "node")
         .groupBy("brand")
         .agg(F.sum("d").alias("d_c"), F.count(F.lit(1)).alias("n_nodes"))
     )
     la = lbl.select(F.col("node").alias("u"), F.col("brand").alias("ba"))
     lb = lbl.select(F.col("node").alias("v"), F.col("brand").alias("bb"))
     ec = (
-        e.join(F.broadcast(la), "u")
-        .join(F.broadcast(lb), "v")
+        e.join(broadcast_if_small(la, sf_dir, "part"), "u")
+        .join(broadcast_if_small(lb, sf_dir, "part"), "v")
         .filter(F.col("ba") == F.col("bb"))
         .groupBy(F.col("ba").alias("brand"))
         .agg(F.count(F.lit(1)).alias("e_c"))
@@ -7666,8 +7670,9 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE co-keyed join + map-combined aggregate over the edge table
     (the PageRank loop shape; the edge table is localCheckpoint'd so
     all four half-rounds reuse one materialization), a 1-row max
-    scalar, and a TakeOrdered cut joined onto the broadcast part
-    dimension."""
+    scalar, and a TakeOrdered cut joined onto the size-gated
+    broadcast of the part dimension (fact-scaled — the
+    broadcast_if_small policy)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e = (
@@ -7710,7 +7715,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.withColumn("rank", F.row_number().over(w))
-        .join(F.broadcast(part_dim), "p")
+        .join(broadcast_if_small(part_dim, sf_dir, "part"), "p")
         .select(
             F.col("rank").cast("long").alias("rank"),
             F.col("p").alias("part_key"),

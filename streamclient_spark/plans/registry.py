@@ -82,8 +82,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # bounding table's raw parquet bytes stay under 32 MB, so at
     # 100 TB the hints come off by construction; sf1 re-race at or
     # under the r9 minima: 1.27/1.18/1.14 s — they re-lead the window
-    # from their r9 positions)
-    "q_tpch_q21", "q_agg_hll_merge",
+    # from their r9 positions);
+    # q_graph_modularity / q_graph_hits (r10 second wave — the same
+    # ADVICE class found by a repo-wide sweep: their part-dimension
+    # broadcasts were unconditional on a fact-scaled table; now
+    # size-gated through broadcast_if_small, plans unchanged at
+    # fixture scale, parity re-verified)
+    "q_tpch_q21", "q_agg_hll_merge", "q_graph_modularity", "q_graph_hits",
     # --- ROUND-9 WINDOW (rotates through) — hardening round: every query
     # whose code changed after a prior green row leads the window
     # (the attestation invariant, VERDICT r8 #7). Ledger state
@@ -212,11 +217,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embed_dim_stats", "q_multimodal_dedup", "q_quality_classifier",
     "q_corpus_report", "q_mixture_epochs", "q_ts_holt",
     "q_events_window_funnel", "q_events_time_to_convert",
-    "q_graph_modularity", "q_skyline_2d", "q_agg_hll_parity",
+    "q_skyline_2d", "q_agg_hll_parity",
     "q_events_ab_test", "q_graph_label_prop", "q_dq_drift",
     "q_ts_stl", "q_events_powerlaw", "q_events_cohort_ltv",
     "q_agg_countmin", "q_embed_recall", "q_agg_bloom",
-    "q_pipeline_funnel", "q_graph_hits", "q_ts_forecast_eval",
+    "q_pipeline_funnel", "q_ts_forecast_eval",
     "q_sim_mmr", "q_embed_hard_negatives",
     "q_events_growth_accounting", "q_embed_triplets",
     "q_events_rolling_wau", "q_text_fertility",
