@@ -92,3 +92,48 @@ def test_no_row_python_or_cartesian_anywhere(spark, sf_oracle):
         ):
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_unconditional_broadcast_hint_census_is_pinned():
+    """Tripwire for the ADVICE-r9 defect class: a bare ``F.broadcast``
+    hint on a fact-scaled input bypasses AQE's size thresholds and
+    OOMs executors at the 100 TB design point. Every bare hint in the
+    package was audited in round 10 — the survivors build on
+    fixed-size dims (nation/region, event-type enums), bounded
+    aggregates (1-row scalars, per-type sizes, calendar spines,
+    hot-bucket caps, |partitions|-row offset spines), or documented
+    KB-scale probe sets; fact-scaled inputs must ride
+    ``tables.broadcast_if_small`` instead. This census pins the
+    audited per-file CODE-SITE counts (docstrings excluded): adding a
+    new bare hint fails here and forces the author to either justify
+    the bounded-build argument and re-pin, or use the gate.
+    """
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "streamclient_spark"
+    audited = {
+        "functions/dedup.py": 2,
+        "functions/embeddings.py": 3,
+        "functions/pipeline_ops.py": 9,
+        "functions/similarity.py": 3,
+        "functions/text.py": 6,
+        "operators/reference.py": 2,
+        "operators/relational.py": 52,
+        "operators/window.py": 14,
+        "scale.py": 3,
+        "streaming/joins.py": 1,
+    }
+    found: dict[str, int] = {}
+    for p in sorted(pkg.rglob("*.py")):
+        src = p.read_text()
+        # strip docstrings/comments so prose mentions don't count
+        src = re.sub(r'"""[\s\S]*?"""', "", src)
+        src = re.sub(r"#[^\n]*", "", src)
+        n = len(re.findall(r"F\.broadcast\(", src))
+        if n:
+            found[str(p.relative_to(pkg))] = n
+    assert found == audited, (
+        "bare F.broadcast( census changed — audit the new/removed "
+        f"site(s) and re-pin: {found} != {audited}"
+    )
