@@ -1231,11 +1231,30 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     back; ONE map-combined aggregate emits the |sources|×|langs|
     funnel. Two corpus-linear shuffles total (fingerprint, doc_id
     join) — at 100 TB both key on high-cardinality columns with no
-    skew (fingerprints are hashes; doc ids are unique)."""
-    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    skew (fingerprints are hashes; doc ids are unique). r10 floor
+    audit — the two q_quality_cut r8 lessons this query never got:
+    the alnum share moved off the ALLOCATION-bound ``regexp_replace``
+    onto ``length − length(translate(...))`` (identical count — the
+    translate deletes exactly the chars the oracle's regex keeps and
+    non-ASCII cancels in the subtraction — and the difference is cast
+    LONG before the ×1000, closing the latent int32 wrap past ~2.1M
+    alnum chars/doc), and the flag projection is preceded by the
+    text.py:553 split-recovery repartition (the fixture is ONE row
+    group, so the md5+translate pass otherwise runs single-task; at
+    100 TB the scan has natural split parallelism and the exchange is
+    the line you delete)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    alnum = (
+        "abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    )
     ap = F.expr(
-        "length(regexp_replace(text, '[^a-zA-Z0-9]', '')) * 1000"
-        " div n_chars"
+        f"CAST(length(text) - length(translate(text, '{alnum}', ''))"
+        " AS BIGINT) * 1000 div n_chars"
     )
     base = d.select(
         "doc_id",

@@ -87,8 +87,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ADVICE class found by a repo-wide sweep: their part-dimension
     # broadcasts were unconditional on a fact-scaled table; now
     # size-gated through broadcast_if_small, plans unchanged at
-    # fixture scale, parity re-verified)
-    "q_tpch_q21", "q_agg_hll_merge", "q_graph_modularity", "q_graph_hits",
+    # fixture scale, parity re-verified);
+    # q_pipeline_funnel (r10 third wave — the two q_quality_cut r8
+    # lessons it never got: alnum share off the allocation-bound
+    # regexp_replace onto length−length(translate) with the LONG cast
+    # before ×1000 (closes the latent int32 wrap), plus the
+    # text.py:553 split-recovery repartition; 3-way A/B at sf1,
+    # probes green: 1.58 → 0.79 s warm min — ledger exit)
+    "q_tpch_q21", "q_agg_hll_merge", "q_pipeline_funnel",
+    "q_graph_modularity", "q_graph_hits",
     # --- ROUND-9 WINDOW (rotates through) — hardening round: every query
     # whose code changed after a prior green row leads the window
     # (the attestation invariant, VERDICT r8 #7). Ledger state
@@ -221,7 +228,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_ab_test", "q_graph_label_prop", "q_dq_drift",
     "q_ts_stl", "q_events_powerlaw", "q_events_cohort_ltv",
     "q_agg_countmin", "q_embed_recall", "q_agg_bloom",
-    "q_pipeline_funnel", "q_ts_forecast_eval",
+    "q_ts_forecast_eval",
     "q_sim_mmr", "q_embed_hard_negatives",
     "q_events_growth_accounting", "q_embed_triplets",
     "q_events_rolling_wau", "q_text_fertility",
