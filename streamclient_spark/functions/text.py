@@ -1856,15 +1856,27 @@ def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE codegen projection (token count via the shared split
     expression, two length expressions), one map-combined aggregate
     to |langs|×|sources| rows. No shuffle beyond the group keys at
-    any scale."""
-    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    any scale. r10 floor audit (the q_quality_cut devices): the
+    non-whitespace count moved off the allocation-bound
+    ``regexp_replace`` onto ``length(translate(text, <java \\s set>,
+    ''))`` — translate deletes exactly the six chars java's \\s
+    matches, so the count is identical — and the projection is
+    preceded by the text.py:553 split-recovery repartition (the
+    fixture is one row group; delete the exchange at natural-split
+    scale). A/B at sf1, probes green: 1.08 → 0.74 s warm min
+    (translate+repartition; repartition alone 0.99)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     per_doc = d.select(
         "lang",
         "source",
         F.col("n_chars").cast("long").alias("chars"),
         F.size(tokens("text")).cast("long").alias("toks"),
         F.length(
-            F.regexp_replace("text", r"\s", "")
+            F.translate("text", " \t\n\x0b\f\r", "")
         ).cast("long").alias("nonspace"),
     )
     return per_doc.groupBy("lang", "source").agg(

@@ -93,9 +93,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # regexp_replace onto length−length(translate) with the LONG cast
     # before ×1000 (closes the latent int32 wrap), plus the
     # text.py:553 split-recovery repartition; 3-way A/B at sf1,
-    # probes green: 1.58 → 0.79 s warm min — ledger exit)
+    # probes green: 1.58 → 0.79 s warm min — ledger exit);
+    # q_text_fertility (r10 third wave, same devices: non-whitespace
+    # count via translate + the split-recovery repartition; A/B
+    # 1.08 → 0.74 s, probes green. q_text_quality was A/B'd the same
+    # way and kept: its wall is the token split, the translate swap
+    # measured neutral-to-worse — no change)
     "q_tpch_q21", "q_agg_hll_merge", "q_pipeline_funnel",
-    "q_graph_modularity", "q_graph_hits",
+    "q_text_fertility", "q_graph_modularity", "q_graph_hits",
     # --- ROUND-9 WINDOW (rotates through) — hardening round: every query
     # whose code changed after a prior green row leads the window
     # (the attestation invariant, VERDICT r8 #7). Ledger state
@@ -231,7 +236,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_forecast_eval",
     "q_sim_mmr", "q_embed_hard_negatives",
     "q_events_growth_accounting", "q_embed_triplets",
-    "q_events_rolling_wau", "q_text_fertility",
+    "q_events_rolling_wau",
     "q_sample_shuffle", "q_events_burst", "q_text_kl_drift",
     "q_ts_holt_winters", "q_ts_mk_trend", "q_text_lexical_diversity",
     "q_orders_backlog", "q_dq_kanon", "q_dedup_prefix",
