@@ -8120,21 +8120,30 @@ def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 7-day rolling distinct active users (rolling WAU) with
     daily stickiness (DAU/WAU) — the operator naive SQL gets wrong at
-    scale because COUNT(DISTINCT) cannot slide: a user active on day
-    t is IN the window of targets t..t+6, so each (user, day) row
-    explodes into its 7 member windows, a second distinct collapses
-    multi-active users within a window, and a plain count per target
-    day finishes — distinct-over-sliding-window reduced to two hash
-    distincts and ×7 linear volume, no window function at all (the
-    window-frame form would hold per-day user SETS in state). Full
-    windows only (day index ≥ 6); the monthly-grain companion is
-    q_events_dau_mau, and at 100 TB the same shape handles 28-day MAU
-    at ×28 volume or swaps in the q_agg_hll_parity registers when
-    ±1% suffices.
+    scale because COUNT(DISTINCT) cannot slide (the window-frame form
+    would hold per-day user SETS in state).
 
-    Plan: one (user, day) distinct (map-combined), one 7-way explode
-    + distinct (linear), two counting aggregates, one |days|-row
-    join; one 1-row min-day scalar broadcast."""
+    r10 interval-delta rewrite: a user active on day t covers targets
+    [t, t+6], so each user's active days MERGE into coverage
+    intervals (lag/lead over the per-user sorted days: a start where
+    the previous active day is >6 back, an end where the next is >6
+    ahead), every interval emits +1 at its start day and −1 at
+    end+7, and a running sum over the bounded DAY SPINE reads WAU
+    off the deltas. The r9 shape exploded every (user, day) into its
+    7 member windows and re-distinct'd: ×7 corpus-scale volume plus a
+    second hash distinct. This shape moves |user-days| ONCE through
+    the user-keyed window exchange and its volume is INDEPENDENT of
+    window length — 28-day MAU costs the same (the old shape paid
+    ×28), which is the property that matters at 100 TB; swap in the
+    q_agg_hll_parity registers when ±1% suffices. A/B at sf1, probes
+    green: 0.84 s vs 0.83 s — a wall tie bought with 7× less shuffle
+    volume. Full windows only (day index ≥ 6); monthly-grain
+    companion q_events_dau_mau.
+
+    Plan: one (user, day) distinct (map-combined), one user-keyed
+    window pass, ≤2·|user-days| delta rows to a |days| aggregate, a
+    running sum over the |days|-row spine (bounded — a calendar, not
+    data), one |days|-row join; one 1-row scalar each end."""
     e = load(spark, sf_dir, "events")
     d0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
     ud = (
@@ -8144,20 +8153,46 @@ def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.to_date("ts"), "d0").cast("long").alias("t"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # win + dau + max reuse
+        .localCheckpoint(eager=False)  # intervals + dau + max reuse
     )
     mx = ud.agg(F.max("t").alias("mt"))
-    win = ud.select(
-        "user_id",
+    w = Window.partitionBy("user_id").orderBy("t")
+    iv = ud.select(
+        "t",
+        (
+            F.lag("t").over(w).isNull()
+            | (F.col("t") - F.lag("t").over(w) > 6)
+        ).alias("is_start"),
+        (
+            F.lead("t").over(w).isNull()
+            | (F.lead("t").over(w) - F.col("t") > 6)
+        ).alias("is_end"),
+    )
+    deltas = (
+        iv.filter("is_start")
+        .select(F.col("t").alias("day"), F.lit(1).alias("d"))
+        .unionAll(
+            iv.filter("is_end").select(
+                (F.col("t") + 7).alias("day"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("d"))
+    )
+    spine = mx.select(
         F.explode(
-            F.sequence(F.col("t"), F.col("t") + 6)
+            F.sequence(F.lit(0).cast("long"), F.col("mt"))
         ).alias("target"),
-    ).distinct()
+        "mt",
+    )
+    wcum = Window.orderBy("target").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     wau = (
-        win.crossJoin(F.broadcast(mx))
+        spine.join(deltas, spine["target"] == deltas["day"], "left")
+        .select("target", "mt", F.coalesce("d", F.lit(0)).alias("d"))
+        .select("target", "mt", F.sum("d").over(wcum).alias("wau"))
         .filter((F.col("target") >= 6) & (F.col("target") <= F.col("mt")))
-        .groupBy("target")
-        .agg(F.count(F.lit(1)).alias("wau"))
     )
     dau = ud.groupBy("t").agg(F.count(F.lit(1)).alias("dau"))
     return wau.join(dau, wau["target"] == dau["t"]).select(

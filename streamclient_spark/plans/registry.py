@@ -98,9 +98,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # count via translate + the split-recovery repartition; A/B
     # 1.08 → 0.74 s, probes green. q_text_quality was A/B'd the same
     # way and kept: its wall is the token split, the translate swap
-    # measured neutral-to-worse — no change)
+    # measured neutral-to-worse — no change);
+    # q_events_rolling_wau (r10 third wave — interval-delta rewrite:
+    # per-user coverage intervals via lag/lead, ±1 deltas, running
+    # sum over the bounded day spine; replaces the ×7 explode +
+    # second distinct with ONE |user-days| window pass, volume now
+    # independent of window length; A/B 0.84 vs 0.83 s — wall tie,
+    # 7× less shuffle)
     "q_tpch_q21", "q_agg_hll_merge", "q_pipeline_funnel",
-    "q_text_fertility", "q_graph_modularity", "q_graph_hits",
+    "q_text_fertility", "q_events_rolling_wau",
+    "q_graph_modularity", "q_graph_hits",
     # --- ROUND-9 WINDOW (rotates through) — hardening round: every query
     # whose code changed after a prior green row leads the window
     # (the attestation invariant, VERDICT r8 #7). Ledger state
@@ -236,7 +243,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_forecast_eval",
     "q_sim_mmr", "q_embed_hard_negatives",
     "q_events_growth_accounting", "q_embed_triplets",
-    "q_events_rolling_wau",
     "q_sample_shuffle", "q_events_burst", "q_text_kl_drift",
     "q_ts_holt_winters", "q_ts_mk_trend", "q_text_lexical_diversity",
     "q_orders_backlog", "q_dq_kanon", "q_dedup_prefix",
