@@ -707,3 +707,45 @@ def test_broadcast_hint_gate_is_size_conditional(spark, sf_oracle, monkeypatch):
     assert tables.broadcast_if_small(oc, sf_oracle, "orders") is oc
     monkeypatch.undo()
     assert tables.broadcast_if_small(s, sf_oracle, "no_such_table") is s
+
+
+def test_broadcast_hint_gate_directory_layout(spark, sf_oracle, tmp_path):
+    # VERDICT r10 #1: os.path.getsize on a DIRECTORY returns the inode
+    # size (~4 KB on ext4), not OSError — so the first gate treated a
+    # multi-file `<table>.parquet/` directory (the standard 100 TB
+    # layout) as a 4 KB table and force-broadcast a fact. The gate must
+    # SUM member files (recursively — partitioned layouts nest) and
+    # refuse the hint when the sum crosses the ceiling.
+    from streamclient_spark import tables
+
+    s = tables.load(spark, sf_oracle, "supplier").select("s_suppkey")
+
+    # fact-scaled directory: nested part-files summing past the 32 MB
+    # ceiling (sparse writes; the gate only stats st_size)
+    fact = tmp_path / "lineitem.parquet"
+    part0 = fact / "shipdate=1995-01-01"
+    part0.mkdir(parents=True)
+    for i, d in enumerate((fact, part0)):
+        with open(d / f"part-{i:05d}.snappy.parquet", "wb") as fh:
+            fh.seek(tables.BROADCAST_HINT_MAX_BYTES)  # > ceiling/2 each
+            fh.write(b"\0")
+    assert tables.broadcast_if_small(s, str(tmp_path), "lineitem") is s
+
+    # small directory layout: a dim split into a few tiny part-files
+    # must STILL get the hint (directory != automatically too big)
+    dim = tmp_path / "nation.parquet"
+    dim.mkdir()
+    for i in range(3):
+        (dim / f"part-{i:05d}.snappy.parquet").write_bytes(b"x" * 1024)
+    hinted = tables.broadcast_if_small(s, str(tmp_path), "nation")
+    assert hinted is not s
+    assert "UnresolvedHint broadcast" in (
+        hinted._jdf.queryExecution().logical().toString()
+    )
+
+    # the early-exit sum never lies toward "small": a walk error
+    # (unreadable dir) degrades to no-hint
+    assert (
+        tables._bounded_table_bytes(str(fact), tables.BROADCAST_HINT_MAX_BYTES)
+        > tables.BROADCAST_HINT_MAX_BYTES
+    )
