@@ -40,7 +40,75 @@ HEADLINE = [
 #: ~8 runs) — the canary must measure the box, not the compiler.
 #: Reference: quiet-box min-of-3 after the discard run (pinned r10,
 #: this box). Degraded = slowest of the two stamped probes > 2× ref.
-SPARK_PROBE_REF_S = 0.25
+#: The pin is HOST-RELATIVE (ADVICE r10): on any other machine set
+#: SPARK_GRAFT_PROBE_REF_S to that box's quiet min-of-3, or treat
+#: session_degraded as meaningless; the artifact records provenance.
+#: The canary catches stalls (>2× episodes), not uniform 5-10% drift —
+#: cross_round_median_ratio below is the arbiter for drift.
+SPARK_PROBE_REF_S = float(os.environ.get("SPARK_GRAFT_PROBE_REF_S", "0.25"))
+
+
+def prior_per_query(repo_dir: str, sf: float) -> tuple[dict, dict, str]:
+    """Committed per-query history from BENCH_r*.json artifacts at the
+    same sf (VERDICT r10 #2/#6). Returns (latest-wins map over ALL
+    artifacts — the self-check baseline, every query has a committed
+    value because the attestation windows rotate through the whole
+    registry; the single newest artifact's window — the cross-round
+    median base; that artifact's name). Missing/foreign-sf artifacts
+    contribute nothing — a fresh checkout or a different sf runs with
+    the self-check inert, never wrong."""
+    import glob
+    import re
+
+    merged: dict[str, float] = {}
+    newest: dict[str, float] = {}
+    newest_name = ""
+
+    def round_no(path: str) -> int:
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(
+        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")), key=round_no
+    ):
+        try:
+            with open(path) as f:
+                raw = json.load(f)
+            # driver artifacts wrap the bench line in a "tail" string
+            line = (
+                raw["tail"].strip().splitlines()[-1]
+                if isinstance(raw.get("tail"), str)
+                else None
+            )
+            try:
+                payload = json.loads(line) if line is not None else raw
+            except ValueError:
+                # the driver's tail capture can truncate the line's
+                # HEAD (BENCH_r10.json ships without its opening
+                # '{"metric'); the flat per-query map and the
+                # top-level sf are still recoverable verbatim
+                qm = re.search(r'"queries":(\{[^{}]*\})', line)
+                sfm = re.search(r'"sf":([0-9.eE+-]+)', line)
+                if not (qm and sfm):
+                    continue
+                payload = {
+                    "queries": json.loads(qm.group(1)),
+                    "sf": float(sfm.group(1)),
+                }
+        except Exception:
+            continue
+        if abs(float(payload.get("sf", -1)) - sf) > 1e-9:
+            continue
+        qs = payload.get("queries") or {}
+        qs = {
+            str(k): float(v)
+            for k, v in qs.items()
+            if isinstance(v, (int, float)) and v > 0
+        }
+        if qs:
+            merged.update(qs)
+            newest, newest_name = qs, os.path.basename(path)
+    return merged, newest, newest_name
 
 
 def spark_probe_s(spark) -> float:
@@ -58,6 +126,15 @@ def spark_probe_s(spark) -> float:
 
     once()  # discard the C2-compile run; the probe measures the box
     return min(once() for _ in range(3))
+
+
+def _median_ratio(timings: dict, prior: dict) -> float | None:
+    import statistics
+
+    ratios = [
+        timings[n] / v for n, v in prior.items() if n in timings and v > 0
+    ]
+    return round(statistics.median(ratios), 3) if ratios else None
 
 
 def main() -> None:
@@ -103,10 +180,23 @@ def main() -> None:
                 f.write(f"{time.time():.0f} {name} {dt:.2f}\n")
         return dt
 
+    # Cross-round per-query self-check (VERDICT r10 #2): a sub-floor
+    # query timed ONCE cold can commit a single C2-cold/busy-window
+    # reading with no rerun (q_join_asof_tolerance r10: 1.083 s vs a
+    # 0.58-0.64 history, no code change). Any cold reading above 1.5×
+    # the query's last committed value — at the same sf — earns an
+    # immediate rerun even below the 1.5 s floor; the min is the
+    # steady-state number a warm cluster would see.
+    prior_all, prior_newest, prior_ref = prior_per_query(
+        os.path.dirname(os.path.abspath(__file__)), sf
+    )
+
     timings: dict[str, float] = {}
     reruns: list[str] = []
+    selfcheck_reruns: list[str] = []
     for name in names:
         t1 = run_once(name)
+        p = prior_all.get(name)
         if t1 > 1.5:
             reruns.append(name)
             t2 = run_once(name)
@@ -114,6 +204,14 @@ def main() -> None:
             if best > 1.5 and max(t1, t2) > 1.33 * best:
                 best = min(best, run_once(name))
             t1 = best
+        elif p is not None and t1 > 1.5 * p and t1 > p + 0.15:
+            # the absolute guard keeps tens-of-ms jitter on fast
+            # queries from tripping the ratio (first run: 44 of 50
+            # window queries re-raced on noise); a real excursion —
+            # the asof case was prior+0.5 s — clears 150 ms easily
+            reruns.append(name)
+            selfcheck_reruns.append(name)
+            t1 = min(t1, run_once(name))
         timings[name] = t1
     timings = {n: round(t, 3) for n, t in timings.items()}
 
@@ -141,10 +239,24 @@ def main() -> None:
         "spark_probe_ref_s": SPARK_PROBE_REF_S,
         "session_degraded": max(probe_before, probe_after)
         > 2 * SPARK_PROBE_REF_S,
-        "warmup_policy": "none+min2_over_1.5s",
+        "warmup_policy": "none+min2_over_1.5s+selfcheck_1.5x_prior",
         "n_rerun": len(reruns),
         "rerun_in_window": sorted(
             n for n in reruns if n in set(list(specs)[:50])
+        ),
+        # self-check provenance: which committed artifact supplied the
+        # per-query baselines, and which queries it re-raced
+        "selfcheck_rerun": sorted(selfcheck_reruns),
+        # cross-round drift arbiter (VERDICT r10 #6): median of
+        # this-run/prior-committed over the newest same-sf artifact's
+        # window — uniform session drift (which the 2× probe canary
+        # cannot see) is machine-readable here; ~1.0 on a quiet box
+        "cross_round_ref": prior_ref or None,
+        "cross_round_median_ratio": _median_ratio(timings, prior_newest),
+        "spark_probe_ref_provenance": os.environ.get(
+            "SPARK_GRAFT_PROBE_REF_S",
+            "pinned: round-driver box quiet min-of-3 (r10); override "
+            "SPARK_GRAFT_PROBE_REF_S off-box",
         ),
     }
     # Last measured sf1 Spark-vs-DuckDB ratio (tools/bench_ratio.py

@@ -52,7 +52,7 @@ from streamclient_spark.functions.text import (
     tokens,
 )
 from streamclient_spark.plans.registry import register
-from streamclient_spark.tables import load
+from streamclient_spark.tables import load, split_recovery
 
 # ---------------------------------------------------------------------------
 # hashing primitives (shared with similarity.py)
@@ -188,7 +188,7 @@ def _shingle_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A = np.array(PERM_A, dtype=np.int64)[:, None]
     B = np.array(PERM_B, dtype=np.int64)[:, None]
-    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+    ws = re.compile("[ \t\n\f\r]+")  # RE2 \s, the oracle's class (no \x0b)
 
     def profiles(batches):
         for pdf in batches:
@@ -227,7 +227,7 @@ def _shingle_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "documents"))
         .mapInPandas(
             profiles,
             "doc_id bigint, s array<string>, band_keys array<string>",
@@ -489,7 +489,7 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import re
 
-    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+    ws = re.compile("[ \t\n\f\r]+")  # RE2 \s, the oracle's class (no \x0b)
     bit_idx = np.arange(_SIMHASH_BITS, dtype=np.int64)
 
     def signatures(batches):
@@ -523,7 +523,7 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "documents"))
         .mapInPandas(signatures, "doc_id bigint, simhash bigint")
     )
 
@@ -915,7 +915,7 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     release_managed()
-    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+    ws = re.compile("[ \t\n\f\r]+")  # RE2 \s, the oracle's class (no \x0b)
 
     def chunk_counts(batches):
         for pdf in batches:
@@ -943,7 +943,7 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = managed_persist(
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "documents"))
         .mapInPandas(chunk_counts, "doc_id bigint, h string, k long")
     )
     totals = chunks.groupBy("h").agg(F.sum("k").alias("c"))
@@ -1225,7 +1225,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = SPAN_TOKENS
     par = spark.sparkContext.defaultParallelism
     release_managed()
-    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+    ws = re.compile("[ \t\n\f\r]+")  # RE2 \s, the oracle's class (no \x0b)
 
     def span_counts(batches):
         for pdf in batches:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamclient_spark.plans.registry import register
-from streamclient_spark.tables import load
+from streamclient_spark.tables import load, split_recovery
 
 
 @register(
@@ -67,8 +67,8 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambdas are Catalyst-interpreted per element, which is acceptable
     here (64 elements/row) — unlike the per-token text ops, which use
     fused Arrow passes."""
-    e = load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    e = load(spark, sf_dir, "embeddings").transform(
+        split_recovery(spark, sf_dir, "embeddings")
     )
     mx = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
@@ -280,7 +280,7 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split recovery (near-unsplittable fixture file, CPU-bound GEMM)
     return (
         e.select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "embeddings"))
         .mapInPandas(code, "vec_id bigint, pq_code string, recon_cos double")
         .select("vec_id", "pq_code", F.round("recon_cos", 6).alias("recon_cos"))
     )
@@ -767,7 +767,7 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trade as q_sim_topk); with multi-split input this is a no-op
     parts = (
         e.select("embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "embeddings"))
         .mapInPandas(gram_parts, "i int, j int, g long")
     )
     tot = parts.groupBy("i", "j").agg(F.sum("g").alias("g")).collect()

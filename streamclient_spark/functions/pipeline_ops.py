@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from streamclient_spark.functions.dedup import hash32, sql_hash32
 from streamclient_spark.functions.text import SQL_TOKENS, sql_shingles, tokens
 from streamclient_spark.plans.registry import register
-from streamclient_spark.tables import load
+from streamclient_spark.tables import load, split_recovery
 
 #: split layout: 80 / 10 / 10 over hash buckets 0..99
 _SPLIT_SALT = "split-v1-"
@@ -65,7 +65,7 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
 
     import pandas as pd
 
-    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+    ws = re.compile("[ \t\n\f\r]+")  # RE2 \s, the oracle's class (no \x0b)
 
     def rows(batches):
         for pdf in batches:
@@ -214,8 +214,8 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     single file (1-3 row groups = 1-3 tasks at any core count,
     measured 2.5 s -> 0.7 s at sf1 for this regex-bound projection);
     with real multi-split input it is a no-op to delete."""
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").transform(
+        split_recovery(spark, sf_dir, "documents")
     )
     planted = d.select(
         "doc_id",
@@ -309,7 +309,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+    ws = re.compile("[ \t\n\f\r]+")  # RE2 \s, the oracle's class (no \x0b)
 
     def stats(batches):
         for pdf in batches:
@@ -898,7 +898,7 @@ def q_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load(spark, sf_dir, "documents")
         .filter(F.col("n_chars") > 0)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "documents"))
     )
     alnum = (
         "abcdefghijklmnopqrstuvwxyz"
@@ -1246,7 +1246,7 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load(spark, sf_dir, "documents")
         .filter(F.col("n_chars") > 0)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "documents"))
     )
     alnum = (
         "abcdefghijklmnopqrstuvwxyz"

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from streamclient_spark.functions.vectors import cosine, dot_fold
 from streamclient_spark.plans.registry import register
-from streamclient_spark.tables import load
+from streamclient_spark.tables import load, split_recovery
 
 EMBED_DIM = 64
 N_HYPERPLANES = 8
@@ -207,7 +207,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split recovery (near-unsplittable fixture file, CPU-bound GEMM)
     scored = (
         e.select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "embeddings"))
         .mapInPandas(
             local_topk,
             "query_id bigint, neighbor_id bigint, cos_sim double",
@@ -602,7 +602,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GEMM pass would otherwise run on 1-2 tasks
     scored = (
         e.select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "embeddings"))
         .mapInPandas(
             search,
             "query_id bigint, neighbor_id bigint, cell bigint, cos_sim double",
@@ -701,7 +701,7 @@ def q_sim_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split recovery (near-unsplittable fixture file, CPU-bound GEMM)
     return (
         e.select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "embeddings"))
         .mapInPandas(
             search, "query_id bigint, neighbor_id bigint, cos_sim double"
         )
@@ -775,7 +775,7 @@ def q_sim_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+    ws = re.compile("[ \t\n\f\r]+")  # RE2 \s, the oracle's class (no \x0b)
 
     def doc_token_counts(batches):
         for pdf in batches:
@@ -793,7 +793,7 @@ def q_sim_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "documents"))
         .mapInPandas(doc_token_counts, "doc_id bigint, t string, k long")
     )
     df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
@@ -1071,7 +1071,7 @@ def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = (
         e.select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "embeddings"))
         .mapInPandas(
             search,
             "query_id bigint, neighbor_id bigint, coarse_cos double, "
@@ -1294,7 +1294,7 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = (
         e.select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "embeddings"))
         .mapInPandas(
             search,
             "query_id bigint, neighbor_id bigint, cell bigint, "
@@ -1621,7 +1621,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split recovery (near-unsplittable fixture file, CPU-bound GEMM)
     scored = (
         e.select("vec_id", "embedding", "label")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "embeddings"))
         .mapInPandas(
             local_top5,
             "query_id bigint, true_label bigint, label bigint,"
@@ -2195,7 +2195,7 @@ def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = (
         e.select("vec_id", "label", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "embeddings"))
         .mapInPandas(
             local_topk,
             "query_id bigint, q_label bigint, negative_id bigint,"
@@ -2321,7 +2321,7 @@ def q_embed_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = (
         e.select("vec_id", "label", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "embeddings"))
         .mapInPandas(
             local_best,
             "anchor_id bigint, a_label bigint, vec_id bigint,"

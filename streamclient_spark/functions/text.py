@@ -27,22 +27,36 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamclient_spark.plans.registry import register
-from streamclient_spark.tables import load
+from streamclient_spark.tables import load, split_recovery
 
 # ---------------------------------------------------------------------------
 # shared token helpers (engine API surface, reused by dedup.py)
 # ---------------------------------------------------------------------------
 
 
+#: THE whitespace definition of the engine, spelled as an explicit
+#: class: RE2's ``\s`` — exactly what the committed DuckDB oracles
+#: match. Java's and Python-ASCII's ``\s`` additionally match ``\x0b``
+#: (vertical tab), so a bare ``\s`` on the Spark/pandas side is a
+#: latent hash mismatch on \x0b-bearing text (ADVICE r10; pinned by
+#: the vertical-tab doc in tests/test_null_robustness.py). Every
+#: Spark split, pandas tokenizer, and translate set derives from this
+#: class; oracle SQL may keep ``'\s+'`` because RE2 ``\s`` IS this
+#: class.
+WS_CLASS = " \t\n\f\r"
+WS_PATTERN = r"[ \t\n\f\r]+"
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization with empty-token filtering.
 
-    ``split`` on ``\\s+`` leaves a leading "" for leading whitespace and
-    a trailing "" for trailing whitespace; filtering is what makes the
-    token list identical to DuckDB's ``string_split_regex`` + filter.
+    ``split`` on :data:`WS_PATTERN` leaves a leading "" for leading
+    whitespace and a trailing "" for trailing whitespace; filtering is
+    what makes the token list identical to DuckDB's
+    ``string_split_regex`` + filter.
     """
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    return F.filter(F.split(c, WS_PATTERN), lambda t: t != "")
 
 
 SQL_TOKENS = r"list_filter(string_split_regex({col}, '\s+'), t -> t <> '')"
@@ -137,8 +151,11 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # GPT-2-family pretokenizer shape, restricted to the regex subset RE2
 # (DuckDB) and java.util.regex (Spark) implement identically: letter
-# runs, digit runs, and punctuation runs as separate tokens.
-BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+# runs, digit runs, and punctuation runs as separate tokens. The
+# whitespace exclusion is the explicit WS_CLASS, not `\s` — a bare
+# `\s` means different sets to the two engines (\x0b), and this
+# pattern is shared verbatim by both sides.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\f\r]+"
 
 
 @register(
@@ -165,8 +182,8 @@ def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the regex subset is chosen to behave identically under RE2 and Java
     regex. Split-recovered (near-unsplittable fixture file; the BPE
     regex is the CPU)."""
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").transform(
+        split_recovery(spark, sf_dir, "documents")
     )
     ws = tokens("text")
     bpe = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
@@ -213,8 +230,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the Gopher-rules shape every pretraining pipeline applies). One
     pass; ratios are single IEEE divisions. Split-recovered
     (near-unsplittable fixture file)."""
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").transform(
+        split_recovery(spark, sf_dir, "documents")
     )
     toks = tokens("text")
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
@@ -289,8 +306,8 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     count re-runs the split per language — 5× the tokenization work in
     interpreted higher-order-function space. Split recovery as in the
     other document ops (near-unsplittable fixture file)."""
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").transform(
+        split_recovery(spark, sf_dir, "documents")
     )
 
     def hits(lang: str) -> Column:
@@ -470,7 +487,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import re
 
-    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+    ws = re.compile("[ \t\n\f\r]+")  # RE2 \s, the oracle's class (no \x0b)
 
     def fingerprints(batches):
         for pdf in batches:
@@ -506,7 +523,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "documents"))
         .mapInPandas(
             fingerprints,
             "doc_id bigint, content_md5 string, "
@@ -567,7 +584,7 @@ def q_text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+    ws = re.compile("[ \t\n\f\r]+")  # RE2 \s, the oracle's class (no \x0b)
 
     def count_bigrams(batches):
         for pdf in batches:
@@ -588,8 +605,8 @@ def q_text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     d = load(spark, sf_dir, "documents").select("lang", "text")
-    partials = d.repartition(
-        spark.sparkContext.defaultParallelism
+    partials = d.transform(
+        split_recovery(spark, sf_dir, "documents")
     ).mapInPandas(count_bigrams, "lang string, bigram string, n long")
     counted = partials.groupBy("lang", "bigram").agg(
         F.sum("n").alias("n")
@@ -640,8 +657,8 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 1-3 tasks); delete it for multi-split input."""
     import pandas as pd
 
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").transform(
+        split_recovery(spark, sf_dir, "documents")
     )
     delete = bytes(
         b
@@ -734,7 +751,7 @@ def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamclient_spark.cacheutil import managed_persist, release_managed
 
     release_managed()
-    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+    ws = re.compile("[ \t\n\f\r]+")  # RE2 \s, the oracle's class (no \x0b)
 
     def doc_token_counts(batches):
         for pdf in batches:
@@ -751,7 +768,7 @@ def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = managed_persist(
-        d.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        d.transform(split_recovery(spark, sf_dir, "documents")).mapInPandas(
             doc_token_counts, "doc_id bigint, token string, k long"
         )
     )
@@ -822,7 +839,7 @@ def q_text_hashvec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+    ws = re.compile("[ \t\n\f\r]+")  # RE2 \s, the oracle's class (no \x0b)
 
     def hash_counts(batches):
         for pdf in batches:
@@ -845,8 +862,8 @@ def q_text_hashvec(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    partials = d.repartition(
-        spark.sparkContext.defaultParallelism
+    partials = d.transform(
+        split_recovery(spark, sf_dir, "documents")
     ).mapInPandas(hash_counts, "doc_id bigint, bucket bigint, tf long")
     return partials.groupBy("doc_id", "bucket").agg(
         F.sum("tf").alias("tf")
@@ -878,7 +895,7 @@ def bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = (
         load(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(tokens("text")).alias("token"))
     )
     return managed_persist(
@@ -1135,8 +1152,8 @@ def q_text_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole tokenize+slice projection ran in ONE task — 2.07 s warm at
     sf1 vs 1.06 s repartitioned; at 100 TB the scan parallelism is
     natural and the exchange is the line you delete)."""
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").transform(
+        split_recovery(spark, sf_dir, "documents")
     )
     toks = tokens("text")
     n_chunks = F.when(
@@ -1240,7 +1257,7 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     from collections import Counter
 
-    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+    ws = re.compile("[ \t\n\f\r]+")  # RE2 \s, the oracle's class (no \x0b)
 
     def count_bigrams(batches):
         for pdf in batches:
@@ -1258,8 +1275,8 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     d = load(spark, sf_dir, "documents").select("text")
-    partials = d.repartition(
-        spark.sparkContext.defaultParallelism
+    partials = d.transform(
+        split_recovery(spark, sf_dir, "documents")
     ).mapInPandas(count_bigrams, "w1 string, w2 string, n long")
     bi = partials.groupBy("w1", "w2").agg(F.sum("n").alias("n"))
     from streamclient_spark.cacheutil import managed_persist
@@ -1343,8 +1360,8 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     words×1400/1700) so no document flips band from float rounding.
     Split-recovered (near-unsplittable fixture file); at 100 TB this
     is an embarrassingly parallel map — no shuffle at all."""
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").transform(
+        split_recovery(spark, sf_dir, "documents")
     )
     n_words = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).cast(
         "long"
@@ -1771,7 +1788,7 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     from collections import Counter
 
-    ws = re.compile(r"\s+", re.ASCII)  # = Java/RE2 \s, never Unicode
+    ws = re.compile("[ \t\n\f\r]+")  # RE2 \s, the oracle's class (no \x0b)
 
     def bigram_counts(batches):
         for pdf in batches:
@@ -1793,7 +1810,7 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("source", "text")
     bg = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.transform(split_recovery(spark, sf_dir, "documents"))
         .mapInPandas(
             bigram_counts, "source string, w1 string, w2 string, k long"
         )
@@ -1858,9 +1875,14 @@ def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     to |langs|×|sources| rows. No shuffle beyond the group keys at
     any scale. r10 floor audit (the q_quality_cut devices): the
     non-whitespace count moved off the allocation-bound
-    ``regexp_replace`` onto ``length(translate(text, <java \\s set>,
-    ''))`` — translate deletes exactly the six chars java's \\s
-    matches, so the count is identical — and the projection is
+    ``regexp_replace`` onto ``length(translate(text, <RE2 \\s set>,
+    ''))`` — translate deletes exactly the five chars the ORACLE's
+    RE2 ``\\s`` matches ``[ \\t\\n\\f\\r]``, so the count is
+    identical by definition (ADVICE r10: the first translate set
+    hard-pinned java-\\s's extra ``\\x0b``, a latent hash mismatch on
+    vertical-tab-bearing text; whitespace semantics here are DEFINED
+    by the committed oracle, not by what the old regexp engine
+    happened to match) — and the projection is
     preceded by the text.py:553 split-recovery repartition (the
     fixture is one row group; delete the exchange at natural-split
     scale). A/B at sf1, probes green: 1.08 → 0.74 s warm min
@@ -1868,7 +1890,7 @@ def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load(spark, sf_dir, "documents")
         .filter(F.col("n_chars") > 0)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(split_recovery(spark, sf_dir, "documents"))
     )
     per_doc = d.select(
         "lang",
@@ -1876,7 +1898,7 @@ def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("chars"),
         F.size(tokens("text")).cast("long").alias("toks"),
         F.length(
-            F.translate("text", " \t\n\x0b\f\r", "")
+            F.translate("text", WS_CLASS, "")
         ).cast("long").alias("nonspace"),
     )
     return per_doc.groupBy("lang", "source").agg(
@@ -1940,8 +1962,8 @@ def q_text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source decimal rollup is |sources| rows and the corpus total
     broadcasts as a 1-row scalar. At 100 TB the corpus-scale work is
     exactly the one token shuffle every tf-family query pays."""
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").transform(
+        split_recovery(spark, sf_dir, "documents")
     )
     st = (
         d.select("source", F.explode(tokens("text")).alias("token"))
@@ -2019,8 +2041,8 @@ def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is exactly the one token shuffle of the tf family; the vocab
     table it rolls up is the bounded artifact every quality query in
     this module already pays for."""
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").transform(
+        split_recovery(spark, sf_dir, "documents")
     )
     st = (
         d.select("source", F.explode(tokens("text")).alias("token"))

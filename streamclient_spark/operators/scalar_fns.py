@@ -12,8 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streamclient_spark.functions.text import WS_PATTERN
 from streamclient_spark.plans.registry import register
-from streamclient_spark.tables import load
+from streamclient_spark.tables import load, split_recovery
 
 # ---------------------------------------------------------------------------
 # B-F1 — strings
@@ -459,10 +460,10 @@ def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeatedly in BENCH_NOTES). The split-recovery repartition fans
     the near-unsplittable fixture file out before the interpreted
     lambdas (3.1 s → ~1 s at sf1); delete it for multi-split input."""
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").transform(
+        split_recovery(spark, sf_dir, "documents")
     )
-    toks = F.split(F.col("text"), r"\s+")
+    toks = F.split(F.col("text"), WS_PATTERN)
     return d.select(
         "doc_id",
         F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("long_toks"),

@@ -117,6 +117,95 @@ def _bounded_table_bytes(path: str, ceiling: int) -> int | None:
         return None
 
 
+def split_recovery(spark: SparkSession, sf_dir: str, bound: str):
+    """Gate for the split-recovery ``repartition`` (ADVICE r10): the
+    driver fixtures write each table as ONE parquet file with 1-2 row
+    groups, so a scan yields 1-2 tasks no matter the core count and
+    every CPU-bound fused-Arrow pass would run nearly serial. The
+    recovery is a round-robin ``repartition(defaultParallelism)`` —
+    but that exchange moves the whole column payload, which at the
+    100 TB design point is exactly "the line you delete". This gate
+    deletes it BY CONSTRUCTION: the repartition applies only while
+    the bounding table's natural scan parallelism (per-file
+    ``min(byte-splits, row-groups)``, footer-estimated with an early
+    exit) stays below ``defaultParallelism``; a production table laid
+    out as thousands of row-group splits passes the probe and the
+    transform is the identity. Estimation errors degrade toward
+    "repartition" — the fixture-correct, never-OOM direction.
+
+    Usage keeps builder chains fluent::
+
+        load(spark, sf_dir, "documents").transform(
+            split_recovery(spark, sf_dir, "documents")
+        )
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        p = spark.sparkContext.defaultParallelism
+        path = os.path.join(sf_dir, f"{bound}.parquet")
+        if _natural_splits(path, p, _max_partition_bytes(spark)) >= p:
+            return df
+        return df.repartition(p)
+
+    return apply
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    """``spark.sql.files.maxPartitionBytes`` as an int (accepts the
+    '134217728b' / '128m' spellings); falls back to the 128 MB
+    default on anything unparseable."""
+    import re
+
+    try:
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw.strip().lower())
+        if m:
+            return int(m.group(1)) << (
+                {"": 0, "k": 10, "m": 20, "g": 30, "t": 40}[m.group(2)]
+            )
+    except Exception:
+        pass
+    return 128 << 20
+
+
+def _iter_parquet_files(path: str):
+    if os.path.isfile(path):
+        yield path
+        return
+    for root, _dirs, files in os.walk(path, onerror=lambda _e: None):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                yield os.path.join(root, f)
+
+
+def _natural_splits(path: str, need: int, max_partition_bytes: int) -> int:
+    """Estimated useful scan parallelism of the parquet table at
+    ``path``: per file, Spark plans ``ceil(bytes/maxPartitionBytes)``
+    input splits but only row-group boundaries parallelize, so the
+    useful count is the min of the two. Walks lazily and returns as
+    soon as ``need`` is reached, so a million-file table costs O(need)
+    footer reads, not a full listing. Unreadable footers count 1
+    (underestimates → the caller repartitions → safe)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    try:
+        for f in _iter_parquet_files(path):
+            byte_splits = max(
+                1, -(-os.path.getsize(f) // max_partition_bytes)
+            )
+            try:
+                row_groups = max(1, pq.ParquetFile(f).metadata.num_row_groups)
+            except Exception:
+                row_groups = 1
+            total += min(byte_splits, row_groups)
+            if total >= need:
+                return total
+    except OSError:
+        return 0
+    return total
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (columnar parquet scan;
     Catalyst handles column pruning + predicate pushdown).

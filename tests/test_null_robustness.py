@@ -51,6 +51,12 @@ def sf_nulls(tmp_path_factory) -> str:
     docs = pq.read_table(d / "documents.parquet")
     text = docs.column("text").to_pylist()
     text[0] = None  # one NULL document
+    # vertical-tab-bearing text (ADVICE r10): \x0b is whitespace to
+    # java's \s but NOT to the oracle's RE2 \s — the fertility
+    # translate set must match the ORACLE (keep \x0b as payload)
+    text[1] = "alpha\x0bbeta gamma\tdelta\nepsilon\fzeta\reta " + (
+        text[1] or ""
+    )
     docs = docs.set_column(
         docs.schema.get_field_index("text"), "text", pa.array(text)
     )
@@ -176,6 +182,10 @@ def sf_nulls(tmp_path_factory) -> str:
         # and the NULL-user register row must keep matching the
         # oracle's md5(NULL) propagation.
         "q_agg_hll_merge",
+        # ADVICE r10: the payload count must treat \x0b as PAYLOAD
+        # (RE2/oracle \s), not whitespace (java \s) — the planted
+        # vertical-tab doc hash-mismatches under the old 6-char set
+        "q_text_fertility",
     ],
 )
 def test_null_bearing_fixture_still_hash_matches(spark, sf_nulls, name):

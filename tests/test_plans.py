@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 import pytest
 
@@ -749,3 +750,65 @@ def test_broadcast_hint_gate_directory_layout(spark, sf_oracle, tmp_path):
         tables._bounded_table_bytes(str(fact), tables.BROADCAST_HINT_MAX_BYTES)
         > tables.BROADCAST_HINT_MAX_BYTES
     )
+
+
+def test_split_recovery_gate_is_layout_conditional(
+    spark, sf_oracle, tmp_path
+):
+    # ADVICE r10: the split-recovery repartition (the full-payload
+    # round-robin exchange that fans the one-row-group fixture file
+    # out to every core) must come OFF by construction at natural-
+    # split scale, the same way the broadcast hints are gated. The
+    # probe is per-file min(byte-splits, row-groups) — Spark plans
+    # input splits by bytes, and row groups bound how many of those
+    # splits do useful work.
+    import pyarrow.parquet as pq
+
+    from streamclient_spark import tables
+
+    d = tables.load(spark, sf_oracle, "documents")
+    p = spark.sparkContext.defaultParallelism
+
+    # fixture layout (single file, 1-2 row groups): recovery applies
+    out = d.transform(tables.split_recovery(spark, sf_oracle, "documents"))
+    assert out is not d
+    assert out.rdd.getNumPartitions() == p
+
+    # natural-split layout: 2×p part-files under <table>.parquet/ —
+    # the probe passes and the transform is the IDENTITY (no exchange)
+    src = pq.read_table(
+        os.path.join(sf_oracle, "documents.parquet")
+    ).slice(0, 8)
+    tdir = tmp_path / "documents.parquet"
+    tdir.mkdir()
+    for i in range(2 * p):
+        pq.write_table(src, tdir / f"part-{i:05d}.snappy.parquet")
+    out2 = d.transform(
+        tables.split_recovery(spark, str(tmp_path), "documents")
+    )
+    assert out2 is d
+
+    # a small MANY-row-group single file is still ONE Spark input
+    # split (byte-planned) — the probe must not be fooled by row-group
+    # count alone, and recovery still applies
+    rgdir = tmp_path / "rg"
+    rgdir.mkdir()
+    pq.write_table(
+        pq.read_table(os.path.join(sf_oracle, "documents.parquet")),
+        rgdir / "documents.parquet",
+        row_group_size=2,
+    )
+    assert (
+        tables._natural_splits(
+            str(rgdir / "documents.parquet"), p, 128 << 20
+        )
+        == 1
+    )
+    out3 = d.transform(tables.split_recovery(spark, str(rgdir), "documents"))
+    assert out3 is not d
+
+    # missing table: probe 0 → recovery applied (fixture-safe default)
+    out4 = d.transform(
+        tables.split_recovery(spark, str(tmp_path), "no_such_table")
+    )
+    assert out4 is not d
