@@ -1684,17 +1684,24 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus max-timestamp watermark (the q_dq_freshness
     convention), never wall-clock, so reruns are bit-identical.
 
-    Plan: ONE map-combined per-user aggregate, then three DISTRIBUTED
-    global quantile rankings over the |users| aggregate — NOT three
-    single-partition ntile windows (round 3's plan; a straggler/OOM at
-    1e9 users). Each axis goes through ``scale.ranked_by_range`` (range
-    shuffle + codegen local numbering + broadcast prefix offsets, the
-    q_rank_global technique) and the ntile bucket is reconstructed from
-    (rank, N) by ``scale.ntile_from_rank`` — exact integer arithmetic,
-    bit-identical to the window ntile for any total order. The three
-    rank tables join back on user_id: five linear, balanced shuffles of
-    the |users| aggregate and zero single-task sorts. DESC axes rank on
-    the negated value (exact for longs)."""
+    Plan: ONE map-combined per-user aggregate, then ONE distributed
+    global ranking for all three axes — NOT three single-partition
+    ntile windows (round 3's plan; a straggler/OOM at 1e9 users), and
+    not three separate rankings either (rounds 4-10's plan: three
+    range shuffles + three user_id joins). The three measures are
+    stacked into a 3N-row skinny table keyed (axis, value, user_id) —
+    all longs, DESC axes negated (exact) — and ONE
+    ``scale.ranked_by_range`` pass over that total order produces a
+    global rank from which each axis's own rank is recovered exactly
+    as ``global_rank − axis·N`` (every axis contributes exactly N
+    rows, and axis leads the sort order, so the stacked ranks of axis
+    a occupy (a·N, (a+1)·N]). ``scale.ntile_from_rank`` then rebuilds
+    the quintile — exact integer arithmetic, bit-identical to the
+    window ntile — and one hash aggregate pivots (user_id, axis, q)
+    back to one row per user. Exchanges over the |users| aggregate:
+    one range shuffle of 3N skinny rows + one hash shuffle + one join
+    — versus 3 range shuffles + 3 joins before; A/B r11: sf0.1
+    2.29→1.23 s, sf1 3.03→1.84 s warm min, results identical."""
     from streamclient_spark.scale import ntile_from_rank, ranked_by_range
 
     e = load(spark, sf_dir, "events")
@@ -1714,26 +1721,45 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
-        .localCheckpoint(eager=False)  # feeds 3 rankings + the join base
+        .localCheckpoint(eager=False)  # feeds the rank pass + join base
     )
     n_total = u.agg(F.count(F.lit(1)).alias("__N"))
 
-    def quintile(value: str, desc: bool, out: str):
-        key = u.select(
-            "user_id",
-            (-F.col(value) if desc else F.col(value)).alias("__k"),
-        )
-        rk = ranked_by_range(key, ["__k", "user_id"], rank_col="__rn")
-        return rk.join(F.broadcast(n_total)).select(
-            "user_id",
-            ntile_from_rank(F.col("__rn"), F.col("__N"), 5).alias(out),
-        )
-
-    s = (
-        u.join(quintile("recency_days", False, "r"), "user_id")
-        .join(quintile("frequency", True, "f"), "user_id")
-        .join(quintile("monetary_cents", True, "m"), "user_id")
+    stacked = u.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("__axis"),
+                    F.col("recency_days").alias("__k"),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("__axis"),
+                    (-F.col("frequency")).cast("long").alias("__k"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("__axis"),
+                    (-F.col("monetary_cents")).alias("__k"),
+                ),
+            )
+        ).alias("s"),
+    ).select("user_id", "s.__axis", "s.__k")
+    rk = ranked_by_range(
+        stacked, ["__axis", "__k", "user_id"], rank_col="__g"
     )
+    per_axis = rk.join(F.broadcast(n_total)).select(
+        "user_id",
+        "__axis",
+        ntile_from_rank(
+            F.col("__g") - F.col("__axis") * F.col("__N"), F.col("__N"), 5
+        ).alias("__q"),
+    )
+    quint = per_axis.groupBy("user_id").agg(
+        F.max(F.when(F.col("__axis") == 0, F.col("__q"))).alias("r"),
+        F.max(F.when(F.col("__axis") == 1, F.col("__q"))).alias("f"),
+        F.max(F.when(F.col("__axis") == 2, F.col("__q"))).alias("m"),
+    )
+    s = u.join(quint, "user_id")
     seg = (
         F.when((F.col("r") <= 2) & (F.col("f") <= 2), "core")
         .when(F.col("r") <= 2, "recent")
