@@ -159,15 +159,21 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 class _TokenizeUDTF:
     """Table function: one document row → one row per token with its
     position. Builtin twin (the scale path): ``posexplode(split(...))``
-    — see ``q_fn_array``."""
+    — see ``q_fn_array``. Tokenizes on the engine's explicit RE2-\\s
+    whitespace class (text.py WS_PATTERN) — bare ``str.split()`` splits
+    on ALL Unicode whitespace (NBSP, \\x0b, ideographic space…), a
+    latent divergence from the RE2 oracle (ADVICE-r10 class)."""
 
     def eval(self, text: str):  # noqa: D102
         if text is None:
             return
+        import re
+
         pos = 0
-        for tok in text.split():
-            yield tok, pos
-            pos += 1
+        for tok in re.split("[ \t\n\f\r]+", text):
+            if tok:
+                yield tok, pos
+                pos += 1
 
 
 @register(

@@ -61,7 +61,56 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Bui
 # first 50 registry entries in insertion order. Rotated every round — see the
 # segment comments inside the tuple.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- ROUND-10 WINDOW (first 50) — measurement-hygiene round.
+    # --- ROUND-11 WINDOW (first 50) — hardening round. Ledger state
+    # entering round 11: r1∪…∪r10 covers all 295 registered queries,
+    # 290 hash-green + 5 rows-only by contract, zero failures.
+    #
+    # (a) modified in round 11 after a prior green row:
+    # q_events_rfm (VERDICT r10 #4 — three ranked_by_range passes +
+    # three user_id joins fused into ONE stacked-axis rank pass with
+    # per-axis rebase grk−axis·N and a hash-pivot; A/B sf0.1
+    # 2.29→1.23 s, sf1 3.03→1.84 s, identical results);
+    # q_customer_migration (VERDICT r10 #5 — the full-outer SMJ of
+    # two slices of a checkpointed segment table became one cust-keyed
+    # max-when pivot; A/B sf0.1 2.24→1.94 s, sf1 2.93→2.09 s);
+    # q_text_fertility (ADVICE r10 — the translate set dropped \x0b:
+    # whitespace is DEFINED by the oracle's RE2 \s, pinned by a
+    # vertical-tab doc in the null-robustness fixture);
+    # q_udtf_explode (same class — bare str.split() splits on Unicode
+    # whitespace; now the explicit RE2 class);
+    # q_tpch_q7/q8/q9, q_graph_modularity, q_graph_hits (VERDICT r10
+    # #1 — their shared broadcast_if_small gate is now directory-safe:
+    # os.path.getsize on a dir returns the inode size, so a multi-file
+    # <table>.parquet/ layout force-broadcast a fact; the gate now
+    # sums member files with an early exit).
+    "q_events_rfm", "q_customer_migration", "q_text_fertility",
+    "q_udtf_explode", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_graph_modularity", "q_graph_hits",
+    # (b) the ADVICE-r10 whitespace unification (every Spark split /
+    # pandas tokenizer moved from java/python \s to the explicit RE2
+    # class — value-identical on the fixture, code changed, so the
+    # green rows renew) and the split-recovery gating (all 35
+    # unconditional repartition(defaultParallelism) exchanges now come
+    # off by construction at natural-split layouts via
+    # tables.split_recovery — fixture plans identical, gated): the
+    # touched text / dedup / pipeline / similarity families re-attest.
+    "q_text_tokens", "q_text_bpe", "q_text_quality", "q_text_tfidf",
+    "q_text_keywords", "q_text_surprisal", "q_text_kl_drift",
+    "q_text_zipf", "q_text_ngram_top", "q_text_bigram_lm",
+    "q_text_collocations", "q_text_lexical_diversity", "q_text_bm25",
+    "q_text_normalize", "q_text_novelty", "q_text_readability",
+    "q_text_hashvec", "q_text_langid", "q_text_fingerprint",
+    "q_text_contamination", "q_text_scrub", "q_text_repetition",
+    "q_text_chunker", "q_text_template_detection",
+    "q_dedup_near", "q_dedup_exact", "q_dedup_simhash",
+    "q_dedup_chunks", "q_dedup_incremental", "q_dedup_jaccard",
+    "q_dedup_cluster",
+    "q_pipeline_funnel", "q_quality_cut", "q_quality_classifier",
+    "q_sim_topk", "q_sim_range", "q_sim_lsh", "q_sim_ivf",
+    "q_embed_dim_stats", "q_knn_classify",
+    "q_fn_array_hof",
+    # --- ROUND-10 WINDOW (rotates through as re-attests) —
+    # measurement-hygiene round.
     # Ledger state entering round 10: r1∪…∪r9 covers all 295
     # registered queries, 290 hash-green + 5 rows-only by contract,
     # zero failures.
