@@ -154,9 +154,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # second distinct with ONE |user-days| window pass, volume now
     # independent of window length; A/B 0.84 vs 0.83 s — wall tie,
     # 7× less shuffle)
-    "q_tpch_q21", "q_agg_hll_merge", "q_pipeline_funnel",
-    "q_text_fertility", "q_events_rolling_wau",
-    "q_graph_modularity", "q_graph_hits",
+    "q_tpch_q21", "q_agg_hll_merge",
+    "q_events_rolling_wau",
     # --- ROUND-9 WINDOW (rotates through) — hardening round: every query
     # whose code changed after a prior green row leads the window
     # (the attestation invariant, VERDICT r8 #7). Ledger state
@@ -191,8 +190,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # fact; 1.95→1.29 s A/B. q_tpch_q21 was A/B'd the same way and
     # the CURRENT shape won — its orderkey exchange reuse beats the
     # reorder; no change, floor stands.)
-    "q_tpch_q8", "q_tpch_q9", "q_tpch_q7", "q_lead_time",
-    "q_quality_cut", "q_embed_sim_hist", "q_embed_pca_power",
+    "q_lead_time",
+    "q_embed_sim_hist", "q_embed_pca_power",
     # --- ROUND-8 WINDOW (rotates through as re-attests) — the round-8
     # modified set (VERDICT r7 #2/#3: every query whose code changed
     # after a green row leads the next window), then the r7 window
@@ -225,7 +224,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # 1.06 s sf1 warm); q_text_chunker (r8 second wave — the
     # text.py:553 split-recovery repartition it never had: 2.07 →
     # 1.06 s sf1 warm)
-    "q_tpch_q10", "q_tpch_q18", "q_text_chunker",
+    "q_tpch_q10", "q_tpch_q18",
     # --- ROUND-7 WINDOW (rotates through as re-attests) — the
     # whole-registry closing
     # window. Ledger arithmetic against CORRECTNESS r1∪…∪r6 (verified
@@ -263,8 +262,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_orders_aging", "q_orders_fill_rate", "q_scan_merge_schema",
     "q_feature_pit", "q_sample_bootstrap", "q_part_price_index",
     "q_embed_isotropy", "q_part_supplier_concentration",
-    "q_dq_completeness", "q_customer_migration", "q_graph_closeness",
-    "q_events_bot_detection", "q_text_template_detection",
+    "q_dq_completeness", "q_graph_closeness",
+    "q_events_bot_detection",
     "q_orders_repeat_interval", "q_embed_pair_margin",
     "q_embed_centroid_drift",
     # (c) round-7 additions (appended as they land, each verified by
@@ -278,11 +277,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the head) rotates back through in its r6 order until the window
     # is full; overflow names follow in the same order and simply sit
     # outside the first 50.
-    "q_text_bigram_lm", "q_dedup_substring",
+    "q_dedup_substring",
     "q_dq_uniqueness",
     "q_mixture_temperature",
-    "q_join_asof_tolerance", "q_knn_classify",
-    "q_embed_dim_stats", "q_multimodal_dedup", "q_quality_classifier",
+    "q_join_asof_tolerance",
+    "q_multimodal_dedup",
     "q_corpus_report", "q_mixture_epochs", "q_ts_holt",
     "q_events_window_funnel", "q_events_time_to_convert",
     "q_skyline_2d", "q_agg_hll_parity",
@@ -292,34 +291,33 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_forecast_eval",
     "q_sim_mmr", "q_embed_hard_negatives",
     "q_events_growth_accounting", "q_embed_triplets",
-    "q_sample_shuffle", "q_events_burst", "q_text_kl_drift",
-    "q_ts_holt_winters", "q_ts_mk_trend", "q_text_lexical_diversity",
+    "q_sample_shuffle", "q_events_burst",
+    "q_ts_holt_winters", "q_ts_mk_trend",
     "q_orders_backlog", "q_dq_kanon", "q_dedup_prefix",
     "q_events_dow_hour_heat", "q_supplier_hhi",
     # --- attested green in r5 and byte-identical since ---
-    "q_dq_referential", "q_text_bm25",
-    "q_graph_pagerank", "q_text_normalize",
+    "q_dq_referential",
+    "q_graph_pagerank",
     "q_sim_rrf",
     "q_scan_csv", "q_scan_orc",
     "q_graph_bfs",
     "q_ts_acf", "q_ts_cross_corr", "q_graph_degree_dist",
-    "q_graph_jaccard", "q_graph_kcore", "q_join_spatial", "q_text_zipf",
+    "q_graph_jaccard", "q_graph_kcore", "q_join_spatial",
     "q_agg_corr_matrix", "q_agg_bool", "q_fn_regex",
     "q_ts_theil_sen", "q_events_user_overlap",
-    "q_text_novelty",
     "q_events_attribution", "q_islands", "q_ts_anomaly", "q_ts_ewma",
-    "q_text_collocations", "q_agg_regr",
+    "q_agg_regr",
     "q_events_dau_mau", "q_ts_changepoint", "q_events_inter_arrival",
     "q_dq_constraints", "q_events_path_prefix",
     "q_win_rolling_median", "q_pivot", "q_agg_gini", "q_dq_benford",
-    "q_crosstab", "q_text_readability", "q_dedup_source_matrix",
+    "q_crosstab", "q_dedup_source_matrix",
     "q_events_new_returning", "q_events_freq_hist",
     "q_dq_reconcile", "q_events_retention_rolling",
     "q_graph_assortativity",
     # --- attested green in r4 and byte-identical since ---
-    "q_graph_triangles", "q_udaf_grouped", "q_dedup_near",
-    "q_dedup_cluster", "q_scan_json",
-    "q_events_rfm", "q_pareto_abc",
+    "q_graph_triangles", "q_udaf_grouped",
+    "q_scan_json",
+    "q_pareto_abc",
     "q_graph_cc", "q_sim_ivfpq", "q_ts_seasonality",
     "q_dedup_semantic", "q_dq_skew", "q_join_interval",
     "q_sample_weighted", "q_table_diff", "q_agg_mad",
@@ -337,29 +335,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_multimodal_meta", "q_join_range", "q_tpch_q5", "q_join_outer",
     "q_agg_tpch_q1", "q_tpch_q3", "q_agg_cube", "q_agg_rollup",
     "q_agg_having", "q_dq_profile", "q_join_fuzzy", "q_dq_outliers",
-    "q_text_keywords", "q_tpch_q2", "q_events_cumulative_users",
+    "q_tpch_q2", "q_events_cumulative_users",
     "q_tpch_q6", "q_tpch_q13",
     "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
     "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
     "q_fn_struct", "q_fn_bitwise", "q_fn_interval",
-    "q_events_hourly_rollup", "q_rank_global", "q_dedup_incremental",
-    "q_sim_range", "q_text_hashvec", "q_join_bucketed",
+    "q_events_hourly_rollup", "q_rank_global",
+    "q_join_bucketed",
     "q_scan_partitioned", "q_agg_mode", "q_embed_pq", "q_seq_pattern",
     "q_agg_stats", "q_fn_conditional", "q_sim_sparse", "q_agg_argmax",
-    "q_agg_listagg", "q_fn_array_hof", "q_dedup_exact",
-    "q_dedup_simhash", "q_dedup_jaccard", "q_dedup_embed", "q_sim_topk",
-    "q_sim_lsh", "q_sim_ivf", "q_text_tokens", "q_text_tfidf",
-    "q_text_bpe", "q_text_quality", "q_text_langid",
-    "q_text_fingerprint", "q_multimodal_frames", "q_udf_scalar",
-    "q_udtf_explode", "q_fn_json", "q_sample_split",
-    "q_text_contamination", "q_text_scrub", "q_text_repetition",
+    "q_agg_listagg",
+    "q_dedup_embed",
+    "q_multimodal_frames", "q_udf_scalar",
+    "q_fn_json", "q_sample_split",
     "q_sample_stratified", "q_pack_sequences", "q_agg_grouping_sets",
     "q_join_salted", "q_win_distribution",
     "q_ts_resample", "q_tpch_q4", "q_tpch_q12", "q_tpch_q14",
     "q_sample_weights", "q_embed_quantize", "q_embed_centroids",
-    "q_text_ngram_top", "q_sample_lengths",
-    "q_funnel", "q_cohort_retention", "q_text_surprisal", "q_unpivot",
-    "q_agg_salted", "q_dedup_chunks", "q_sample_exact_k",
+    "q_sample_lengths",
+    "q_funnel", "q_cohort_retention", "q_unpivot",
+    "q_agg_salted", "q_sample_exact_k",
     "q_scan_events", "q_filter_type", "q_count_where", "q_anti_filter",
     "q_ttl_filter", "q_state_open", "q_metric_total",
     "q_metric_last_ts", "q_win_rank", "q_win_frame", "q_win_tumbling",
