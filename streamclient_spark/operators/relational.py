@@ -8258,17 +8258,20 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one map-combined lineitem aggregate to the supplier spine
     (the only corpus-sized work; distinct-part counts combine
     map-side), then ONE range-partitioned ranking of the tagged
-    3×|suppliers| metric union. Because every tag slice is the spine
+    3×|suppliers| metric stack — built by ``explode(array(struct))``,
+    a projection, so the spine is read ONCE (the r6 shape union'd
+    three selects of it). Because every tag slice is the spine
     row-for-row, the per-metric rebase is pure arithmetic — ``r_metric
-    = grk − tag·|spine|`` with a 1-row broadcast of |spine| — no
-    per-tag bounds aggregate or rebase join at all, and the 50/30/20
-    blend folds into ONE weighted-sum aggregate on suppkey instead of
-    a three-column pivot. One spine join, two broadcast dimension
-    joins, one TakeOrdered cut. The prior shape ran ranked_by_range
-    THREE times (each a range shuffle + offset count + broadcast
-    join) and re-attached each rank with its own spine join: 4.5 s
-    warm min-of-3 at sf1; the single-ranking + arithmetic-rebase
-    fusion measures 1.0 s on the same box."""
+    = grk − tag·|spine|`` with a 1-row broadcast of |spine| — and the
+    metric VALUES ride the stack through the rank pass, so one
+    suppkey hash-aggregate pivots score AND the three metrics back to
+    one row per supplier with no join back to the spine at all (the
+    r11 stacked-pivot device, shared with q_events_rfm /
+    q_customer_migration). Two broadcast dimension joins, one
+    TakeOrdered cut. History: three ranked_by_range passes + three
+    spine joins 4.5 s sf1 (r6) → tagged-union single ranking + spine
+    join-back 2.7 s (r7) → explode-stack + value-carrying pivot
+    A/B r11 sf0.1 2.80→2.23 s, sf1 2.69→2.54 s, identical rows."""
     from streamclient_spark.scale import ranked_by_range
 
     li = load(spark, sf_dir, "lineitem")
@@ -8283,36 +8286,55 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("l_quantity") * 100).cast("bigint")
             ).alias("qty_cents"),
         )
-        .localCheckpoint(eager=False)  # 3 metric slices + final join
+        .localCheckpoint(eager=False)  # stacked read + |spine| scalar
     )
-    slices = None
-    for tag, col in enumerate(("revenue_cents", "n_parts", "qty_cents")):
-        sl = m.select(
-            F.lit(tag).alias("tag"),
-            F.col(col).cast("bigint").alias("v"),
-            "suppkey",
-        )
-        slices = sl if slices is None else slices.unionAll(sl)
+    stacked = m.select(
+        "suppkey",
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(t).cast("long").alias("tag"),
+                        F.col(c).cast("bigint").alias("v"),
+                    )
+                    for t, c in enumerate(
+                        ("revenue_cents", "n_parts", "qty_cents")
+                    )
+                )
+            )
+        ).alias("s"),
+    ).select("suppkey", "s.tag", "s.v")
     ranked = ranked_by_range(
-        slices, ["tag", F.desc("v"), F.asc("suppkey")], rank_col="grk"
+        stacked, ["tag", F.desc("v"), F.asc("suppkey")], rank_col="grk"
     )
     n1 = m.select(F.count(F.lit(1)).alias("__n"))  # 1-row scalar
-    scores = (
+    agg = (
         ranked.crossJoin(F.broadcast(n1))
-        .select(
-            "suppkey",
+        .groupBy("suppkey")
+        .agg(
             # grk is 1-based over (tag, v desc, suppkey); slice sizes
             # are all exactly |spine|, so tag t's within-metric
             # row_number is grk − t·|spine|.
-            F.when(F.col("tag") == 0, 50 * F.col("grk"))
-            .when(F.col("tag") == 1, 30 * (F.col("grk") - F.col("__n")))
-            .otherwise(20 * (F.col("grk") - 2 * F.col("__n")))
-            .alias("c"),
+            F.sum(
+                F.when(F.col("tag") == 0, 50 * F.col("grk"))
+                .when(
+                    F.col("tag") == 1, 30 * (F.col("grk") - F.col("__n"))
+                )
+                .otherwise(20 * (F.col("grk") - 2 * F.col("__n")))
+            )
+            .cast("long")
+            .alias("score_points"),
+            F.max(F.when(F.col("tag") == 0, F.col("v")))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.max(F.when(F.col("tag") == 1, F.col("v")))
+            .cast("long")
+            .alias("n_parts"),
+            F.max(F.when(F.col("tag") == 2, F.col("v")))
+            .cast("long")
+            .alias("qty_cents"),
         )
-        .groupBy("suppkey")
-        .agg(F.sum("c").cast("long").alias("score_points"))
     )
-    ranked = m.join(scores, "suppkey")
     s = load(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("suppkey"),
         F.col("s_name").alias("supplier"),
@@ -8323,15 +8345,15 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
     )
     return (
-        ranked.join(F.broadcast(s), "suppkey")
+        agg.join(F.broadcast(s), "suppkey")
         .join(F.broadcast(n), "s_nationkey")
         .select(
             F.col("suppkey").alias("supp_key"),
             "supplier",
             "nation",
-            F.col("revenue_cents").cast("long").alias("revenue_cents"),
-            F.col("n_parts").cast("long").alias("n_parts"),
-            F.col("qty_cents").cast("long").alias("qty_cents"),
+            "revenue_cents",
+            "n_parts",
+            "qty_cents",
             "score_points",
         )
         .orderBy(F.asc("score_points"), F.asc("supp_key"))

@@ -83,7 +83,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # os.path.getsize on a dir returns the inode size, so a multi-file
     # <table>.parquet/ layout force-broadcast a fact; the gate now
     # sums member files with an early exit).
-    "q_events_rfm", "q_customer_migration", "q_text_fertility",
+    "q_events_rfm", "q_customer_migration", "q_supplier_scorecard",
+    "q_text_fertility",
     "q_udtf_explode", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
     "q_graph_modularity", "q_graph_hits",
     # (b) the ADVICE-r10 whitespace unification (every Spark split /
@@ -108,6 +109,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pipeline_funnel", "q_quality_cut", "q_quality_classifier",
     "q_sim_topk", "q_sim_range", "q_sim_lsh", "q_sim_ivf",
     "q_embed_dim_stats", "q_knn_classify",
+    # (sits just past the 50-slot window boundary)
     "q_fn_array_hof",
     # --- ROUND-10 WINDOW (rotates through as re-attests) —
     # measurement-hygiene round.
@@ -252,7 +254,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # from the checkpointed parts spine instead of a second lineitem
     # scan: 2.26-2.82 s / 2.36-2.61× quiet band, bar ≤2.5× met at the
     # band midpoint)
-    "q_dq_fd_audit", "q_supplier_scorecard", "q_part_abc_xyz",
+    "q_dq_fd_audit", "q_part_abc_xyz",
     # (b) never-attested: the 3 round-6 sliders, then the 13 round-6
     # additions in their landing order (q_customer_migration,
     # q_dq_completeness, q_orders_repeat_interval additionally carry
