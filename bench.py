@@ -108,6 +108,25 @@ def prior_per_query(repo_dir: str, sf: float) -> tuple[dict, dict, str]:
         if qs:
             merged.update(qs)
             newest, newest_name = qs, os.path.basename(path)
+    # the committed sidecar from the most recent bench run carries the
+    # FULL registry map (the printed line holds only the 50-query
+    # window under the driver's 2000-byte tail budget) — freshest
+    # baseline, latest-wins over the window-only artifact maps
+    try:
+        with open(
+            os.path.join(repo_dir, "tools", "bench_last_detail.json")
+        ) as f:
+            det = json.load(f)
+        if abs(float(det.get("sf", -1)) - sf) < 1e-9:
+            qs = {
+                str(k): float(v)
+                for k, v in (det.get("queries_all") or {}).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+            if qs:
+                merged.update(qs)
+    except Exception:
+        pass
     return merged, newest, newest_name
 
 
@@ -241,23 +260,20 @@ def main() -> None:
         > 2 * SPARK_PROBE_REF_S,
         "warmup_policy": "none+min2_over_1.5s+selfcheck_1.5x_prior",
         "n_rerun": len(reruns),
-        "rerun_in_window": sorted(
-            n for n in reruns if n in set(list(specs)[:50])
-        ),
-        # self-check provenance: which committed artifact supplied the
-        # per-query baselines, and which queries it re-raced
-        "selfcheck_rerun": sorted(selfcheck_reruns),
         # cross-round drift arbiter (VERDICT r10 #6): median of
         # this-run/prior-committed over the newest same-sf artifact's
         # window — uniform session drift (which the 2× probe canary
         # cannot see) is machine-readable here; ~1.0 on a quiet box
         "cross_round_ref": prior_ref or None,
         "cross_round_median_ratio": _median_ratio(timings, prior_newest),
-        "spark_probe_ref_provenance": os.environ.get(
-            "SPARK_GRAFT_PROBE_REF_S",
-            "pinned: round-driver box quiet min-of-3 (r10); override "
-            "SPARK_GRAFT_PROBE_REF_S off-box",
-        ),
+        # full per-query map + rerun/self-check name lists + probe-ref
+        # provenance live in the committed sidecar: the driver's tail
+        # capture keeps only the LAST 2000 bytes of output (measured —
+        # BENCH_r10.json shipped head-truncated, its opening
+        # '{"metric' cut), so the printed line stays under that budget
+        # and everything bigger goes to the file the round commit
+        # carries.
+        "detail": "tools/bench_last_detail.json",
     }
     # Last measured sf1 Spark-vs-DuckDB ratio (tools/bench_ratio.py
     # writes this file); embedded so the round artifact carries it.
@@ -269,7 +285,47 @@ def main() -> None:
                 payload["sf1_ratio"] = json.load(f)
         except Exception:
             pass
-    print(json.dumps(payload, separators=(",", ":")))
+    detail = dict(payload)
+    detail.update(
+        {
+            "queries_all": timings,
+            "rerun": sorted(reruns),
+            "rerun_in_window": sorted(
+                n for n in reruns if n in set(window)
+            ),
+            "selfcheck_rerun": sorted(selfcheck_reruns),
+            "spark_probe_ref_provenance": os.environ.get(
+                "SPARK_GRAFT_PROBE_REF_S",
+                "pinned: round-driver box quiet min-of-3 (r10); "
+                "override SPARK_GRAFT_PROBE_REF_S off-box",
+            ),
+        }
+    )
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tools",
+            "bench_last_detail.json",
+        )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the printed line still stands alone
+    # Fit the line to the driver's 2000-byte tail budget: trim the
+    # inline per-query map from the BACK of the window (the head of
+    # the window is this round's evidentiary lead and stays inline;
+    # every trimmed entry still ships in the sidecar), keeping
+    # tail_total_sec = value − sum(inline) consistent throughout.
+    line = json.dumps(payload, separators=(",", ":"))
+    names_in = list(payload["queries"])
+    while len(line) > 1900 and names_in:
+        payload["queries"].pop(names_in.pop())
+        payload["tail_total_sec"] = round(
+            total - sum(payload["queries"].values()), 3
+        )
+        payload["n_inline"] = len(names_in)
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
