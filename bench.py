@@ -223,6 +223,17 @@ def main() -> None:
             if best > 1.5 and max(t1, t2) > 1.33 * best:
                 best = min(best, run_once(name))
             t1 = best
+            # the floor path used to SKIP the prior comparison, so a
+            # query whose escalated min was still far above its
+            # committed history (a contended session: the first r11
+            # run read q_text_chunker at 4.7 s vs 0.42 committed,
+            # stable across the min-of-2, started too close to a
+            # 15-min pytest JVM teardown) sailed through unmarked —
+            # one more race plus membership in selfcheck_rerun makes
+            # the excursion machine-visible either way
+            if p is not None and t1 > 1.5 * p and t1 > p + 0.15:
+                selfcheck_reruns.append(name)
+                t1 = min(t1, run_once(name))
         elif p is not None and t1 > 1.5 * p and t1 > p + 0.15:
             # the absolute guard keeps tens-of-ms jitter on fast
             # queries from tripping the ratio (first run: 44 of 50
@@ -260,6 +271,17 @@ def main() -> None:
         > 2 * SPARK_PROBE_REF_S,
         "warmup_policy": "none+min2_over_1.5s+selfcheck_1.5x_prior",
         "n_rerun": len(reruns),
+        # readings that FINISHED above 1.5× their committed prior
+        # (+150 ms) even after every rerun: >0 means this artifact
+        # carries values a quiet box has beaten before — re-race
+        # before believing a regression (names in the sidecar)
+        "n_over_prior": sum(
+            1
+            for n, t in timings.items()
+            if n in prior_all
+            and t > 1.5 * prior_all[n]
+            and t > prior_all[n] + 0.15
+        ),
         # cross-round drift arbiter (VERDICT r10 #6): median of
         # this-run/prior-committed over the newest same-sf artifact's
         # window — uniform session drift (which the 2× probe canary
@@ -289,6 +311,13 @@ def main() -> None:
     detail.update(
         {
             "queries_all": timings,
+            "over_prior": sorted(
+                n
+                for n, t in timings.items()
+                if n in prior_all
+                and t > 1.5 * prior_all[n]
+                and t > prior_all[n] + 0.15
+            ),
             "rerun": sorted(reruns),
             "rerun_in_window": sorted(
                 n for n in reruns if n in set(window)
