@@ -8672,12 +8672,14 @@ def q_part_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     # floor(days/7) is monotone, so the corpus week span is exactly
-    # the min/max of the per-part week extrema — a |parts|-row
-    # aggregate off the checkpointed spine, zero fact work
-    span = pp.agg(
-        (F.max("maxwk") - F.min("minwk") + 1).alias("n_weeks")
+    # the min/max of the per-part week extrema — and it rides the SAME
+    # 1-row aggregate as the revenue total (r11: two separate
+    # broadcast-build jobs, each a full |parts| pass over the
+    # checkpoint, fused into one — A/B in tools/ab_abcxyz.py)
+    consts = pp.agg(
+        (F.max("maxwk") - F.min("minwk") + 1).alias("n_weeks"),
+        F.sum("revenue").alias("total"),
     )
-    tot = pp.agg(F.sum("revenue").alias("total"))
     cum = running_sum_by_range(
         pp,
         [F.desc("revenue"), F.asc("partkey")],
@@ -8686,8 +8688,7 @@ def q_part_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n_weeks") * F.col("sxx") - F.col("sx") * F.col("sx")
     classed = (
-        cum.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(span))
+        cum.crossJoin(F.broadcast(consts))
         .select(
             "revenue",
             "total",
@@ -9705,44 +9706,43 @@ def q_dq_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused-audit tagged-union trick is WRONG here because nothing
     needs row-level grouping), and the per-table rows explode to
     (column, metrics) long form driver-free. |columns| output rows
-    at any corpus size."""
+    at any corpus size.
+
+    r11 (guide §7.3 — driver-side planning as the wall): the plan is
+    UNCHANGED but is now built as ONE ``spark.sql`` string instead of
+    ~250 Py4J ``Column`` constructions chained through ten
+    ``unionAll``s. Measured at sf0.1: builder 2.5-2.7 s → ~0.15 s
+    (plus one-off view registration, itself memoized per session in
+    sqlapi.register_views); execution unchanged (~0.5-0.9 s), results
+    byte-identical. The fused tagged-union A/B (tools/
+    ab_completeness.py) was also run and wins only ~8% of execution —
+    the real cost was never the execution shape, it was plan
+    construction; the SQL form fixes that without changing the plan."""
+    from streamclient_spark.sqlapi import register_views
+
+    register_views(spark, sf_dir)
     parts = []
     for t, cols in _COMPLETENESS_COLS.items():
-        src = load(spark, sf_dir, t)
-        agg = src.agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                # coalesce matches the oracle's coalesce(SUM(...), 0):
-                # on an EMPTY table SUM is NULL but the report should
-                # say 0 nulls, not NULL.
-                F.coalesce(
-                    F.sum(F.col(c).isNull().cast("long")), F.lit(0)
-                ).alias(f"z{i}")
-                for i, c in enumerate(cols)
-            ],
+        # coalesce matches the oracle's coalesce(SUM(...), 0): on an
+        # EMPTY table SUM is NULL but the report should say 0 nulls.
+        aggs = ", ".join(
+            f"coalesce(sum(cast({c} is null as bigint)), 0) AS z{i}"
+            for i, c in enumerate(cols)
         )
-        reps = F.array(
-            *[
-                F.struct(
-                    F.lit(f"{t}.{c}").alias("column_name"),
-                    F.col("n").cast("long").alias("n_rows"),
-                    F.col(f"z{i}").cast("long").alias("n_null"),
-                )
-                for i, c in enumerate(cols)
-            ]
+        structs = ", ".join(
+            f"named_struct('column_name', '{t}.{c}', "
+            f"'n_rows', cast(n as bigint), 'n_null', cast(z{i} as bigint))"
+            for i, c in enumerate(cols)
         )
         parts.append(
-            agg.select(F.explode(reps).alias("r")).select(
-                "r.column_name", "r.n_rows", "r.n_null"
-            )
+            f"SELECT inline(array({structs})) "
+            f"FROM (SELECT count(1) AS n, {aggs} FROM {t})"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.withColumn(
-        "null_permille",
-        F.expr("CASE WHEN n_rows = 0 THEN 0 "
-               "ELSE n_null * 1000 div n_rows END").cast("long"),
+    return spark.sql(
+        "SELECT column_name, n_rows, n_null, "
+        "cast(CASE WHEN n_rows = 0 THEN 0 "
+        "ELSE n_null * 1000 div n_rows END AS bigint) AS null_permille "
+        "FROM (" + " UNION ALL ".join(parts) + ")"
     )
 
 

@@ -120,8 +120,10 @@ def test_unconditional_broadcast_hint_census_is_pinned():
         "functions/text.py": 6,
         "operators/reference.py": 2,
         # 52 → 51 in r10: the rolling-WAU interval-delta rewrite
-        # deleted its win×broadcast(mx) filter site
-        "operators/relational.py": 51,
+        # deleted its win×broadcast(mx) filter site; 51 → 50 in r11:
+        # q_part_abc_xyz fused its span+total broadcasts into one
+        # consts aggregate (one crossJoin×broadcast site deleted)
+        "operators/relational.py": 50,
         "operators/window.py": 14,
         "scale.py": 3,
         "streaming/joins.py": 1,
