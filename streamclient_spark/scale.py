@@ -400,6 +400,13 @@ def connected_components_star(
     aggregate per round; a checksum collision (~2⁻⁶⁴) could only end
     the loop one round early on an unconverged-but-colliding state.
 
+    r11: the per-round checkpoint is LAZY and is materialized by the
+    checksum aggregate itself — the checksum touches every partition,
+    so the blocks are stored exactly as the eager form stored them,
+    but each round launches ONE job instead of two (measured on
+    q_graph_cc: 62 → 57 jobs end-to-end, labels identical;
+    tools/ab_starcc.py).
+
     Returns ``(labels, rounds)``: labels is ``(node, label)`` with
     label = the component's minimum node id (roots label themselves).
     """
@@ -410,7 +417,7 @@ def connected_components_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the checksum
     )
 
     def checksum(df: DataFrame):
@@ -448,7 +455,7 @@ def connected_components_star(
                 )
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by the checksum
         )
         new_sig = checksum(e)
         if new_sig == sig:
@@ -830,7 +837,9 @@ def kcore(
     ).unionAll(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
-    e = sym.distinct().localCheckpoint()
+    # lazy checkpoints, materialized by the checksum aggregate (the
+    # star-CC r11 device: one job per round instead of two)
+    e = sym.distinct().localCheckpoint(eager=False)
 
     def checksum(df: DataFrame):
         row = df.agg(
@@ -852,7 +861,7 @@ def kcore(
         e = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sig = checksum(e)
         if new_sig == sig:
