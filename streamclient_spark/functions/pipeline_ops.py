@@ -1523,43 +1523,35 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_BOOT_B} accumulator pairs in-register — no row explosion, no
     shuffle beyond {_BOOT_B} pairs of longs per task), then a 1-row
     explode to long form. At 100 TB the entire exchange is
-    |tasks| × {_BOOT_B} × 16 bytes."""
-    mask = F.conv(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    m = load(spark, sf_dir, "orders").select(
-        mask.alias("mask"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("pc"),
+    |tasks| × {_BOOT_B} × 16 bytes.
+
+    r11 (the q_dq_completeness lesson, guide §7.3): the 64 aggregate
+    expressions + 32 result structs cost ~2.5 s of driver-side Py4J
+    plan construction — more than the query executes in. The SAME
+    plan as one ``spark.sql`` string parses JVM-side in ~0.1 s;
+    execution and results unchanged (oracle-verified)."""
+    from streamclient_spark.sqlapi import register_views
+
+    register_views(spark, sf_dir)
+    aggs = ", ".join(
+        f"sum(shiftright(mask, {b}) & 1) AS n{b}, "
+        f"sum((shiftright(mask, {b}) & 1) * pc) AS s{b}"
+        for b in range(_BOOT_B)
     )
-    aggs = []
-    for b in range(_BOOT_B):
-        bit = F.expr(f"shiftright(mask, {b}) & 1")
-        aggs.append(F.sum(bit).alias(f"n{b}"))
-        aggs.append(F.sum(bit * F.col("pc")).alias(f"s{b}"))
-    one = m.agg(*aggs)
-    reps = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("replicate"),
-                F.col(f"n{b}").cast("long").alias("n_rows"),
-                F.col(f"s{b}").cast("long").alias("sum_cents"),
-            )
-            for b in range(_BOOT_B)
-        ]
+    structs = ", ".join(
+        f"named_struct('replicate', cast({b} as bigint), "
+        f"'n_rows', cast(n{b} as bigint), "
+        f"'sum_cents', cast(s{b} as bigint))"
+        for b in range(_BOOT_B)
     )
-    return (
-        one.select(F.explode(reps).alias("t"))
-        .select("t.replicate", "t.n_rows", "t.sum_cents")
-        .withColumn(
-            "mean_price",
-            F.round(
-                F.col("sum_cents").cast("double")
-                / (F.col("n_rows") * 100),
-                6,
-            ),
-        )
+    return spark.sql(
+        "SELECT replicate, n_rows, sum_cents, "
+        "round(cast(sum_cents as double) / (n_rows * 100), 6) AS mean_price "
+        f"FROM (SELECT inline(array({structs})) FROM ("
+        f"SELECT {aggs} FROM ("
+        "SELECT cast(conv(substring(md5(cast(o_orderkey as string)), 1, 8),"
+        " 16, 10) as long) AS mask, "
+        "cast(round(o_totalprice * 100) as bigint) AS pc FROM orders)))"
     )
 
 
