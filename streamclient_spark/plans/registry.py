@@ -61,11 +61,31 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Bui
 # first 50 registry entries in insertion order. Rotated every round — see the
 # segment comments inside the tuple.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- ROUND-11 WINDOW (first 50) — hardening round. Ledger state
-    # entering round 11: r1∪…∪r10 covers all 295 registered queries,
-    # 290 hash-green + 5 rows-only by contract, zero failures.
+    # --- ROUND-11 WINDOW (first 50) — hardening + optimization round.
+    # Ledger state entering round 11: r1∪…∪r10 covers all 295
+    # registered queries, 290 hash-green + 5 rows-only by contract,
+    # zero failures.
     #
-    # (a) modified in round 11 after a prior green row:
+    # (a0) modified in the round-11 OPTIMIZATION phase (lead the
+    # window — the attestation invariant, VERDICT r10 #7):
+    # q_dq_completeness / q_sample_bootstrap (builders re-expressed as
+    # ONE spark.sql string each — ~2.5 s of Py4J plan construction
+    # deleted per query, execution plans and results unchanged,
+    # oracle-verified ×3 SFs; OPTIMIZATION_r11.md);
+    # q_part_abc_xyz (span+total fused into one broadcast aggregate —
+    # one |parts| pass and one broadcast deleted; A/B tools/
+    # ab_abcxyz.py);
+    # q_graph_cc / q_graph_kcore / q_dedup_cluster / q_dedup_canonical
+    # / q_dedup_semantic (the star-CC and kcore kernels now materialize
+    # their per-round checkpoint via the convergence checksum — one job
+    # per round instead of two, fixpoint and labels identical; A/B
+    # tools/ab_starcc.py);
+    # q_join_lateral (rides the memoized sqlapi.register_views — code
+    # path changed, results unchanged).
+    "q_dq_completeness", "q_sample_bootstrap", "q_part_abc_xyz",
+    "q_graph_cc", "q_graph_kcore", "q_dedup_cluster",
+    "q_dedup_canonical", "q_dedup_semantic", "q_join_lateral",
+    # (a) modified in the round-11 build phase after a prior green row:
     # q_events_rfm (VERDICT r10 #4 — three ranked_by_range passes +
     # three user_id joins fused into ONE stacked-axis rank pass with
     # per-axis rebase grk−axis·N and a hash-pivot; A/B sf0.1
@@ -105,11 +125,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_chunker", "q_text_template_detection",
     "q_dedup_near", "q_dedup_exact", "q_dedup_simhash",
     "q_dedup_chunks", "q_dedup_incremental", "q_dedup_jaccard",
-    "q_dedup_cluster",
-    "q_pipeline_funnel", "q_quality_cut", "q_quality_classifier",
+    "q_pipeline_funnel",
+    # (the 50-slot boundary falls here: the optimization-phase set
+    # above displaced the tail of the whitespace-class re-attestations
+    # — q_quality_cut .. q_knn_classify carry the same shared-helper
+    # change as the in-window text family and re-attest next round)
+    "q_quality_cut", "q_quality_classifier",
     "q_sim_topk", "q_sim_range", "q_sim_lsh", "q_sim_ivf",
     "q_embed_dim_stats", "q_knn_classify",
-    # (sits just past the 50-slot window boundary)
     "q_fn_array_hof",
     # --- ROUND-10 WINDOW (rotates through as re-attests) —
     # measurement-hygiene round.
@@ -254,7 +277,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # from the checkpointed parts spine instead of a second lineitem
     # scan: 2.26-2.82 s / 2.36-2.61× quiet band, bar ≤2.5× met at the
     # band midpoint)
-    "q_dq_fd_audit", "q_part_abc_xyz",
+    "q_dq_fd_audit",
     # (b) never-attested: the 3 round-6 sliders, then the 13 round-6
     # additions in their landing order (q_customer_migration,
     # q_dq_completeness, q_orders_repeat_interval additionally carry
@@ -262,9 +285,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # coalesce, checkpoint reuse — making their first attestation
     # also their freshest code)
     "q_orders_aging", "q_orders_fill_rate", "q_scan_merge_schema",
-    "q_feature_pit", "q_sample_bootstrap", "q_part_price_index",
+    "q_feature_pit", "q_part_price_index",
     "q_embed_isotropy", "q_part_supplier_concentration",
-    "q_dq_completeness", "q_graph_closeness",
+    "q_graph_closeness",
     "q_events_bot_detection",
     "q_orders_repeat_interval", "q_embed_pair_margin",
     "q_embed_centroid_drift",
@@ -304,7 +327,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_scan_csv", "q_scan_orc",
     "q_graph_bfs",
     "q_ts_acf", "q_ts_cross_corr", "q_graph_degree_dist",
-    "q_graph_jaccard", "q_graph_kcore", "q_join_spatial",
+    "q_graph_jaccard", "q_join_spatial",
     "q_agg_corr_matrix", "q_agg_bool", "q_fn_regex",
     "q_ts_theil_sen", "q_events_user_overlap",
     "q_events_attribution", "q_islands", "q_ts_anomaly", "q_ts_ewma",
@@ -320,14 +343,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_graph_triangles", "q_udaf_grouped",
     "q_scan_json",
     "q_pareto_abc",
-    "q_graph_cc", "q_sim_ivfpq", "q_ts_seasonality",
-    "q_dedup_semantic", "q_dq_skew", "q_join_interval",
+    "q_sim_ivfpq", "q_ts_seasonality",
+    "q_dq_skew", "q_join_interval",
     "q_sample_weighted", "q_table_diff", "q_agg_mad",
     "q_knn_graph", "q_win_range_time", "q_fn_url", "q_dq_entropy",
-    "q_win_ignore_nulls", "q_agg_histogram", "q_join_lateral",
+    "q_win_ignore_nulls", "q_agg_histogram",
     "q_agg_bitmap", "q_fn_binary", "q_table_merge",
     "q_agg_percentile_disc", "q_rollup_grid", "q_fn_timezone",
-    "q_bucketize", "q_dedup_canonical", "q_mixture_report",
+    "q_bucketize", "q_mixture_report",
     "q_fn_variant", "q_ts_wow", "q_scan_text", "q_sim_matryoshka",
     "q_agg_moments34", "q_udf_arrow", "q_join_null_aware",
     "q_events_markov", "q_agg_weighted", "q_dq_freshness",
