@@ -206,6 +206,40 @@ def _natural_splits(path: str, need: int, max_partition_bytes: int) -> int:
     return total
 
 
+#: parquet schema memo keyed on FILE IDENTITY (path, mtime_ns, size):
+#: ``spark.read.parquet`` pays a ~100-130 ms driver-side schema
+#: inference (footer fetch through Py4J) on EVERY call, and the bench
+#: makes ~2 load() calls per query × 295 queries — ~60 s of pure
+#: repeated inference per full run (guide §7.3, the round-11
+#: build-time profile). Passing the remembered schema back via
+#: ``spark.read.schema(...)`` skips inference and returns a FRESH
+#: DataFrame (new expression IDs — self-joins of two load() results
+#: stay unambiguous, unlike memoizing the DataFrame object itself).
+#: The schema of a parquet file is a pure function of its bytes, so a
+#: key that pins the file's identity cannot serve a stale schema
+#: (ADVICE r4: a memo keyed on sf_dir alone survived fixture refresh);
+#: a regenerated fixture changes mtime/size → new key → re-inference.
+#: Directory-layout tables fall back to plain inference — fail-safe,
+#: the broadcast_if_small posture.
+_SCHEMA_MEMO: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        if not os.path.isfile(path):
+            return spark.read.parquet(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (columnar parquet scan;
     Catalyst handles column pruning + predicate pushdown).
@@ -226,7 +260,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
             # driver fixture: TIMESTAMP(NANOS) surfaced as raw nanos
@@ -236,7 +270,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # regenerated fixtures (tools/make_bigsf.py) may carry a
         # timestamp type Spark reads natively; normalize NTZ → UTC
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
