@@ -421,6 +421,11 @@ def connected_components_star(
     )
 
     def checksum(df: DataFrame):
+        # This aggregate DOUBLES as the lazy checkpoint's materializer
+        # (the one-job-per-round device, r11): it must stay a GLOBAL
+        # aggregate that touches every partition — a partition-skipping
+        # probe (isEmpty/take) would silently reintroduce the second
+        # materialization job without breaking results (ADVICE r11).
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal(38,0) sum: a long sum of 64-bit hashes overflows
@@ -842,6 +847,9 @@ def kcore(
     e = sym.distinct().localCheckpoint(eager=False)
 
     def checksum(df: DataFrame):
+        # Doubles as the lazy checkpoint's materializer — must stay a
+        # global aggregate over every partition (see the star-CC
+        # checksum note; ADVICE r11).
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),

@@ -17,9 +17,30 @@ surface is identical either way.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from streamclient_spark.tables import TABLES, load
+
+
+def _views_tag(sf_dir: str) -> tuple:
+    """Identity of the fixture set behind ``sf_dir``: the dir plus
+    every table file's (mtime_ns, size) — the `_SCHEMA_MEMO` key
+    class. Folding file identity into the memo tag (ADVICE r11) makes
+    in-place fixture regeneration (tools/make_bigsf.py over the same
+    path) re-register the views instead of serving DataFrames whose
+    file listings were pinned at first registration. Stat failures
+    tag as None — registration then re-runs whenever the file is
+    missing, the fail-safe direction."""
+    tag = [sf_dir]
+    for name in TABLES:
+        try:
+            st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+            tag.append((st.st_mtime_ns, st.st_size))
+        except OSError:
+            tag.append(None)
+    return tuple(tag)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -27,18 +48,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     as in TESTDATA.md (``region`` ... ``embeddings``), mirroring the
     DuckDB oracle harness's pre-registered views.
 
-    Re-registering the same ``sf_dir`` into the same session is a
-    no-op: the views are lazy path-based scans (pure metadata — no
-    data is cached, a re-read always reflects the files on disk), but
-    *building* them costs ten ``spark.read.parquet`` footer reads plus
-    Py4J round-trips (~0.8 s measured at any sf — pure driver-side
-    overhead, guide §7.3 class). The tag lives on the session object,
-    so a new session or a different fixture dir always re-registers."""
-    if getattr(spark, "_streamclient_views_for", None) == sf_dir:
+    Re-registering the same fixture set into the same session is a
+    no-op: the views are lazy path-based scans (no data is cached),
+    but *building* them costs ten ``spark.read.parquet`` footer reads
+    plus Py4J round-trips (~0.8 s measured at any sf — pure
+    driver-side overhead, guide §7.3 class). The memo tag pins the
+    table files' identity, not just the path (ADVICE r11), so a
+    regenerated fixture dir re-registers; a new session or a
+    different fixture dir always re-registers."""
+    tag = _views_tag(sf_dir)
+    if getattr(spark, "_streamclient_views_for", None) == tag:
         return
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
-    spark._streamclient_views_for = sf_dir
+    spark._streamclient_views_for = tag
 
 
 def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

@@ -225,9 +225,13 @@ _SCHEMA_MEMO: dict = {}
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    import stat as _stat
+
     try:
         st = os.stat(path)
-        if not os.path.isfile(path):
+        if not _stat.S_ISREG(st.st_mode):
+            # directory layout (or special file): plain inference —
+            # one stat total, not stat+isfile (ADVICE r11)
             return spark.read.parquet(path)
         key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
