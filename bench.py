@@ -48,7 +48,9 @@ HEADLINE = [
 SPARK_PROBE_REF_S = float(os.environ.get("SPARK_GRAFT_PROBE_REF_S", "0.25"))
 
 
-def prior_per_query(repo_dir: str, sf: float) -> tuple[dict, dict, str]:
+def prior_per_query(
+    repo_dir: str, sf: float, cpus: int | None = None
+) -> tuple[dict, dict, str]:
     """Committed per-query history from BENCH_r*.json artifacts at the
     same sf (VERDICT r10 #2/#6). Returns (latest-wins map over ALL
     artifacts — the self-check baseline, every query has a committed
@@ -56,7 +58,9 @@ def prior_per_query(repo_dir: str, sf: float) -> tuple[dict, dict, str]:
     registry; the single newest artifact's window — the cross-round
     median base; that artifact's name). Missing/foreign-sf artifacts
     contribute nothing — a fresh checkout or a different sf runs with
-    the self-check inert, never wrong."""
+    the self-check inert, never wrong. With ``cpus``, a committed
+    per-(cpus, sf) sidecar (see main()) takes final precedence — the
+    freshest same-config measurement."""
     import glob
     import re
 
@@ -108,16 +112,25 @@ def prior_per_query(repo_dir: str, sf: float) -> tuple[dict, dict, str]:
         if qs:
             merged.update(qs)
             newest, newest_name = qs, os.path.basename(path)
-    # the committed sidecar from the most recent bench run carries the
-    # FULL registry map (the printed line holds only the 50-query
-    # window under the driver's 2000-byte tail budget) — freshest
-    # baseline, latest-wins over the window-only artifact maps
-    try:
-        with open(
-            os.path.join(repo_dir, "tools", "bench_last_detail.json")
-        ) as f:
-            det = json.load(f)
-        if abs(float(det.get("sf", -1)) - sf) < 1e-9:
+    # committed sidecars carry the FULL registry map (the printed line
+    # holds only the 50-query window under the driver's 2000-byte tail
+    # budget) — freshest baseline, latest-wins over the window-only
+    # artifact maps. Read the legacy single-slot file first, then the
+    # per-(cpus, sf) slot (VERDICT r11 #1/#4: the single slot was
+    # overwritten by every run, so an 8-core driver pass destroyed the
+    # 32-core run's audit trail; per-config slots coexist and the
+    # same-config one wins the baseline).
+    candidates = [os.path.join(repo_dir, "tools", "bench_last_detail.json")]
+    if cpus is not None:
+        candidates.append(
+            os.path.join(repo_dir, "tools", _detail_name(cpus, sf))
+        )
+    for path in candidates:
+        try:
+            with open(path) as f:
+                det = json.load(f)
+            if abs(float(det.get("sf", -1)) - sf) > 1e-9:
+                continue
             qs = {
                 str(k): float(v)
                 for k, v in (det.get("queries_all") or {}).items()
@@ -125,9 +138,15 @@ def prior_per_query(repo_dir: str, sf: float) -> tuple[dict, dict, str]:
             }
             if qs:
                 merged.update(qs)
-    except Exception:
-        pass
+        except Exception:
+            continue
     return merged, newest, newest_name
+
+
+def _detail_name(cpus: int, sf: float) -> str:
+    """Per-config sidecar filename: one slot per (cpus, sf), so runs at
+    different configurations never clobber each other's full map."""
+    return f"bench_detail_c{cpus}_sf{sf:g}.json"
 
 
 def spark_probe_s(spark) -> float:
@@ -159,6 +178,7 @@ def _median_ratio(timings: dict, prior: dict) -> float | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("streamclient-spark-bench")
     specs = load_all()
     names = [n for n in HEADLINE if n in specs]
@@ -207,7 +227,7 @@ def main() -> None:
     # immediate rerun even below the 1.5 s floor; the min is the
     # steady-state number a warm cluster would see.
     prior_all, prior_newest, prior_ref = prior_per_query(
-        os.path.dirname(os.path.abspath(__file__)), sf
+        os.path.dirname(os.path.abspath(__file__)), sf, cpus
     )
 
     timings: dict[str, float] = {}
@@ -264,6 +284,7 @@ def main() -> None:
         "n_queries": len(timings),
         "tail_total_sec": tail_total,
         "sf": sf,
+        "cpus": cpus,
         # session-health canary + self-describing warmup policy
         "spark_probe_s": [round(probe_before, 3), round(probe_after, 3)],
         "spark_probe_ref_s": SPARK_PROBE_REF_S,
@@ -294,8 +315,10 @@ def main() -> None:
         # BENCH_r10.json shipped head-truncated, its opening
         # '{"metric' cut), so the printed line stays under that budget
         # and everything bigger goes to the file the round commit
-        # carries.
-        "detail": "tools/bench_last_detail.json",
+        # carries. One sidecar slot per (cpus, sf): the driver's 8-core
+        # scaling pass no longer overwrites the 32-core run's audit
+        # trail (VERDICT r11 #1/#4).
+        "detail": f"tools/{_detail_name(cpus, sf)}",
     }
     # Last measured sf1 Spark-vs-DuckDB ratio (tools/bench_ratio.py
     # writes this file); embedded so the round artifact carries it.
@@ -334,7 +357,7 @@ def main() -> None:
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "tools",
-            "bench_last_detail.json",
+            _detail_name(cpus, sf),
         )
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

@@ -105,3 +105,34 @@ def test_sidecar_is_freshest_baseline_but_not_median_base(tmp_path):
 def test_median_ratio_ignores_missing_and_rounds():
     assert _median_ratio({"a": 2.0, "b": 1.0}, {"a": 1.0, "b": 1.0, "z": 5}) == 1.5
     assert _median_ratio({}, {"a": 1.0}) is None
+
+
+def test_per_config_sidecars_coexist_and_same_config_wins(tmp_path):
+    """VERDICT r11 #1/#4: one sidecar slot per (cpus, sf) — an 8-core
+    run's detail file no longer clobbers the 32-core run's, and the
+    self-check baseline prefers the same-config slot over the legacy
+    single slot."""
+    from bench import _detail_name
+
+    assert _detail_name(32, 0.1) != _detail_name(8, 0.1)
+    assert _detail_name(32, 0.1) != _detail_name(32, 0.01)
+
+    (tmp_path / "tools").mkdir()
+    (tmp_path / "tools" / "bench_last_detail.json").write_text(
+        json.dumps({"sf": 0.1, "queries_all": {"q_a": 9.0, "q_b": 1.0}})
+    )
+    (tmp_path / "tools" / _detail_name(32, 0.1)).write_text(
+        json.dumps({"sf": 0.1, "cpus": 32, "queries_all": {"q_a": 0.5}})
+    )
+    (tmp_path / "tools" / _detail_name(8, 0.1)).write_text(
+        json.dumps({"sf": 0.1, "cpus": 8, "queries_all": {"q_a": 7.0}})
+    )
+    merged, _newest, _name = prior_per_query(str(tmp_path), 0.1, cpus=32)
+    # same-config slot wins q_a; legacy still covers q_b; the 8-core
+    # slot is untouched on disk and never consulted at cpus=32
+    assert merged == {"q_a": 0.5, "q_b": 1.0}
+    merged8, _n, _m = prior_per_query(str(tmp_path), 0.1, cpus=8)
+    assert merged8 == {"q_a": 7.0, "q_b": 1.0}
+    # cpus omitted → legacy behavior only
+    merged_none, _n, _m = prior_per_query(str(tmp_path), 0.1)
+    assert merged_none == {"q_a": 9.0, "q_b": 1.0}
