@@ -2562,6 +2562,9 @@ def q_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition is why it survives the 1000-executor cluster."""
     from streamclient_spark.scale import ranked_by_range
 
+    # the raw projection is NOT cached: the layout probe prunes to
+    # the single l_extendedprice column (cheaper than caching the full
+    # 3-column payload the placement pass needs)
     l = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
@@ -5039,7 +5042,10 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     window + broadcast prefix offsets) — NOT round 3's single-partition
     global window, which was a straggler/OOM at 1e9 customers. The
     grand total is a 1-row broadcast scalar, never a partition-less
-    window."""
+    window. (r12: the sampler-free literal-bounds layout was A/B'd
+    here and LOST/tied at bench scale — the probe aggregate costs more
+    than the sampler it replaces on a |customers| spine;
+    tools/ab_rangehelpers.py — kept current, guide §1.3.)"""
     from streamclient_spark.scale import running_sum_by_range
 
     o = load(spark, sf_dir, "orders")
@@ -8234,8 +8240,9 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     = better), top-20 with the supplier dimension attached — the
     standard multi-metric vendor/partner league table, built WITHOUT
     a global window: each metric's rank comes from
-    `scale.ranked_by_range` (range partition → local numbering →
-    broadcast prefix offsets), so the plan that's trivial at 10k
+    `scale.ranked_by_range` (r12 sampler-free layout: literal
+    percentile bounds per tag → placement shuffle → local numbering →
+    LITERAL prefix offsets), so the plan that's trivial at 10k
     suppliers is the same plan that survives 100M. Rank points are
     pure integers (rank blending beats z-score blending for
     determinism AND robustness to heavy-tailed metrics).
@@ -8256,7 +8263,10 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered cut. History: three ranked_by_range passes + three
     spine joins 4.5 s sf1 (r6) → tagged-union single ranking + spine
     join-back 2.7 s (r7) → explode-stack + value-carrying pivot
-    A/B r11 sf0.1 2.80→2.23 s, sf1 2.69→2.54 s, identical rows."""
+    A/B r11 sf0.1 2.80→2.23 s, sf1 2.69→2.54 s, identical rows →
+    r12 sampler-free layout + |spine| as a layout literal (the n1
+    crossJoin broadcast is gone; jobs 15→11, wall tie at sf0.1 —
+    tools/ab_rangehelpers.py)."""
     from streamclient_spark.scale import ranked_by_range
 
     li = load(spark, sf_dir, "lineitem")
@@ -8271,7 +8281,7 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("l_quantity") * 100).cast("bigint")
             ).alias("qty_cents"),
         )
-        .localCheckpoint(eager=False)  # stacked read + |spine| scalar
+        .localCheckpoint(eager=False)  # layout probe + placement share it
     )
     stacked = m.select(
         "suppkey",
@@ -8289,23 +8299,28 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("suppkey", "s.tag", "s.v")
+    lay: dict = {}
     ranked = ranked_by_range(
-        stacked, ["tag", F.desc("v"), F.asc("suppkey")], rank_col="grk"
+        stacked,
+        ["tag", F.desc("v"), F.asc("suppkey")],
+        rank_col="grk",
+        group_col="tag",
+        layout=lay,
     )
-    n1 = m.select(F.count(F.lit(1)).alias("__n"))  # 1-row scalar
+    # every tag slice is the spine row-for-row; the layout's exact
+    # per-group count IS |spine| (r12 — replaces the 1-row n1
+    # crossJoin broadcast and its build job)
+    n1 = F.lit(int(lay["groups"].get(0, (0, 0))[1]))
     agg = (
-        ranked.crossJoin(F.broadcast(n1))
-        .groupBy("suppkey")
+        ranked.groupBy("suppkey")
         .agg(
             # grk is 1-based over (tag, v desc, suppkey); slice sizes
             # are all exactly |spine|, so tag t's within-metric
             # row_number is grk − t·|spine|.
             F.sum(
                 F.when(F.col("tag") == 0, 50 * F.col("grk"))
-                .when(
-                    F.col("tag") == 1, 30 * (F.col("grk") - F.col("__n"))
-                )
-                .otherwise(20 * (F.col("grk") - 2 * F.col("__n")))
+                .when(F.col("tag") == 1, 30 * (F.col("grk") - n1))
+                .otherwise(20 * (F.col("grk") - 2 * n1))
             )
             .cast("long")
             .alias("score_points"),
@@ -9805,9 +9820,12 @@ def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one orders-scale exchange to (cust, period) grain; the
     global rank runs `scale.ranked_by_range` over the total order
-    (period, revenue desc, cust) — range partition, NO single-task
-    window sort — rebased per period by a 2-row broadcast of period
-    offsets/sizes; the transition matrix comes from ONE cust-keyed
+    (period, revenue desc, cust) — sampler-free placement layout, NO
+    single-task window sort — rebased per period by LITERAL offsets/
+    sizes from the layout's exact group spans (r12: the bounds
+    re-aggregate and its 2-row broadcast join are gone; jobs 13→9,
+    A/B 1.63→1.34 s median sf0.1); the transition matrix comes from
+    ONE cust-keyed
     hash-aggregate PIVOT of the (cust, p, s) table (max-when per
     period; a cust appears at most once per period, so the pivot IS
     the full-outer join) and a 16-cell rollup. r11: the pivot replaced
@@ -9839,18 +9857,32 @@ def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust", "p")
         .agg(F.sum("rc").alias("rc"))
     )
+    # r12: checkpoint the (cust, period) aggregate so the layout probe
+    # and the placement exchange share one computation (the old sampler
+    # form recomputed the orders aggregate for its sampling pass)
+    cp = cp.localCheckpoint(eager=False)
+    lay: dict = {}
     ranked = ranked_by_range(
-        cp, ["p", F.desc("rc"), F.asc("cust")], rank_col="grk"
+        cp,
+        ["p", F.desc("rc"), F.asc("cust")],
+        rank_col="grk",
+        group_col="p",
+        layout=lay,
     )
-    bounds = ranked.groupBy(F.col("p").alias("p0")).agg(
-        F.min("grk").alias("r0"), F.count(F.lit(1)).alias("np")
+    # per-period rank rebase from the layout's EXACT group spans —
+    # r0 = base_p + 1 and np = |period p| are literals now (r12:
+    # replaces the bounds re-aggregate + 2-row broadcast join)
+    whens = " ".join(
+        f"WHEN p = {g} THEN (grk - {base + 1}) * 3 div {cnt}"
+        for g, (base, cnt) in sorted(lay["groups"].items())
+        if g is not None and cnt > 0
     )
-    seg = ranked.join(
-        F.broadcast(bounds), F.col("p") == F.col("p0")
-    ).select(
+    seg = ranked.select(
         "cust",
         "p",
-        F.expr("(grk - r0) * 3 div np").cast("long").alias("s"),
+        (
+            F.expr(f"CASE {whens} END") if whens else F.lit(None)
+        ).cast("long").alias("s"),
     )
     return (
         seg.groupBy("cust")

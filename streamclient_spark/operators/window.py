@@ -1699,9 +1699,13 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quintile — exact integer arithmetic, bit-identical to the
     window ntile — and one hash aggregate pivots (user_id, axis, q)
     back to one row per user. Exchanges over the |users| aggregate:
-    one range shuffle of 3N skinny rows + one hash shuffle + one join
-    — versus 3 range shuffles + 3 joins before; A/B r11: sf0.1
-    2.29→1.23 s, sf1 3.03→1.84 s warm min, results identical."""
+    one placement shuffle of 3N skinny rows + one hash shuffle + one
+    join — versus 3 range shuffles + 3 joins before; A/B r11: sf0.1
+    2.29→1.23 s, sf1 3.03→1.84 s warm min, results identical. r12:
+    the rank pass runs the sampler-free per-axis layout
+    (``group_col="__axis"``, scale.py) and N comes back exact in the
+    layout — the 1-row n_total crossJoin broadcast and the sampler
+    pass over the stack are both gone (A/B tools/ab_rangehelpers.py)."""
     from streamclient_spark.scale import ntile_from_rank, ranked_by_range
 
     e = load(spark, sf_dir, "events")
@@ -1721,9 +1725,9 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
-        .localCheckpoint(eager=False)  # feeds the rank pass + join base
+        # feeds the rank pass (probe + placement) + the final join base
+        .localCheckpoint(eager=False)
     )
-    n_total = u.agg(F.count(F.lit(1)).alias("__N"))
 
     stacked = u.select(
         "user_id",
@@ -1744,14 +1748,22 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("user_id", "s.__axis", "s.__k")
+    lay: dict = {}
     rk = ranked_by_range(
-        stacked, ["__axis", "__k", "user_id"], rank_col="__g"
+        stacked,
+        ["__axis", "__k", "user_id"],
+        rank_col="__g",
+        group_col="__axis",
+        layout=lay,
     )
-    per_axis = rk.join(F.broadcast(n_total)).select(
+    # every axis contributes exactly N = |users| rows; the layout's
+    # exact per-group count replaces the old 1-row n_total crossJoin
+    n_users = F.lit(int(lay["groups"].get(0, (0, 0))[1]))
+    per_axis = rk.select(
         "user_id",
         "__axis",
         ntile_from_rank(
-            F.col("__g") - F.col("__axis") * F.col("__N"), F.col("__N"), 5
+            F.col("__g") - F.col("__axis") * n_users, n_users, 5
         ).alias("__q"),
     )
     quint = per_axis.groupBy("user_id").agg(

@@ -150,75 +150,349 @@ def bucketed_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: memoized hash-representatives per modulus n: rep[p] is a small long
+#: with ``pmod(hash(rep[p]), n) == p``, so ``repartition(n, lit-mapped
+#: rep)`` places logical bucket b in physical partition b EXACTLY —
+#: hash partitioning used as a direct partitioner. A pure function of
+#: (n, Spark's Murmur3 impl), found once per process by one tiny
+#: spark.range job (no fixture data involved), then reused by every
+#: range-layout consumer.
+_REPS_MEMO: dict[int, list[int]] = {}
+
+
+def _partition_reps(spark: SparkSession, n: int) -> list[int]:
+    reps = _REPS_MEMO.get(n)
+    if reps is not None:
+        return reps
+    m = 64 * n
+    while True:
+        rows = (
+            spark.range(0, m)
+            .select(F.col("id"), F.pmod(F.hash("id"), F.lit(n)).alias("p"))
+            .groupBy("p")
+            .agg(F.min("id").alias("r"))
+            .collect()
+        )
+        if len(rows) == n:
+            out = [0] * n
+            for row in rows:
+                out[int(row["p"])] = int(row["r"])
+            _REPS_MEMO[n] = out
+            return out
+        m *= 4  # astronomically unlikely; widen the search and retry
+
+
+def _norm_order(order_cols: list) -> list[tuple[str, bool]]:
+    """Normalize a helper order spec to [(column_name, ascending)].
+    Accepts plain strings (ascending) and simple ``F.asc(name)`` /
+    ``F.desc(name)`` columns with Spark's DEFAULT null ordering
+    (asc→nulls first, desc→nulls last) — exactly the forms the
+    registry consumers use; anything fancier raises so a silent
+    order/placement disagreement is impossible."""
+    import re
+
+    out: list[tuple[str, bool]] = []
+    for c in order_cols:
+        if isinstance(c, str):
+            out.append((c, True))
+            continue
+        m = re.fullmatch(
+            r"Column<'([A-Za-z0-9_]+) (ASC|DESC) NULLS (FIRST|LAST)'>",
+            str(c),
+        )
+        if not m or (m.group(2) == "ASC") != (m.group(3) == "FIRST"):
+            raise ValueError(
+                f"unsupported order expression {c!r}: pass a column name "
+                "or simple F.asc/F.desc with default null ordering"
+            )
+        out.append((m.group(1), m.group(2) == "ASC"))
+    return out
+
+
+def _sort_cols(order: list[tuple[str, bool]]) -> list:
+    return [
+        F.col(name).asc() if asc else F.col(name).desc()
+        for name, asc in order
+    ]
+
+
+def _value_literal(dtype: str):
+    """SQL literal renderer for placement-bound values of ``dtype``.
+    Integral → long literals; float/double → string-cast doubles
+    (repr round-trips exactly). Anything else is unsupported — the
+    caller raises rather than risking a lossy literal."""
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return lambda v: f"{int(v)}L"
+    if dtype in ("float", "double"):
+        return lambda v: f"CAST('{float(v)!r}' AS DOUBLE)"
+    return None
+
+
+def _bucket_case_sql(
+    value: str, bounds: list, asc: bool, base: int, vlit
+) -> str:
+    """Balanced comparison tree assigning a row to its bucket:
+    ``base + |{b in bounds : b <= value}|`` for ascending order
+    (``>=`` flipped for descending), as a pure-codegen nested CASE of
+    depth ceil(log2(|bounds|+1)). NULL values route to the extreme
+    bucket matching Spark's default null ordering (asc → first,
+    desc → last); NaN doubles compare largest on both the comparison
+    and sort paths, so placement and within-partition order can never
+    disagree."""
+
+    def tree(lo: int, bs: list) -> str:
+        if not bs:
+            return str(base + lo)
+        mid = len(bs) // 2
+        cond = (
+            f"{value} >= {vlit(bs[mid])}"
+            if asc
+            else f"{value} <= {vlit(bs[mid])}"
+        )
+        return (
+            f"CASE WHEN {cond} THEN {tree(lo + mid + 1, bs[mid + 1:])} "
+            f"ELSE {tree(lo, bs[:mid])} END"
+        )
+
+    null_bucket = base if asc else base + len(bounds)
+    return (
+        f"CASE WHEN {value} IS NULL THEN {null_bucket} "
+        f"ELSE {tree(0, bounds)} END"
+    )
+
+
+def _place_by_bounds(
+    df: DataFrame,
+    order_cols: list,
+    *,
+    group_col: str | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, list, list[tuple], int]:
+    """Deterministic, sampler-free range layout (r12; guide §2.4/§2.5):
+    ONE column-pruned probe aggregate derives approximate percentile
+    bounds of the leading value column (per ``group_col`` when the
+    total order leads with a small tag/axis column), the bounds become
+    a LITERAL comparison tree assigning each row a bucket id ``__pid``
+    in total-order position, and a plain hash repartition on a
+    bucket-representative column ``__pk`` (see :func:`_partition_reps`)
+    places bucket b in physical partition b — contiguous key ranges
+    per partition, like ``repartitionByRange``, but with NO sampler
+    pass over the input and a placement that is a pure function of the
+    row, so retried/recomputed partitions can never disagree (the
+    property the old form needed a localCheckpoint to enforce).
+    Bounds are split on the value column only (ties of a hot value
+    share a bucket — the probe-accuracy skew bound documented on the
+    callers); balance comes from the percentile sketch.
+
+    Returns ``(placed, sort_cols, groups, n)``: ``placed`` is the
+    repartitioned frame (+ ``__pid``/``__pk``), lazily
+    localCheckpoint'd (raw-row block store — measured cheaper than the
+    columnar persist cache for these skinny spines) so the caller's
+    offsets aggregate and final pipeline share one computation;
+    ``groups`` is ``[(group_value, first_bucket, n_buckets)]`` in
+    group order.
+
+    Caller contract (unchanged from the sampler form, which also
+    executed its input twice — sampler + exchange): ``df`` must be
+    deterministic, ``order_cols`` a total order, leading group values
+    non-null."""
+    spark = df.sparkSession
+    n = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    order = _norm_order(order_cols)
+    names = [c for c, _ in order]
+    if group_col is not None:
+        if names[0] != group_col or not order[0][1]:
+            raise ValueError(
+                "group_col must be the leading ASCENDING order column"
+            )
+        vname, vasc = order[1]
+    else:
+        vname, vasc = order[0]
+    dt = dict(df.dtypes)
+    vlit = _value_literal(dt[vname])
+    if vlit is None:
+        raise ValueError(
+            f"range layout needs a numeric leading value column; "
+            f"{vname!r} is {dt[vname]!r}"
+        )
+
+    # --- probe: one aggregate job over (group, value) only. The
+    # percentile sketch feeds on a DETERMINISTIC 1/16 hash-sample of
+    # the rows (xxhash64 over the order columns — retry-stable, unlike
+    # rand(); the sketch insert was measured ~4× the cost of the
+    # filtered scan at 600k rows): bounds only steer partition
+    # BALANCE, the offsets pass below is exact regardless, so sampled
+    # bounds cost nothing in correctness. Counts ride the same
+    # aggregate un-sampled so group allocation stays proportional.
+    fine = [j / 64 for j in range(1, 64)]
+    sampled = F.when(
+        F.pmod(F.xxhash64(*[F.col(c) for c, _ in order]), F.lit(16)) == 0,
+        F.col(vname),
+    )
+    pct = F.percentile_approx(sampled, fine).alias("q")
+    cnt = F.count(F.lit(1)).alias("c")
+    if group_col is not None:
+        rows = df.groupBy(group_col).agg(pct, cnt).collect()
+        if any(r[group_col] is None for r in rows):
+            raise ValueError("NULL group values are unsupported")
+        rows.sort(key=lambda r: r[group_col])
+        probe = [(r[group_col], list(r["q"] or []), int(r["c"])) for r in rows]
+    else:
+        r = df.agg(pct, cnt).first()
+        probe = [(None, list(r["q"] or []), int(r["c"]))]
+
+    total = sum(c for _, _, c in probe) or 1
+    groups: list[tuple] = []
+    cases: list[str] = []
+    base = 0
+    budget = n
+    for gi, (gval, q, c) in enumerate(probe):
+        remaining_groups = len(probe) - gi - 1
+        p_g = max(1, min(budget - remaining_groups, round(n * c / total)))
+        budget -= p_g
+        bounds: list = []
+        if q and p_g > 1:
+            picked = [q[min(len(q) - 1, (len(q) * j) // p_g)] for j in range(1, p_g)]
+            if not vasc:
+                picked.reverse()
+            for b in picked:  # dedupe while preserving direction
+                if b is not None and (not bounds or b != bounds[-1]):
+                    bounds.append(b)
+        k = len(bounds) + 1
+        case = _bucket_case_sql(vname, bounds, vasc, base, vlit)
+        if group_col is None:
+            cases.append(case)
+        else:
+            glit = _value_literal(dt[group_col])
+            if glit is None:
+                gl = "'" + str(gval).replace("'", "''") + "'"
+            else:
+                gl = glit(gval)
+            cases.append(f"WHEN {group_col} = {gl} THEN {case}")
+        groups.append((gval, base, k))
+        base += k
+    n_buckets = base
+    if group_col is None:
+        bucket_sql = cases[0] if cases else "0"
+    else:
+        bucket_sql = "CASE " + " ".join(cases) + " END" if cases else "0"
+    if n_buckets == 0:
+        # empty grouped probe: one catch-all bucket keeps every
+        # downstream literal array non-empty and well-typed
+        groups, n_buckets, bucket_sql = [(None, 0, 1)], 1, "0"
+
+    reps = _partition_reps(spark, n)
+    reps_sql = ", ".join(f"{r}L" for r in reps[:n_buckets]) or "0L"
+    placed = (
+        df.selectExpr("*", f"CAST(({bucket_sql}) AS INT) AS __pid")
+        .withColumn(
+            "__pk", F.expr(f"element_at(array({reps_sql}), __pid + 1)")
+        )
+        .repartition(n, F.col("__pk"))
+        .localCheckpoint(eager=False)  # materialized by the offsets job
+    )
+    return placed, _sort_cols(order), groups, n_buckets
+
+
+def _bucket_offsets(
+    placed: DataFrame, n_buckets: int, agg: Column, combine
+) -> list:
+    """Exact per-bucket aggregate of ``placed`` (one tiny shuffled job
+    that also materializes the persisted layout — the checksum-
+    materializer device), prefix-combined driver-side into the
+    |buckets|-length offsets list the final projection embeds as
+    literals (no broadcast join, no partition-less window). A NULL or
+    out-of-range bucket id means the caller's input violated the
+    determinism/non-null contract — loud failure, never silent
+    mis-ranks."""
+    rows = placed.groupBy("__pid").agg(agg.alias("__a")).collect()
+    per = [None] * n_buckets
+    for r in rows:
+        b = r["__pid"]
+        if b is None or not (0 <= b < n_buckets):
+            raise RuntimeError(
+                f"range layout saw bucket {b!r} outside [0, {n_buckets})"
+                " — non-deterministic input or NULL group value"
+            )
+        per[b] = r["__a"]
+    return combine(per)
+
+
 def ranked_by_range(
     df: DataFrame,
-    order_cols: list[str],
+    order_cols: list,
     *,
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    group_col: str | None = None,
+    layout: dict | None = None,
 ) -> DataFrame:
     """Global dense row-number over a total order WITHOUT a single-task
     sort — the 100 TB replacement for ``row_number().over(Window.
     orderBy(...))`` (whose empty/low-cardinality partitionBy funnels
     the whole population through one task).
 
-    Decomposition: range-partition on the order columns (linear
-    shuffle, contiguous key ranges per partition), sort within each
-    partition, assign per-partition-local row numbers ENTIRELY
-    JVM-side — ``spark_partition_id()`` plus the low 33 bits of
-    ``monotonically_increasing_id()``, which are exactly the
-    consecutive within-partition row index in flow (= sorted) order —
-    then count rows per partition (a |partitions|-row aggregate) and
-    add each partition's prefix-sum offset via a broadcast join. Ranks
-    are identical to the window form whenever ``order_cols`` is a
-    total order (callers must include a unique tie-break column, same
-    rule as every limit/top-k in this engine). An earlier formulation
-    numbered rows in an Arrow ``mapInPandas`` pass; at 60M rows the
-    Arrow round-trip of the full table made the operator superlinear
-    (68 s at sf10 vs 3 s at sf1) — the codegen projection restores
-    linear scaling.
+    Decomposition (r12, sampler-free): place rows into total-order
+    buckets by LITERAL percentile bounds from one column-pruned probe
+    (:func:`_place_by_bounds` — replaces ``repartitionByRange``'s
+    sampler pass, which re-executed the whole upstream plan reading
+    every column), sort within each partition, assign per-partition
+    row numbers ENTIRELY JVM-side — the low 33 bits of
+    ``monotonically_increasing_id()`` are exactly the within-partition
+    row index in sorted flow order — and add each bucket's exact
+    prefix-sum offset as a LITERAL array lookup (the |buckets|-row
+    counts collect replaces the old counts-window + broadcast join;
+    it doubles as the persisted layout's materializer). Ranks are
+    identical to the window form whenever ``order_cols`` is a total
+    order (callers must include a unique tie-break column). The old
+    localCheckpoint is gone: placement is a pure function of the row,
+    so the offsets job and the final projection cannot disagree even
+    across partition recomputes.
 
-    The input is localCheckpoint'd after the local numbering so the
-    offset count and the final join share one computation of the
-    range shuffle (and Spark's nondeterministic-range sampling cannot
-    disagree between the two jobs — which would corrupt both the ids
-    and the offsets)."""
-    n = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"
-    )
-    part = df.repartitionByRange(int(n), *order_cols).sortWithinPartitions(
-        *order_cols
-    )
+    ``group_col`` (the leading asc order column, when it is a small
+    tag/axis domain) makes the probe per-group — the stacked-spine
+    consumers' shape. ``layout``, if a dict is passed, receives
+    ``{"total": N, "groups": {gval: (rank_base, count)}}`` — EXACT
+    counts from the offsets pass, letting consumers fold |spine|
+    scalars into literals instead of crossJoin-broadcasting a 1-row
+    aggregate.
 
+    An earlier formulation numbered rows in an Arrow ``mapInPandas``
+    pass; at 60M rows the Arrow round-trip of the full table made the
+    operator superlinear (68 s at sf10 vs 3 s at sf1) — the codegen
+    projection restores linear scaling."""
     cols = list(df.columns)
-    numbered = part.select(
-        "*",
-        F.spark_partition_id().alias("__pid"),
-        (
-            F.monotonically_increasing_id().bitwiseAND(
-                F.lit((1 << 33) - 1)
-            )
-        ).alias("__local"),
-    ).localCheckpoint(eager=False)
-
-    counts = (
-        numbered.groupBy("__pid")
-        .agg(F.count("*").alias("__n"))
-        .orderBy("__pid")
-    )
-    w = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offsets = counts.select(
-        "__pid", (F.sum("__n").over(w) - F.col("__n")).alias("__offset")
+    placed, sort_cols, groups, n_buckets = _place_by_bounds(
+        df, order_cols, group_col=group_col, num_partitions=num_partitions
     )
 
-    return (
-        numbered.join(F.broadcast(offsets), "__pid")
-        .select(
-            *cols,
-            (F.col("__offset") + F.col("__local") + 1).alias(rank_col),
-        )
+    def prefix_sum(per):
+        out, acc = [], 0
+        for v in per:
+            out.append(acc)
+            acc += int(v or 0)
+        out.append(acc)  # grand total rides the same list
+        return out
+
+    offs = _bucket_offsets(
+        placed, n_buckets, F.count(F.lit(1)), prefix_sum
+    )
+    if layout is not None:
+        layout["total"] = offs[-1]
+        layout["groups"] = {
+            gval: (offs[b0], offs[b0 + k] - offs[b0])
+            for gval, b0, k in groups
+        }
+    off_sql = ", ".join(f"{o}L" for o in offs[:-1])
+    return placed.sortWithinPartitions(*sort_cols).select(
+        *cols,
+        F.expr(
+            f"element_at(array({off_sql}), __pid + 1) + "
+            f"(monotonically_increasing_id() & {(1 << 33) - 1}) + 1"
+        ).alias(rank_col),
     )
 
 
@@ -252,7 +526,17 @@ def running_sum_by_range(
     never disagree. The input is localCheckpoint'd after the range
     shuffle so the offsets aggregate and the final join share one
     computation (and the range sampler's nondeterminism cannot split
-    them)."""
+    them).
+
+    r12 note (guide §1.3 — measured, kept current): the sampler-free
+    literal-bounds layout that ranked_by_range adopted was A/B'd here
+    too (tools/ab_rangehelpers.py) and LOST at bench scale on both
+    running consumers (q_part_abc_xyz 2.04→2.46 s median, q_skyline_2d
+    0.65→0.84 s; q_pareto_abc tied) — these spines are small enough
+    that the percentile probe job costs more than the sampler pass and
+    second skinny exchange it removes, and unlike the rank consumers
+    there is no crossJoin/bounds-join for the layout to pay for
+    itself with. Re-try if a fact-scale running-sum consumer appears."""
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
@@ -307,7 +591,9 @@ def running_max_by_range(
     ends at ``-1`` and the offset is the max over strictly earlier
     partitions, so the global result is exactly the single-window
     form. ``order_cols`` must be a total order for the strict variant
-    to be well-defined (same rule as ranked_by_range)."""
+    to be well-defined (same rule as ranked_by_range). (r12: the
+    sampler-free layout lost its A/B here — see the
+    running_sum_by_range note.)"""
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )

@@ -122,10 +122,15 @@ def test_unconditional_broadcast_hint_census_is_pinned():
         # 52 → 51 in r10: the rolling-WAU interval-delta rewrite
         # deleted its win×broadcast(mx) filter site; 51 → 50 in r11:
         # q_part_abc_xyz fused its span+total broadcasts into one
-        # consts aggregate (one crossJoin×broadcast site deleted)
-        "operators/relational.py": 50,
-        "operators/window.py": 14,
-        "scale.py": 3,
+        # consts aggregate (one crossJoin×broadcast site deleted);
+        # 50 → 48 in r12: the sampler-free ranked layout folded the
+        # scorecard n1 crossJoin and the migration bounds join into
+        # layout literals (window.py 14 → 13: rfm's n_total crossJoin,
+        # scale.py 3 → 2: ranked_by_range's offsets broadcast join —
+        # same change)
+        "operators/relational.py": 48,
+        "operators/window.py": 13,
+        "scale.py": 2,
         "streaming/joins.py": 1,
         # the size-gate itself (bare-import spelling): the one place a
         # hint may touch a non-fixed-size input, because it is gated

@@ -180,8 +180,17 @@ def test_ranked_by_range_matches_window_row_number(spark, sf_oracle):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         ranked_by_range(e, ["value", "event_id"]).explain(mode="simple")
-    plan = buf.getvalue()
-    assert "rangepartitioning" in plan.replace(" ", "").lower()
+    plan = buf.getvalue().replace(" ", "").lower()
+    # r12 sampler-free layout: the placement exchange (a plain hash
+    # repartition on the bucket-representative column __pk) hides
+    # behind the localCheckpoint lineage cut, so the visible
+    # fingerprint is the placement columns in the checkpoint scan plus
+    # the LITERAL element_at offsets — and the absence of both the
+    # RangePartitioner and the old offsets broadcast join
+    assert "__pk" in plan
+    assert "element_at(" in plan
+    assert "rangepartitioning" not in plan
+    assert "broadcasthashjoin" not in plan
 
 
 def test_running_sum_by_range_matches_global_window(spark, sf_oracle):
