@@ -405,7 +405,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by round 1's sum
     )
     while True:
         neighbor_min = (
@@ -415,8 +415,11 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the changed flag rides on the update row itself (nmin < label
         # ⟺ this round lowered the node's label), so convergence is one
-        # tiny aggregate over the already-checkpointed frame — not a
-        # second O(nodes) self-join per round
+        # tiny aggregate over the checkpointed frame — not a second
+        # O(nodes) self-join per round. r12: the checkpoint is LAZY
+        # and the chg sum below doubles as its materializer (a global
+        # aggregate over every partition — the star-CC device; one job
+        # per round instead of two)
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -428,7 +431,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("int")
                 .alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = updated.agg(F.sum("chg")).first()[0]
         labels = updated.drop("chg")

@@ -6326,14 +6326,18 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once), so total work is O(|E|) across all rounds — the
     textbook Pregel BFS in DataFrame form. Rounds are bounded by seed
     eccentricity (≤6 measured; hubs keep it small-world). Each layer
-    is eagerly ``localCheckpoint``-ed: BOTH the next frontier and the
+    is ``localCheckpoint``-ed: BOTH the next frontier and the
     settled set embed the previous layer's plan, so without lineage
     truncation the plan tree DOUBLES per round and Catalyst analysis
     time goes exponential (measured: 0.8 s → 33 s by round 6 with
     plain persist; flat ~0.8 s/round checkpointed) — the jobs were
-    never the cost, the plannings were. The oracle replays
-    min-relaxation for _BFS_ROUNDS rounds; a convergence test pins
-    the margin (the q_graph_cc / q_graph_kcore rule)."""
+    never the cost, the plannings were. r12: the checkpoints are LAZY
+    and each layer is materialized by its emptiness COUNT (a global
+    aggregate over every partition — the star-CC materializer device)
+    — one job per round instead of the eager-checkpoint + isEmpty
+    pair. The oracle replays min-relaxation for _BFS_ROUNDS rounds; a
+    convergence test pins the margin (the q_graph_cc /
+    q_graph_kcore rule)."""
     dist, adj, _rounds = _bfs_layers(spark, sf_dir)
     hist = dist.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes"))
     unreached = (
@@ -6360,14 +6364,16 @@ def _bfs_layers(spark: SparkSession, sf_dir: str):
         e.select(F.col("u"), F.col("v"))
         .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(8, "u")
-        .localCheckpoint()
+        # lazy (r12): materialized by round 1's frontier count — the
+        # blocks are stored identically, one fewer up-front job
+        .localCheckpoint(eager=False)
     )
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     seeds = (
         deg.orderBy(F.desc("d"), F.asc("u"))
         .limit(_BFS_SEEDS)
         .select(F.col("u").alias("node"), F.lit(0).alias("d"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dist = seeds
     frontier = seeds
@@ -6383,9 +6389,15 @@ def _bfs_layers(spark: SparkSession, sf_dir: str):
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .select("node", F.lit(r).alias("d"))
-            .localCheckpoint()  # eager: truncates lineage AND settles the layer
+            # lazy: the count below is a global aggregate over every
+            # partition, so it materializes the layer's blocks exactly
+            # as the eager form did — ONE job per round instead of the
+            # r11 checkpoint-job + isEmpty-probe pair (the star-CC
+            # checksum-materializer device; it must stay a full count,
+            # a take/isEmpty probe would skip partitions)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         # flat union of checkpointed layers — plan grows linearly
         dist = dist.unionAll(nxt)
@@ -7064,16 +7076,23 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoint key — the pagerank shuffle shape, linear in |E|), a
     (node, label) count aggregate, and a per-node argmax window
     (partitioned by node — parallel, never global). Each round's label
-    table is eagerly localCheckpoint'd: the next round references it
-    three times, and without the cut Catalyst re-analyzes a
-    doubling plan per round (the q_graph_bfs lesson)."""
+    table is localCheckpoint'd: the next round references it three
+    times, and without the cut Catalyst re-analyzes a doubling plan
+    per round (the q_graph_bfs lesson). r12: the checkpoints are LAZY
+    — they still cut the plan, but the store job folds into the next
+    round's (or the final action's) execution instead of launching
+    eagerly per round (the star-CC materializer device; LPA runs a
+    FIXED round count, so no emptiness/convergence probe needs the
+    blocks early)."""
     e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
     )
-    lbl = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    lbl = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
+        eager=False
+    )
     w = Window.partitionBy("node").orderBy(
         F.desc("c"), F.asc("lbl")
     )
@@ -7097,7 +7116,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return lbl.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
@@ -9963,9 +9982,11 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-partitioned adjacency, a distinct, and an anti-join against
     the settled (seed, node) set, every step riding the node hash.
     Each node is settled at most once PER SEED, so total work is
-    O(seeds·|E|) across all rounds; layers are eagerly
-    localCheckpoint-ed (the q_graph_bfs lineage-doubling lesson —
-    plannings, not jobs, were the cost). The oracle unrolls
+    O(seeds·|E|) across all rounds; layers are lazily
+    localCheckpoint-ed and materialized by the per-round frontier
+    count (r12 — one job per round instead of the checkpoint +
+    isEmpty pair; the q_graph_bfs lineage-doubling lesson still
+    holds: the lazy cut bounds Catalyst the same). The oracle unrolls
     {_CLOSE_ROUNDS} relaxation rounds; a convergence test pins the
     engine fixpoint within that margin."""
     dist, _rounds = _closeness_layers(spark, sf_dir)
@@ -9989,7 +10010,7 @@ def _closeness_layers(spark: SparkSession, sf_dir: str):
         e.select(F.col("u"), F.col("v"))
         .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(8, "u")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by round 1's count
     )
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     seeds = (
@@ -9997,7 +10018,7 @@ def _closeness_layers(spark: SparkSession, sf_dir: str):
         .limit(_CLOSE_SEEDS)
         .select(F.col("u").alias("s"), F.col("u").alias("node"),
                 F.lit(0).alias("d"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dist = seeds
     frontier = seeds
@@ -10012,9 +10033,11 @@ def _closeness_layers(spark: SparkSession, sf_dir: str):
             .distinct()
             .join(dist.select("s", "node"), ["s", "node"], "left_anti")
             .select("s", "node", F.lit(r).alias("d"))
-            .localCheckpoint()  # eager: truncate lineage, settle layer
+            # lazy: the full count below materializes the layer's
+            # blocks (global aggregate — must not become take/isEmpty)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         dist = dist.unionAll(nxt)
         frontier = nxt

@@ -61,6 +61,49 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[Builder], Bui
 # first 50 registry entries in insertion order. Rotated every round — see the
 # segment comments inside the tuple.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # --- ROUND-12 WINDOW (first 50) — second optimization round.
+    # Ledger state entering round 12: r1∪…∪r11 covers all 295
+    # registered queries, 290 hash-green + 5 rows-only by contract,
+    # zero failures.
+    #
+    # (a) the nine whitespace-displaced re-attestations from r11 —
+    # they carried only pytest parity last round and MUST lead this
+    # window (the r11 gate requirement; registry promise kept):
+    "q_quality_cut", "q_quality_classifier", "q_sim_topk",
+    "q_sim_range", "q_sim_lsh", "q_sim_ivf", "q_embed_dim_stats",
+    "q_knn_classify", "q_fn_array_hof",
+    # (b) modified in round 12 (the attestation invariant — every
+    # builder whose code changed after a green row re-attests):
+    # the DQ audits re-emitted as single SQL strings over shared-scan
+    # views (plans operator-identical; tools/ab_dq.py);
+    "q_dq_fd_audit", "q_dq_uniqueness", "q_dq_referential",
+    "q_dq_constraints",
+    # the sampler-free ranked_by_range layout + layout-literal scalars
+    # (tools/ab_rangehelpers.py; q_pareto_abc below carries only a
+    # docstring note — the running-sum layout A/B LOST and its code
+    # reverted, but the text changed so the row renews);
+    "q_events_rfm", "q_supplier_scorecard", "q_customer_migration",
+    "q_rank_global",
+    # the chunked star-CC/kcore kernels (two rounds per
+    # materialization+checksum job) and the lazy-checkpoint loop
+    # cadence in BFS/closeness/label-prop/dedup-cluster
+    # (tools/ab_starcc.py; OPTIMIZATION_r12.md §4):
+    "q_graph_cc", "q_graph_kcore", "q_dedup_semantic",
+    "q_dedup_cluster", "q_dedup_canonical",
+    "q_graph_bfs", "q_graph_closeness", "q_graph_label_prop",
+    "q_pareto_abc",
+    # (c) re-attests of standing greens from the r11 window fill the
+    # remaining slots:
+    "q_dq_completeness", "q_sample_bootstrap", "q_part_abc_xyz",
+    "q_join_lateral", "q_text_fertility", "q_udtf_explode",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_graph_modularity", "q_graph_hits",
+    "q_text_tokens", "q_text_bpe", "q_text_quality", "q_text_tfidf",
+    "q_text_keywords", "q_text_surprisal", "q_text_kl_drift",
+    "q_text_zipf", "q_text_ngram_top", "q_text_bigram_lm",
+    "q_text_collocations", "q_text_lexical_diversity", "q_text_bm25",
+    # --- prior-round segments (names above removed from their old
+    # positions; segment comments retained as history) ---
     # --- ROUND-11 WINDOW (first 50) — hardening + optimization round.
     # Ledger state entering round 11: r1∪…∪r10 covers all 295
     # registered queries, 290 hash-green + 5 rows-only by contract,
@@ -82,9 +125,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # tools/ab_starcc.py);
     # q_join_lateral (rides the memoized sqlapi.register_views — code
     # path changed, results unchanged).
-    "q_dq_completeness", "q_sample_bootstrap", "q_part_abc_xyz",
-    "q_graph_cc", "q_graph_kcore", "q_dedup_cluster",
-    "q_dedup_canonical", "q_dedup_semantic", "q_join_lateral",
     # (a) modified in the round-11 build phase after a prior green row:
     # q_events_rfm (VERDICT r10 #4 — three ranked_by_range passes +
     # three user_id joins fused into ONE stacked-axis rank pass with
@@ -103,10 +143,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # os.path.getsize on a dir returns the inode size, so a multi-file
     # <table>.parquet/ layout force-broadcast a fact; the gate now
     # sums member files with an early exit).
-    "q_events_rfm", "q_customer_migration", "q_supplier_scorecard",
-    "q_text_fertility",
-    "q_udtf_explode", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
-    "q_graph_modularity", "q_graph_hits",
     # (b) the ADVICE-r10 whitespace unification (every Spark split /
     # pandas tokenizer moved from java/python \s to the explicit RE2
     # class — value-identical on the fixture, code changed, so the
@@ -115,10 +151,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # off by construction at natural-split layouts via
     # tables.split_recovery — fixture plans identical, gated): the
     # touched text / dedup / pipeline / similarity families re-attest.
-    "q_text_tokens", "q_text_bpe", "q_text_quality", "q_text_tfidf",
-    "q_text_keywords", "q_text_surprisal", "q_text_kl_drift",
-    "q_text_zipf", "q_text_ngram_top", "q_text_bigram_lm",
-    "q_text_collocations", "q_text_lexical_diversity", "q_text_bm25",
     "q_text_normalize", "q_text_novelty", "q_text_readability",
     "q_text_hashvec", "q_text_langid", "q_text_fingerprint",
     "q_text_contamination", "q_text_scrub", "q_text_repetition",
@@ -130,10 +162,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # above displaced the tail of the whitespace-class re-attestations
     # — q_quality_cut .. q_knn_classify carry the same shared-helper
     # change as the in-window text family and re-attest next round)
-    "q_quality_cut", "q_quality_classifier",
-    "q_sim_topk", "q_sim_range", "q_sim_lsh", "q_sim_ivf",
-    "q_embed_dim_stats", "q_knn_classify",
-    "q_fn_array_hof",
     # --- ROUND-10 WINDOW (rotates through as re-attests) —
     # measurement-hygiene round.
     # Ledger state entering round 10: r1∪…∪r9 covers all 295
@@ -277,7 +305,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # from the checkpointed parts spine instead of a second lineitem
     # scan: 2.26-2.82 s / 2.36-2.61× quiet band, bar ≤2.5× met at the
     # band midpoint)
-    "q_dq_fd_audit",
     # (b) never-attested: the 3 round-6 sliders, then the 13 round-6
     # additions in their landing order (q_customer_migration,
     # q_dq_completeness, q_orders_repeat_interval additionally carry
@@ -287,7 +314,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_orders_aging", "q_orders_fill_rate", "q_scan_merge_schema",
     "q_feature_pit", "q_part_price_index",
     "q_embed_isotropy", "q_part_supplier_concentration",
-    "q_graph_closeness",
     "q_events_bot_detection",
     "q_orders_repeat_interval", "q_embed_pair_margin",
     "q_embed_centroid_drift",
@@ -303,14 +329,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # is full; overflow names follow in the same order and simply sit
     # outside the first 50.
     "q_dedup_substring",
-    "q_dq_uniqueness",
     "q_mixture_temperature",
     "q_join_asof_tolerance",
     "q_multimodal_dedup",
     "q_corpus_report", "q_mixture_epochs", "q_ts_holt",
     "q_events_window_funnel", "q_events_time_to_convert",
     "q_skyline_2d", "q_agg_hll_parity",
-    "q_events_ab_test", "q_graph_label_prop", "q_dq_drift",
+    "q_events_ab_test", "q_dq_drift",
     "q_ts_stl", "q_events_powerlaw", "q_events_cohort_ltv",
     "q_agg_countmin", "q_embed_recall", "q_agg_bloom",
     "q_ts_forecast_eval",
@@ -321,11 +346,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_orders_backlog", "q_dq_kanon", "q_dedup_prefix",
     "q_events_dow_hour_heat", "q_supplier_hhi",
     # --- attested green in r5 and byte-identical since ---
-    "q_dq_referential",
     "q_graph_pagerank",
     "q_sim_rrf",
     "q_scan_csv", "q_scan_orc",
-    "q_graph_bfs",
     "q_ts_acf", "q_ts_cross_corr", "q_graph_degree_dist",
     "q_graph_jaccard", "q_join_spatial",
     "q_agg_corr_matrix", "q_agg_bool", "q_fn_regex",
@@ -333,7 +356,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_attribution", "q_islands", "q_ts_anomaly", "q_ts_ewma",
     "q_agg_regr",
     "q_events_dau_mau", "q_ts_changepoint", "q_events_inter_arrival",
-    "q_dq_constraints", "q_events_path_prefix",
+    "q_events_path_prefix",
     "q_win_rolling_median", "q_pivot", "q_agg_gini", "q_dq_benford",
     "q_crosstab", "q_dedup_source_matrix",
     "q_events_new_returning", "q_events_freq_hist",
@@ -342,7 +365,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- attested green in r4 and byte-identical since ---
     "q_graph_triangles", "q_udaf_grouped",
     "q_scan_json",
-    "q_pareto_abc",
     "q_sim_ivfpq", "q_ts_seasonality",
     "q_dq_skew", "q_join_interval",
     "q_sample_weighted", "q_table_diff", "q_agg_mad",
@@ -365,8 +387,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
     "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
     "q_fn_struct", "q_fn_bitwise", "q_fn_interval",
-    "q_events_hourly_rollup", "q_rank_global",
-    "q_join_bucketed",
+    "q_events_hourly_rollup", "q_join_bucketed",
     "q_scan_partitioned", "q_agg_mode", "q_embed_pq", "q_seq_pattern",
     "q_agg_stats", "q_fn_conditional", "q_sim_sparse", "q_agg_argmax",
     "q_agg_listagg",

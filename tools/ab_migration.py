@@ -31,7 +31,8 @@ def seg_table(spark, sf_dir):
         .agg(F.sum("rc").alias("rc"))
     )
     ranked = ranked_by_range(
-        cp, ["p", F.desc("rc"), F.asc("cust")], rank_col="grk"
+        cp, ["p", F.desc("rc"), F.asc("cust")], rank_col="grk",
+        group_col="p",  # r12: the sampler-free per-period layout
     )
     bounds = ranked.groupBy(F.col("p").alias("p0")).agg(
         F.min("grk").alias("r0"), F.count(F.lit(1)).alias("np")
@@ -79,13 +80,19 @@ def main():
     b = mig_pivot(spark, sf_dir).orderBy("seg_p1", "seg_p2").collect()
     assert a == b, (a, b)
     print(f"identical {len(a)} cells", flush=True)
-    for label, fn in [("current", mig_current), ("pivot", mig_pivot)]:
-        ts = []
-        for _ in range(reps):
+    arms = [("join", mig_current), ("pivot", mig_pivot)]
+    ts = {label: [] for label, _ in arms}
+    for _ in range(reps):  # interleaved so host drift hits both alike
+        for label, fn in arms:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            ts.append(time.perf_counter() - t0)
-        print(label, [round(t, 3) for t in ts], "min", round(min(ts), 3))
+            ts[label].append(time.perf_counter() - t0)
+    import statistics
+
+    for label, _ in arms:
+        xs = ts[label]
+        print(label, [round(t, 3) for t in xs], "min", round(min(xs), 3),
+              "med", round(statistics.median(xs), 3))
     spark.stop()
 
 

@@ -1,12 +1,12 @@
-"""A/B: connected_components_star round mechanics — eager
-localCheckpoint per round + a separate checksum job (current: two job
-launches per round) vs lazy localCheckpoint whose blocks are
-materialized BY the checksum aggregate (one job per round; the
-checksum touches every partition, so the checkpoint is fully stored
-exactly as before). Fixpoint semantics, labels, and round counts are
-unchanged — only the number of driver-side job launches drops.
-Timed through q_graph_cc's full builder (edge derivation included,
-keyed cache released between reps so every rep pays the true cost).
+"""A/B: connected_components_star round mechanics — the r11 shape
+(one lazy localCheckpoint + checksum job per round; copied verbatim
+below as ``cc_star_lazy``) vs the LIVE kernel (r12: two alternating-
+star rounds per materialization+checksum job — one job per TWO
+rounds, soundness via the strictly-decreasing potential, see
+scale.py). Labels must be identical; the job/wall deltas are the
+measurement. Timed through q_graph_cc's full builder (edge derivation
+included, keyed cache released between reps so every rep pays the
+true cost).
 Run: python tools/ab_starcc.py <sf_dir> [reps]
 """
 
@@ -100,21 +100,33 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     spark = get_spark("ab-starcc")
+    st = spark.sparkContext.statusTracker()
+
+    def njobs():
+        ids = st.getJobIdsForGroup(None)
+        return max(ids) if ids else 0
+
     a = cc_current(spark, sf_dir).orderBy("node").collect()
     b = cc_lazy(spark, sf_dir).orderBy("node").collect()
     assert a == b, (len(a), len(b))
     print(f"identical {len(a)} labels", flush=True)
-    fns = [("current", cc_current), ("lazy", cc_lazy)]
+    fns = [("live(r12-chunked)", cc_current), ("r11(1job/round)", cc_lazy)]
     ts = {label: [] for label, _ in fns}
+    jobs = {}
     for _ in range(reps):
         for label, fn in fns:  # interleaved; cache released per rep
             release_all()
+            j0 = njobs()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             ts[label].append(time.perf_counter() - t0)
+            jobs[label] = njobs() - j0
+    import statistics
+
     for label, _ in fns:
-        print(label, [round(t, 3) for t in ts[label]], "min",
-              round(min(ts[label]), 3))
+        xs = ts[label]
+        print(label, [round(t, 3) for t in xs], "min", round(min(xs), 3),
+              "med", round(statistics.median(xs), 3), "jobs", jobs[label])
     spark.stop()
 
 
